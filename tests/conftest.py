@@ -1,0 +1,20 @@
+"""Test env: force 8 virtual CPU devices so multi-chip sharding paths compile
+and execute without TPU hardware (SURVEY.md §4 item 6 — we test distributed
+paths, unlike the reference).
+
+The container's sitecustomize registers the TPU PJRT plugin at interpreter
+start and pins ``jax_platforms``; overriding the config (not just the env var)
+before first backend use reliably lands tests on the virtual CPU mesh.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
