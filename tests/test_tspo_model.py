@@ -1,0 +1,124 @@
+"""End-to-end TSPOScorer tests on the tiny CLIP config."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tspo_tpu.configs import CLIPConfig, SelectorConfig
+from tspo_tpu.models.tspo_model import TSPOScorer, build_random_scorer
+
+CLIP_CFG = CLIPConfig.tiny()
+SEL_CFG = SelectorConfig(dim=CLIP_CFG.text.projection_dim, num_heads=4)
+
+
+def _tokenize(problem: str):
+    ids = np.full((1, 8), 3, np.int32)
+    ids[0, -1] = CLIP_CFG.text.eos_token_id
+    return ids, np.ones((1, 8), np.int32)
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    return build_random_scorer(
+        seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG, dtype=jnp.float32,
+        tokenize=_tokenize, batch_frames=32, frame_buckets=(64, 128, 256))
+
+
+def _frames(T, seed=0, hw=48):
+    return np.random.default_rng(seed).integers(0, 256, size=(T, hw, hw, 3),
+                                                dtype=np.uint8)
+
+
+def test_chunked_encode_matches_single_batch(scorer):
+    frames = _frames(70)  # crosses the 32-frame chunk boundary, pads the tail
+    chunked = np.asarray(scorer.encode_frame_features(frames))
+    one = TSPOScorer(**{**scorer.__dict__, "batch_frames": 128})
+    whole = np.asarray(one.encode_frame_features(frames))
+    np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-4)
+
+
+def test_full_pipeline_topk(scorer):
+    frames = _frames(70)
+    idx, logits = scorer(frames, "what happens?", sample_num=16, method="topk")
+    assert logits.shape == (70,)
+    assert len(idx) == 16
+    assert list(idx) == sorted(idx)
+    expect = np.sort(np.argsort(-logits)[:16])
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_full_pipeline_binmax_and_aks(scorer):
+    frames = _frames(80, seed=1)
+    feats = scorer.extract_features(frames, "q")
+    for method in ("bin-max", "aks"):
+        idx, logits = scorer.temporal_sampling(*feats, method=method,
+                                               sample_num=16)
+        assert len(idx) <= 16 and len(idx) > 0
+        assert list(idx) == sorted(idx)
+        assert max(idx) < 80
+
+
+def test_small_video_returns_all(scorer):
+    frames = _frames(10, seed=2)
+    idx, _ = scorer(frames, "q", sample_num=64)
+    np.testing.assert_array_equal(idx, np.arange(10))
+
+
+def test_bucket_padding_invariance(scorer):
+    """Same video scored through different bucket sizes -> same logits."""
+    frames = _frames(60, seed=3)
+    feats = scorer.extract_features(frames, "q")
+    a = scorer.score(*feats)
+    wide = TSPOScorer(**{**scorer.__dict__, "frame_buckets": (256,)})
+    b = wide.score(*feats)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_save_load_round_trip(tmp_path, scorer):
+    frames = _frames(40, seed=4)
+    feats = scorer.extract_features(frames, "q")
+    before = scorer.score(*feats)
+    scorer.save(str(tmp_path / "ckpt"))
+    loaded = TSPOScorer.load(str(tmp_path / "ckpt"), clip_cfg=CLIP_CFG,
+                             selector_cfg=SEL_CFG, dtype=jnp.float32,
+                             tokenize=_tokenize, batch_frames=32,
+                             frame_buckets=(64, 128, 256))
+    feats2 = loaded.extract_features(frames, "q")
+    after = loaded.score(*feats2)
+    np.testing.assert_allclose(before, after, rtol=1e-4, atol=1e-4)
+
+
+def test_from_torch_merged(tmp_path):
+    """Reference merged-checkpoint layout (CLIP sd + selector.* keys) loads."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    t, v = CLIP_CFG.text, CLIP_CFG.vision
+    hf_cfg = transformers.CLIPConfig(
+        text_config=dict(vocab_size=t.vocab_size, hidden_size=t.width,
+                         intermediate_size=4 * t.width, num_hidden_layers=t.layers,
+                         num_attention_heads=t.heads,
+                         max_position_embeddings=t.max_positions,
+                         projection_dim=t.projection_dim, eos_token_id=t.eos_token_id,
+                         hidden_act="quick_gelu"),
+        vision_config=dict(hidden_size=v.width, intermediate_size=4 * v.width,
+                           num_hidden_layers=v.layers, num_attention_heads=v.heads,
+                           patch_size=v.patch_size, image_size=v.image_size,
+                           projection_dim=v.projection_dim, hidden_act="quick_gelu"),
+        projection_dim=t.projection_dim)
+    torch.manual_seed(1)
+    clip = transformers.CLIPModel(hf_cfg)
+    sd = {k: v_.detach() for k, v_ in clip.state_dict().items()}
+    d = SEL_CFG.dim
+    for name in ("temporal.Self_q", "temporal.Self_k", "temporal.Self_v",
+                 "temporal.ffn_o", "mlp.0", "mlp.2"):
+        sd[f"selector.{name}.weight"] = torch.randn(d, d) * 0.02
+        sd[f"selector.{name}.bias"] = torch.zeros(d)
+
+    scorer = TSPOScorer.from_torch_merged(sd, clip_cfg=CLIP_CFG,
+                                          selector_cfg=SEL_CFG, dtype=jnp.float32,
+                                          tokenize=_tokenize, batch_frames=32,
+                                          frame_buckets=(64,))
+    idx, logits = scorer(_frames(30, seed=5), "q", sample_num=8)
+    assert np.all(np.isfinite(logits))
+    assert len(idx) == 8

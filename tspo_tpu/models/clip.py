@@ -1,0 +1,303 @@
+"""CLIP-ViT-L/14 text + vision towers, rebuilt for TPU.
+
+Replaces the reference's HF ``CLIPModel`` usage (model/temporal_agent.py:146-169,
+tspo_trainer.py:349-362): ``get_image_features`` over every 1-fps candidate
+frame is the throughput wall of both training and precompute (SURVEY.md §3.3),
+so this implementation is built to keep the MXU saturated:
+
+  - transformer layers are weight-stacked and iterated with ``lax.scan`` —
+    one compiled block regardless of depth, fast compiles, clean pipelining;
+  - patch embedding is an unfolded matmul (not a conv) — one big MXU GEMM;
+  - image preprocessing (resize/center-crop/normalize) runs **on device** over
+    the whole frame batch, replacing the reference's per-frame PIL loop
+    (temporal_agent.py:156-164);
+  - bf16 params/activations with fp32 layernorm + attention softmax.
+
+Weight layout matches ``openai/clip-vit-large-patch14``; ``clip_params_from_torch``
+ports an HF checkpoint (or any state dict) directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+from ..utils.hf_port import state_dict_of, stack_layers
+
+# OpenAI CLIP normalization constants (HF CLIPProcessor defaults).
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+# ---------------------------------------------------------------------------
+# Core blocks
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _mha(x, lp, heads, mask=None):
+    """Standard multi-head attention; [B, S, W] -> [B, S, W].
+
+    ``mask`` is an additive fp32 bias [B, 1, S, S] (or broadcastable)."""
+    B, S, W = x.shape
+    hd = W // heads
+    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, heads, hd)
+    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, heads, hd)
+    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (1.0 / np.sqrt(hd))
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, W)
+    return ctx @ lp["o"]["kernel"] + lp["o"]["bias"]
+
+
+def _encoder(x, layers_params, heads, eps, mask=None):
+    """lax.scan over weight-stacked transformer layers (pre-LN, QuickGELU)."""
+
+    def block(h, lp):
+        r = h
+        h = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
+        h = r + _mha(h, lp["attn"], heads, mask)
+        r = h
+        h = _layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
+        h = _quick_gelu(h @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
+        h = h @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+        return r + h, None
+
+    out, _ = jax.lax.scan(block, x, layers_params)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Towers
+# ---------------------------------------------------------------------------
+
+def encode_images(params: Mapping, pixel_values: jnp.ndarray,
+                  cfg: CLIPVisionConfig = CLIPVisionConfig()) -> jnp.ndarray:
+    """[B, 3, H, W] preprocessed pixels -> [B, projection_dim] image features.
+
+    Patchify-as-GEMM: unfold into [B, grid^2, 3*P*P] and hit the MXU once.
+    """
+    vp = params["vision"]
+    B = pixel_values.shape[0]
+    P, g = cfg.patch_size, cfg.grid
+    x = pixel_values.reshape(B, 3, g, P, g, P)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * P * P)
+    x = x.astype(vp["patch_kernel"].dtype) @ vp["patch_kernel"]          # [B, g*g, W]
+
+    cls = jnp.broadcast_to(vp["class_embedding"], (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"]
+    x = _layer_norm(x, vp["pre_ln"]["scale"], vp["pre_ln"]["bias"], cfg.layer_norm_eps)
+    x = _encoder(x, vp["layers"], cfg.heads, cfg.layer_norm_eps)
+    pooled = x[:, 0]                                                      # class token
+    pooled = _layer_norm(pooled, vp["post_ln"]["scale"], vp["post_ln"]["bias"],
+                         cfg.layer_norm_eps)
+    return pooled @ vp["projection"]
+
+
+def encode_text(params: Mapping, input_ids: jnp.ndarray,
+                attention_mask: jnp.ndarray | None = None,
+                cfg: CLIPTextConfig = CLIPTextConfig()) -> jnp.ndarray:
+    """[B, L] token ids -> [B, projection_dim] text features.
+
+    Pooled at the first EOS position, matching HF ``CLIPTextModel`` pooling.
+    """
+    tp = params["text"]
+    B, L = input_ids.shape
+    x = tp["token_embedding"][input_ids] + tp["position_embedding"][:L]
+
+    causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)[None, None]
+    mask = causal
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -jnp.inf)
+        mask = causal + pad.astype(jnp.float32)
+
+    x = _encoder(x, tp["layers"], cfg.heads, cfg.layer_norm_eps, mask)
+    x = _layer_norm(x, tp["final_ln"]["scale"], tp["final_ln"]["bias"],
+                    cfg.layer_norm_eps)
+    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    pooled = x[jnp.arange(B), eos_pos]
+    return pooled @ tp["projection"]
+
+
+def cosine_scores(image_features: jnp.ndarray, text_features: jnp.ndarray,
+                  eps: float = 1e-8) -> jnp.ndarray:
+    """Per-frame CLIP score: cosine(text, frame) (ref temporal_agent.py:167).
+
+    image_features [T, P], text_features [1, P] or [P] -> [T] fp32.
+    torch CosineSimilarity clamps each norm to eps before dividing.
+    """
+    if text_features.ndim == 1:
+        text_features = text_features[None]
+    a = image_features.astype(jnp.float32)
+    b = text_features.astype(jnp.float32)
+    an = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+    bn = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    return jnp.sum(a * b, axis=-1) / (an * bn)
+
+
+# ---------------------------------------------------------------------------
+# On-device preprocessing
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("image_size", "dtype"))
+def preprocess_frames(frames: jnp.ndarray, image_size: int = 224,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[T, H, W, 3] uint8 frames -> [T, 3, S, S] normalized pixels, on device.
+
+    CLIPProcessor semantics (resize shortest edge -> center crop -> rescale ->
+    normalize) in one fused jit program over the whole batch; bicubic resize
+    like PIL (minor kernel differences are within score tolerance, see
+    tests/test_clip.py).
+    """
+    T, H, W, _ = frames.shape
+    x = frames.astype(jnp.float32) / 255.0
+    # HF get_resize_output_image_size floors the long edge: int(S * long/short).
+    if H < W:
+        nh, nw = image_size, max(int(W * image_size / H), image_size)
+    else:
+        nw, nh = image_size, max(int(H * image_size / W), image_size)
+    x = jax.image.resize(x, (T, nh, nw, 3), method="cubic")
+    top, left = (nh - image_size) // 2, (nw - image_size) // 2
+    x = x[:, top:top + image_size, left:left + image_size, :]
+    mean = jnp.asarray(CLIP_IMAGE_MEAN)
+    std = jnp.asarray(CLIP_IMAGE_STD)
+    x = (x - mean) / std
+    return x.transpose(0, 3, 1, 2).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight porting / init
+# ---------------------------------------------------------------------------
+
+def _lin(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _lin_stack(sd, n, fmt):
+    return {
+        "kernel": stack_layers(sd, n, fmt + ".weight").transpose(0, 2, 1),
+        "bias": stack_layers(sd, n, fmt + ".bias"),
+    }
+
+
+def _ln_stack(sd, n, fmt):
+    return {"scale": stack_layers(sd, n, fmt + ".weight"),
+            "bias": stack_layers(sd, n, fmt + ".bias")}
+
+
+def _encoder_params(sd, prefix, n_layers):
+    f = prefix + ".encoder.layers.{i}"
+    return {
+        "ln1": _ln_stack(sd, n_layers, f + ".layer_norm1"),
+        "ln2": _ln_stack(sd, n_layers, f + ".layer_norm2"),
+        "attn": {
+            "q": _lin_stack(sd, n_layers, f + ".self_attn.q_proj"),
+            "k": _lin_stack(sd, n_layers, f + ".self_attn.k_proj"),
+            "v": _lin_stack(sd, n_layers, f + ".self_attn.v_proj"),
+            "o": _lin_stack(sd, n_layers, f + ".self_attn.out_proj"),
+        },
+        "mlp": {
+            "fc1": _lin_stack(sd, n_layers, f + ".mlp.fc1"),
+            "fc2": _lin_stack(sd, n_layers, f + ".mlp.fc2"),
+        },
+    }
+
+
+def clip_params_from_torch(model_or_sd, cfg: CLIPConfig = CLIPConfig(),
+                           dtype=jnp.float32) -> dict:
+    """Port an HF ``CLIPModel`` checkpoint to our pytree layout.
+
+    Accepts a torch module or a state dict of tensors/ndarrays.  The vision
+    patch conv [W, 3, P, P] becomes a [3*P*P, W] GEMM kernel whose input
+    ordering matches the unfold in :func:`encode_images` (c, ph, pw).
+    """
+    sd = state_dict_of(model_or_sd)
+    t, v = cfg.text, cfg.vision
+
+    patch = sd["vision_model.embeddings.patch_embedding.weight"]  # [W, 3, P, P]
+    patch_kernel = patch.reshape(v.width, -1).T                   # [3*P*P, W]
+
+    params = {
+        "text": {
+            "token_embedding": sd["text_model.embeddings.token_embedding.weight"],
+            "position_embedding": sd["text_model.embeddings.position_embedding.weight"],
+            "layers": _encoder_params(sd, "text_model", t.layers),
+            "final_ln": {"scale": sd["text_model.final_layer_norm.weight"],
+                         "bias": sd["text_model.final_layer_norm.bias"]},
+            "projection": sd["text_projection.weight"].T,
+        },
+        "vision": {
+            "class_embedding": sd["vision_model.embeddings.class_embedding"],
+            "position_embedding": sd["vision_model.embeddings.position_embedding.weight"],
+            "patch_kernel": patch_kernel,
+            "pre_ln": {"scale": sd["vision_model.pre_layrnorm.weight"],
+                       "bias": sd["vision_model.pre_layrnorm.bias"]},
+            "layers": _encoder_params(sd, "vision_model", v.layers),
+            "post_ln": {"scale": sd["vision_model.post_layernorm.weight"],
+                        "bias": sd["vision_model.post_layernorm.bias"]},
+            "projection": sd["visual_projection.weight"].T,
+        },
+        "logit_scale": sd["logit_scale"],
+    }
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig = CLIPConfig(),
+                     dtype=jnp.float32) -> dict:
+    """Random init with HF-CLIP-like scales (for tests / de-novo training)."""
+    t, v = cfg.text, cfg.vision
+    keys = iter(jax.random.split(rng, 64))
+
+    def lin_stack(n, fi, fo):
+        return {
+            "kernel": jax.random.normal(next(keys), (n, fi, fo), dtype) * 0.02,
+            "bias": jnp.zeros((n, fo), dtype),
+        }
+
+    def ln_stack(n, w):
+        return {"scale": jnp.ones((n, w), dtype), "bias": jnp.zeros((n, w), dtype)}
+
+    def enc(n, w):
+        return {
+            "ln1": ln_stack(n, w), "ln2": ln_stack(n, w),
+            "attn": {x: lin_stack(n, w, w) for x in ("q", "k", "v", "o")},
+            "mlp": {"fc1": lin_stack(n, w, 4 * w), "fc2": lin_stack(n, 4 * w, w)},
+        }
+
+    return {
+        "text": {
+            "token_embedding": jax.random.normal(next(keys), (t.vocab_size, t.width), dtype) * 0.02,
+            "position_embedding": jax.random.normal(next(keys), (t.max_positions, t.width), dtype) * 0.01,
+            "layers": enc(t.layers, t.width),
+            "final_ln": {"scale": jnp.ones(t.width, dtype), "bias": jnp.zeros(t.width, dtype)},
+            "projection": jax.random.normal(next(keys), (t.width, t.projection_dim), dtype) * 0.02,
+        },
+        "vision": {
+            "class_embedding": jax.random.normal(next(keys), (v.width,), dtype) * 0.02,
+            "position_embedding": jax.random.normal(next(keys), (v.seq_len, v.width), dtype) * 0.01,
+            "patch_kernel": jax.random.normal(next(keys), (3 * v.patch_size ** 2, v.width), dtype) * 0.02,
+            "pre_ln": {"scale": jnp.ones(v.width, dtype), "bias": jnp.zeros(v.width, dtype)},
+            "layers": enc(v.layers, v.width),
+            "post_ln": {"scale": jnp.ones(v.width, dtype), "bias": jnp.zeros(v.width, dtype)},
+            "projection": jax.random.normal(next(keys), (v.width, v.projection_dim), dtype) * 0.02,
+        },
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, dtype),
+    }

@@ -1,0 +1,243 @@
+"""TSPO merged model: CLIP-L/14 towers + MultiModalAlign selector + selection.
+
+TPU counterpart of the reference ``TSPOModel(CLIPModel)``
+(model/temporal_agent.py:146-231) and the standalone TSPO-0.4B checkpoint
+produced by ``scripts/merge_weights.py``.  The scoring pipeline per video:
+
+  host frames [T, H, W, 3] u8
+    -> device preprocess (fused resize/crop/normalize, models/clip.py)
+    -> CLIP vision tower in fixed-size frame chunks (one compiled program,
+       reused across videos; last chunk padded)
+    -> CLIP text tower (question)
+    -> selector logits over a padded frame bucket
+    -> top-k / bin-max on device, AKS on host
+
+Chunked encoding + bucketed selector scoring mean exactly two compiled
+programs cover any video length — the reference re-traces nothing because
+torch is eager, while naive jit would recompile per video length
+(SURVEY.md §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLIPConfig, SelectorConfig
+from ..ops.masking import bucket_for, pad_to_bucket
+from ..ops.selection import aks_select, bin_max_select, topk_select
+from .clip import (
+    clip_params_from_torch,
+    cosine_scores,
+    encode_images,
+    encode_text,
+    preprocess_frames,
+)
+from .selector import (
+    init_selector_params,
+    score_frames,
+    selector_params_from_torch,
+    selector_params_to_torch,
+)
+
+
+@partial(jax.jit, static_argnames=("vision_cfg", "dtype"))
+def _encode_chunk(clip_params, frames_u8, vision_cfg, dtype):
+    pixels = preprocess_frames(frames_u8, vision_cfg.image_size, dtype)
+    return encode_images(clip_params, pixels, vision_cfg)
+
+
+@partial(jax.jit, static_argnames=("selector_cfg", "window_size"))
+def _score_bucket(selector_params, image_feat, text_feat, clip_sc, valid,
+                  selector_cfg, window_size, score_tau):
+    logits, _ = score_frames(selector_params, image_feat, text_feat, clip_sc,
+                             cfg=selector_cfg, window_size=window_size,
+                             score_tau=score_tau, valid=valid)
+    return logits
+
+
+@dataclass
+class TSPOScorer:
+    """Host-side orchestrator around the jitted scoring pipeline.
+
+    ``tokenize``: callable str -> (input_ids [1, L], attention_mask [1, L]);
+    supply one bound to a local CLIP tokenizer for real checkpoints, tests use
+    a stub.  ``batch_frames`` is the CLIP chunk size (device batch).
+    """
+
+    clip_params: dict
+    selector_params: dict
+    clip_cfg: CLIPConfig = CLIPConfig()
+    selector_cfg: SelectorConfig = SelectorConfig()
+    tokenize: Callable | None = None
+    batch_frames: int = 256
+    dtype: object = jnp.bfloat16
+    frame_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+    # -- feature extraction -------------------------------------------------
+
+    def encode_text_features(self, problem: str | np.ndarray) -> jnp.ndarray:
+        if isinstance(problem, str):
+            if self.tokenize is None:
+                raise ValueError("TSPOScorer needs a tokenize fn for raw text")
+            ids, mask = self.tokenize(problem)
+        else:
+            ids, mask = problem, None
+        ids = jnp.asarray(ids)
+        if ids.ndim == 1:
+            ids = ids[None]
+        return encode_text(self.clip_params, ids,
+                           None if mask is None else jnp.asarray(mask),
+                           self.clip_cfg.text)
+
+    def encode_frame_features(self, frames: np.ndarray) -> jnp.ndarray:
+        """[T, H, W, 3] uint8 -> [T, proj] image features (chunked)."""
+        T = frames.shape[0]
+        B = self.batch_frames
+        outs = []
+        for start in range(0, T, B):
+            chunk = frames[start:start + B]
+            n = chunk.shape[0]
+            if n < B:  # pad the tail chunk so the jitted program is reused
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - n, *chunk.shape[1:]), chunk.dtype)])
+            feats = _encode_chunk(self.clip_params, jnp.asarray(chunk),
+                                  self.clip_cfg.vision, self.dtype)
+            outs.append(feats[:n])
+        return jnp.concatenate(outs, axis=0)
+
+    def extract_features(self, frames: np.ndarray, problem):
+        """Mirror of reference ``TSPOModel.extract_feature``
+        (temporal_agent.py:151-169): returns (image_feat [T, P],
+        text_feat [1, P], clip_scores [T])."""
+        image_feat = self.encode_frame_features(frames)
+        text_feat = self.encode_text_features(problem)
+        clip_sc = cosine_scores(image_feat, text_feat)
+        return image_feat, text_feat, clip_sc
+
+    # -- scoring + selection ------------------------------------------------
+
+    def score(self, image_feat, text_feat, clip_sc, *, window_size=None,
+              score_tau=None) -> np.ndarray:
+        """Selector logits for the true length T (bucket-padded internally)."""
+        T = int(image_feat.shape[0])
+        bucket = bucket_for(T, self.frame_buckets)
+        feat_p, valid = pad_to_bucket(np.asarray(image_feat, np.float32), bucket)
+        sc_p, _ = pad_to_bucket(np.asarray(clip_sc, np.float32), bucket)
+        ws = self.selector_cfg.window_size if window_size is None else window_size
+        tau = self.selector_cfg.score_tau if score_tau is None else score_tau
+        logits = _score_bucket(self.selector_params, jnp.asarray(feat_p),
+                               jnp.asarray(text_feat), jnp.asarray(sc_p),
+                               jnp.asarray(valid), self.selector_cfg, ws,
+                               jnp.float32(tau))
+        return np.asarray(logits)[:T]
+
+    def select(self, logits: np.ndarray, sample_num: int,
+               method: str = "topk") -> np.ndarray:
+        """Dispatch matching reference ``inference_ts`` (llava_qwen.py:146-176).
+
+        Small-video degenerate cases resolve host-side: topk with
+        T <= k selects everything; bin-max with T <= k yields one bin per
+        frame, i.e. also everything.
+        """
+        T = len(logits)
+        if T <= sample_num:
+            return np.arange(T)
+        if method == "topk":
+            idx, count = topk_select(jnp.asarray(logits), sample_num)
+            return np.asarray(idx)[: int(count)]
+        if method == "bin-max":
+            idx, count = bin_max_select(jnp.asarray(logits), sample_num)
+            return np.asarray(idx)[: int(count)]
+        if method == "aks":
+            return np.asarray(aks_select(np.asarray(logits), sample_num))
+        raise ValueError(f"unknown selection method: {method}")
+
+    def temporal_sampling(self, image_feat, text_feat, clip_sc, *,
+                          method="topk", window_size=None, sample_num=64):
+        logits = self.score(image_feat, text_feat, clip_sc,
+                            window_size=window_size)
+        return self.select(logits, sample_num, method), logits
+
+    def __call__(self, frames: np.ndarray, problem, *, sample_num=64,
+                 window_size=12, method="topk"):
+        """Full reference ``TSPOModel.forward`` (temporal_agent.py:177-184)."""
+        image_feat, text_feat, clip_sc = self.extract_features(frames, problem)
+        return self.temporal_sampling(image_feat, text_feat, clip_sc,
+                                      method=method, window_size=window_size,
+                                      sample_num=sample_num)
+
+    # -- checkpoint interop -------------------------------------------------
+
+    def save(self, directory: str):
+        """Save merged checkpoint: one npz of flattened params + config json."""
+        os.makedirs(directory, exist_ok=True)
+        flat = {}
+        for tree, name in ((self.clip_params, "clip"), (self.selector_params, "selector")):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in leaves:
+                key = name + "/" + "/".join(str(getattr(p, "key", p)) for p in path)
+                flat[key] = np.asarray(leaf, np.float32)
+        np.savez(os.path.join(directory, "tspo_params.npz"), **flat)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump({"format": "tspo_tpu-merged-v1",
+                       "selector": {"dim": self.selector_cfg.dim,
+                                    "num_heads": self.selector_cfg.num_heads}}, f)
+
+    @classmethod
+    def load(cls, directory: str, clip_cfg=CLIPConfig(),
+             selector_cfg=SelectorConfig(), dtype=jnp.bfloat16, **kw):
+        data = np.load(os.path.join(directory, "tspo_params.npz"))
+
+        def unflatten(prefix):
+            out = {}
+            for key in data.files:
+                if not key.startswith(prefix + "/"):
+                    continue
+                parts = key[len(prefix) + 1:].split("/")
+                d = out
+                for p in parts[:-1]:
+                    d = d.setdefault(p, {})
+                d[parts[-1]] = jnp.asarray(data[key], dtype)
+            return out
+
+        return cls(clip_params=unflatten("clip"), selector_params=unflatten("selector"),
+                   clip_cfg=clip_cfg, selector_cfg=selector_cfg, dtype=dtype, **kw)
+
+    @classmethod
+    def from_torch_merged(cls, model_or_sd, clip_cfg=CLIPConfig(),
+                          selector_cfg=SelectorConfig(), dtype=jnp.bfloat16, **kw):
+        """Load a reference merged TSPO-0.4B checkpoint: an HF CLIPModel state
+        dict plus ``selector.*`` keys (scripts/merge_weights.py:31-58)."""
+        from ..utils.hf_port import state_dict_of
+        sd = state_dict_of(model_or_sd)
+        sel_sd = {k[len("selector."):]: v for k, v in sd.items()
+                  if k.startswith("selector.")}
+        clip_sd = {k: v for k, v in sd.items() if not k.startswith("selector.")}
+        return cls(
+            clip_params=clip_params_from_torch(clip_sd, clip_cfg, dtype),
+            selector_params=selector_params_from_torch(sel_sd, jnp.float32),
+            clip_cfg=clip_cfg, selector_cfg=selector_cfg, dtype=dtype, **kw)
+
+    def selector_state_dict_torch(self) -> dict:
+        """Export the selector in torch MultiModal_Align key layout."""
+        return selector_params_to_torch(self.selector_params)
+
+
+def build_random_scorer(seed: int = 0, clip_cfg=CLIPConfig(),
+                        selector_cfg=SelectorConfig(), dtype=jnp.float32,
+                        **kw) -> TSPOScorer:
+    """Random-weight scorer (tests, benchmarks)."""
+    from .clip import init_clip_params
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return TSPOScorer(
+        clip_params=init_clip_params(k1, clip_cfg, dtype),
+        selector_params=init_selector_params(k2, selector_cfg),
+        clip_cfg=clip_cfg, selector_cfg=selector_cfg, dtype=dtype, **kw)

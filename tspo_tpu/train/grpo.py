@@ -1,0 +1,148 @@
+"""GRPO-style policy-gradient training of the selector head.
+
+The reference algorithm (tspo_trainer.py:434-640, see SURVEY.md §3.1): per
+sample, draw G Gumbel-top-k frame subsets, let the frozen backbone answer once
+per subset, convert answers to rewards, group-normalize into advantages, and
+apply the REINFORCE surrogate ``-mean(exp(lp - sg(lp))) * adv`` to the
+selector's noise-free log-probs at the selected indices.  Only the ~3.5M-param
+selector trains; everything else is frozen.
+
+This module holds the *device-side* pure functions: the per-batch loss and the
+jittable update step.  They are backbone-agnostic — rewards arrive as arrays,
+produced either by the real MLLM rollout (train/trainer.py) or by test stubs.
+Data parallelism = shard the batch axis over the mesh 'data' axis; XLA derives
+the gradient all-reduce from the replicated-params output sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import SelectorConfig, TrainConfig
+from ..models.selector import score_frames
+from ..ops.selection import gumbel_topk
+
+
+class TrainBatch(NamedTuple):
+    """One device batch of training samples (padded frame buckets).
+
+    frame_feat:  [B, T, D]  CLIP image features
+    text_feat:   [B, 1, D]  CLIP text features
+    clip_scores: [B, T]
+    valid:       [B, T]     bool frame-validity mask
+    """
+
+    frame_feat: jnp.ndarray
+    text_feat: jnp.ndarray
+    clip_scores: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class SampledSubsets(NamedTuple):
+    """G sampled frame subsets per batch element: indices [B, G, K]."""
+
+    indices: jnp.ndarray
+
+
+def anneal_tau(step, max_steps, tau0: float, tau_final: float):
+    """Linear temperature anneal (tspo_trainer.py:496)."""
+    frac = jnp.asarray(step, jnp.float32) / jnp.maximum(max_steps, 1)
+    return tau0 - (tau0 - tau_final) * frac
+
+
+@partial(jax.jit, static_argnames=("sel_cfg", "num_generations", "sample_len",
+                                   "window_size"))
+def sample_subsets(params, batch: TrainBatch, rng, tau, *,
+                   sel_cfg: SelectorConfig, num_generations: int,
+                   sample_len: int, window_size: int) -> SampledSubsets:
+    """Rollout phase: per sample, G stochastic Gumbel-top-k frame subsets.
+
+    Mirrors the no-grad G-loop of the reference (tspo_trainer.py:508-537) but
+    vmapped over batch and generations on device.
+    """
+    B = batch.frame_feat.shape[0]
+
+    def per_sample(feat, text, csc, valid, key):
+        logits, _ = score_frames(params, feat, text, csc, cfg=sel_cfg,
+                                 window_size=window_size, score_tau=tau,
+                                 valid=valid)
+        keys = jax.random.split(key, num_generations)
+
+        def per_gen(k):
+            idx, _, _ = gumbel_topk(k, logits, sample_len, valid)
+            return idx
+
+        return jax.vmap(per_gen)(keys)                       # [G, K]
+
+    keys = jax.random.split(rng, B)
+    idx = jax.vmap(per_sample)(batch.frame_feat, batch.text_feat,
+                               batch.clip_scores, batch.valid, keys)
+    return SampledSubsets(indices=idx)
+
+
+def grpo_surrogate_loss(params, batch: TrainBatch, subsets: SampledSubsets,
+                        rewards: jnp.ndarray, tau, *, sel_cfg: SelectorConfig,
+                        window_size: int, adv_eps: float = 1e-4):
+    """REINFORCE surrogate with group-normalized advantages.
+
+    rewards: [B, G].  Loss per generation: -mean_K(exp(lp - sg(lp))) * adv
+    (tspo_trainer.py:586-607); value of exp(...) is 1, its gradient is
+    d(lp)/dθ — plain REINFORCE with a group baseline.
+    """
+
+    def per_sample(feat, text, csc, valid, idx_g, rew_g):
+        logits, _ = score_frames(params, feat, text, csc, cfg=sel_cfg,
+                                 window_size=window_size, score_tau=tau,
+                                 valid=valid)
+        neg = jnp.asarray(-1e30, logits.dtype)
+        lp = jax.nn.log_softmax(jnp.where(valid, logits, neg))
+
+        mean = jnp.mean(rew_g)
+        std = jnp.std(rew_g, ddof=1)                       # torch .std default
+        adv = (rew_g - mean) / (std + adv_eps)             # [G]
+
+        lps = lp[idx_g]                                    # [G, K]
+        ratio = jnp.exp(lps - jax.lax.stop_gradient(lps)).mean(axis=-1)
+        return -(ratio * adv).mean()
+
+    losses = jax.vmap(per_sample)(batch.frame_feat, batch.text_feat,
+                                  batch.clip_scores, batch.valid,
+                                  subsets.indices, rewards)
+    return losses.mean()
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, weight_decay=0.0)
+
+
+@partial(jax.jit, static_argnames=("sel_cfg", "train_cfg", "optimizer",
+                                   "window_size"), donate_argnames=("params", "opt_state"))
+def selector_update_step(params, opt_state, batch: TrainBatch,
+                         subsets: SampledSubsets, rewards, tau, *,
+                         sel_cfg: SelectorConfig, train_cfg: TrainConfig,
+                         optimizer, window_size: int):
+    """One optimizer step over a (possibly data-sharded) batch.
+
+    Returns (params, opt_state, metrics).  Under jit with ``batch`` sharded on
+    the mesh 'data' axis and params replicated, the gradient mean over B is an
+    XLA all-reduce over ICI — the TPU equivalent of the reference's
+    DeepSpeed/NCCL backward (SURVEY.md §2.5).
+    """
+    loss, grads = jax.value_and_grad(grpo_surrogate_loss)(
+        params, batch, subsets, rewards, tau, sel_cfg=sel_cfg,
+        window_size=window_size, adv_eps=train_cfg.adv_eps)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    gnorm = optax.global_norm(grads)
+    metrics = {
+        "loss": loss,
+        "grad_norm": gnorm,
+        "reward_mean": rewards.mean(),
+        "reward_std": rewards.std(),
+    }
+    return params, opt_state, metrics
