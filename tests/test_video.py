@@ -1,0 +1,178 @@
+"""Video ingest tests: native decoder vs cv2 parity, load_video semantics,
+feature cache, needle-in-haystack augmentation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tspo_tpu.video import load_video, load_video_indices, video_info
+from tspo_tpu.video import native
+from tspo_tpu.video.cache import FeatureCache
+from tspo_tpu.video.augment import (
+    gen_wrong_video,
+    repeat_videos,
+    resize_short,
+    resize_video,
+    shuffle_clips,
+    shuffle_clips_1fps,
+    shuffle_fixed_clips,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    """300-frame 25fps video; frame i is constant value min(i, 255)."""
+    path = str(tmp_path_factory.mktemp("vid") / "seq.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 48))
+    for i in range(300):
+        w.write(np.full((48, 64, 3), min(i, 255), np.uint8))
+    w.release()
+    return path
+
+
+def test_video_info(video_path):
+    n, fps, w, h = video_info(video_path)
+    assert n == 300 and abs(fps - 25.0) < 0.1 and (w, h) == (64, 48)
+
+
+def test_native_matches_cv2_gather(video_path):
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    idx = np.array([0, 3, 25, 60, 120, 250, 299])
+    a = native.gather(video_path, idx)
+
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    i = 0
+    want = set(idx.tolist())
+    ref = {}
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if i in want:
+            ref[i] = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    b = np.stack([ref[int(j)] for j in idx])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_seek_path(video_path):
+    """Sparse gather (gap > 150 triggers keyframe seek) stays frame-accurate
+    within codec tolerance."""
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    idx = np.array([0, 299])
+    frames = native.gather(video_path, idx)
+    assert abs(float(frames[0].mean()) - 0) < 4
+    assert abs(float(frames[1].mean()) - 255) < 8
+
+
+def test_load_video_stride(video_path):
+    # 25fps, 300 frames -> 1-fps stride 25 -> 12 candidates < min 50
+    # -> uniform resample to max_frames_num.
+    frames, time_str, video_time = load_video(video_path, max_frames_num=64,
+                                              fps=1, min_frames_num=5)
+    # with min_frames_num=5, 12 candidates survive without resample
+    assert frames.shape == (12, 48, 64, 3)
+    assert abs(video_time - 12.0) < 0.1
+    # frame values increase ~25 per step
+    means = frames.reshape(12, -1).mean(1)
+    assert np.all(np.diff(means)[:-1] > 10)  # last step clips at 255
+
+
+def test_load_video_uniform_fallback(video_path):
+    # default min_frames_num=50 > 12 candidates -> linspace resample to 64
+    frames, _, _ = load_video(video_path, max_frames_num=64, fps=1)
+    assert frames.shape == (64, 48, 64, 3)
+
+
+def test_load_video_failure_degrades_to_zeros(tmp_path):
+    frames, ts, vt = load_video(str(tmp_path / "missing.mp4"), max_frames_num=16)
+    assert frames.shape == (16, 336, 336, 3)
+    assert frames.sum() == 0 and ts is None and vt is None
+
+
+def test_load_video_indices_order(video_path):
+    # unsorted + repeated indices come back in caller order
+    idx = [50, 0, 50, 120]
+    frames = load_video_indices(video_path, idx)
+    means = frames.reshape(4, -1).mean(1)
+    assert means[0] == means[2]
+    assert means[1] < means[0] < means[3]
+
+
+def test_feature_cache_round_trip(tmp_path):
+    cache = FeatureCache(str(tmp_path))
+    assert not cache.has("bench", 3)
+    cache.save("bench", 3, image_features=np.ones((5, 8)),
+               text_features=np.zeros((1, 8)), clip_scores=np.arange(5.0),
+               sampled_idx=[1, 2, 3])
+    assert cache.has("bench", 3)
+    out = cache.load("bench", 3)
+    np.testing.assert_array_equal(out["clip_scores"], np.arange(5.0))
+    np.testing.assert_array_equal(out["sampled_idx"], [1, 2, 3])
+
+
+def test_feature_cache_reads_reference_pth(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = str(tmp_path / "0.pth")
+    torch.save({"image": torch.ones(4, 8), "text": torch.zeros(1, 8),
+                "clip_scores": torch.arange(4.0), "sampled_idx": [0, 2]}, p)
+    out = FeatureCache(str(tmp_path)).load_torch_pth(p)
+    assert out["image_features"].shape == (4, 8)
+    np.testing.assert_array_equal(out["clip_scores"], np.arange(4.0))
+
+
+def test_repeat_videos():
+    video = np.arange(100)[:, None, None, None] * np.ones((1, 4, 4, 3))
+    rng = np.random.default_rng(0)
+    clips = repeat_videos(video, repeat_times=3, sample_len=20, rng=rng)
+    assert len(clips) == 3
+    for c in clips:
+        assert c.shape == (20, 4, 4, 3)
+        vals = c[:, 0, 0, 0]
+        assert np.all(np.diff(vals) > 0)  # sorted subsample
+    short = repeat_videos(video[:10], repeat_times=2, sample_len=20, rng=rng)
+    assert all(s.shape[0] == 10 for s in short)
+
+
+def test_shuffle_clips_mask_consistency():
+    rng = np.random.default_rng(1)
+    true_clips = [np.full((5, 4, 4, 3), 200, np.uint8) for _ in range(2)]
+    wrong_clips = [np.full((5, 4, 4, 3), 10, np.uint8) for _ in range(3)]
+    video, mask = shuffle_clips(true_clips, wrong_clips, rng=rng)
+    assert video.shape == (25, 4, 4, 3) and mask.shape == (25,)
+    assert mask.sum() == 10
+    assert np.all(video[mask] == 200) and np.all(video[~mask] == 10)
+
+
+def test_shuffle_fixed_clips_layout():
+    true_clips = [np.full((4, 2, 2, 3), 9, np.uint8)]
+    wrong_clips = [np.full((4, 2, 2, 3), 1, np.uint8) for _ in range(4)]
+    video, mask = shuffle_fixed_clips(true_clips, wrong_clips)
+    # half distractors, true block, remaining distractors
+    np.testing.assert_array_equal(np.where(mask)[0], np.arange(8, 12))
+
+
+def test_shuffle_clips_1fps_variable_lengths():
+    rng = np.random.default_rng(2)
+    true_clips = [np.full((3, 2, 2, 3), 50, np.uint8),
+                  np.full((7, 2, 2, 3), 60, np.uint8)]
+    wrong_clips = [np.full((5, 2, 2, 3), 2, np.uint8)]
+    video, mask = shuffle_clips_1fps(true_clips, wrong_clips, rng=rng)
+    assert video.shape[0] == 15
+    assert mask.sum() == 10
+    assert np.all(video[~mask] == 2)
+
+
+def test_gen_wrong_and_resize():
+    noise = gen_wrong_video(2, (5, 8, 8, 3), np.random.default_rng(0))
+    assert noise.shape == (10, 8, 8, 3)
+    video = np.random.default_rng(1).integers(0, 255, (3, 24, 36, 3), np.uint8)
+    assert resize_video(video, 48, 64).shape == (3, 48, 64, 3)
+    assert resize_short(video, 12).shape == (3, 12, 18, 3)
