@@ -1,0 +1,268 @@
+"""Evaluation pipeline tests: TSV datasets, phase-1 precompute with cache +
+resume, frameIdx merge, phase-2 harness with a stub backbone, aggregators."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tspo_tpu.configs import CLIPConfig, PrecomputeConfig, SelectorConfig
+from tspo_tpu.eval.datasets import (VideoQuestionDataset, merge_frame_indices,
+                                    load_json, dump_json)
+from tspo_tpu.eval.harness import evaluate_task, merge_shards
+from tspo_tpu.eval.precompute import FrameIndexPrecompute, select_method_for
+from tspo_tpu.eval.tasks import (aggregate_mlvu_dev, aggregate_videomme,
+                                 extract_answer_letter,
+                                 parse_multi_choice_response, get_task)
+from tspo_tpu.models.tspo_model import build_random_scorer
+from tspo_tpu.video.cache import FeatureCache
+
+cv2 = pytest.importorskip("cv2")
+
+CLIP_CFG = CLIPConfig.tiny()
+SEL_CFG = SelectorConfig(dim=CLIP_CFG.text.projection_dim, num_heads=4)
+
+
+def _tokenize(problem: str):
+    ids = np.full((1, 8), 3, np.int32)
+    ids[0, -1] = CLIP_CFG.text.eos_token_id
+    return ids, np.ones((1, 8), np.int32)
+
+
+def _write_video(path, n_frames=120, fps=5.0, wh=(64, 48)):
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, wh)
+    for i in range(n_frames):
+        w.write(np.full((wh[1], wh[0], 3), min(2 * i, 255), np.uint8))
+    w.release()
+
+
+@pytest.fixture(scope="module")
+def bench_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bench")
+    (root / "videos").mkdir()
+    rows = []
+    for i in range(3):
+        _write_video(root / "videos" / f"v{i}.mp4", n_frames=100 + 40 * i)
+        rows.append(dict(index=str(i), task_name="TinyBench",
+                         video_name=f"v{i}.mp4", question_id=f"q{i}",
+                         question=f"What is shown {i}?",
+                         answer_number="0",
+                         candidates="['red', 'green', 'blue']", answer="A"))
+    tsv = root / "TinyBench.tsv"
+    with open(tsv, "w") as f:
+        cols = list(rows[0])
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(r[c] for c in cols) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    return build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                               dtype=jnp.float32, tokenize=_tokenize,
+                               batch_frames=32, frame_buckets=(64, 128, 256))
+
+
+def test_dataset_prompt_format(bench_dir):
+    ds = VideoQuestionDataset.from_tsv("TinyBench", str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    structs = list(ds.iter_structs())
+    assert len(structs) == 3
+    p = structs[0]["prompt"]
+    assert p.startswith("Question: What is shown 0?\nOptions:\n(A):red (B):green")
+    assert structs[0]["problem"] == "What is shown 0?"
+    assert os.path.exists(structs[0]["video_path"])
+
+
+def test_select_method_dispatch():
+    cfg = PrecomputeConfig()
+    assert select_method_for("LongVideoBench", cfg) == "topk"
+    assert select_method_for("VideoMME", cfg) == "bin-max"
+
+
+@pytest.fixture(scope="module")
+def precompute_run(bench_dir, scorer, tmp_path_factory):
+    work = tmp_path_factory.mktemp("work")
+    ds = VideoQuestionDataset.from_tsv("TinyBench", str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    pre = FrameIndexPrecompute(
+        scorer, FeatureCache(str(work / "cache")),
+        PrecomputeConfig(sample_num=8, checkpoint_every=2, max_frames=512),
+        work_dir=str(work), name="TEST")
+    results = pre.run(ds)
+    return pre, ds, results, work
+
+
+def test_precompute_results(precompute_run):
+    pre, ds, results, _ = precompute_run
+    assert set(results) == {"q0", "q1", "q2"}
+    for qid, ids in results.items():
+        assert len(ids) == 8
+        assert all(isinstance(x, float) for x in ids)
+        assert ids == sorted(ids)
+    # supp.pkl checkpoint written and loadable
+    assert pre.load_results("TinyBench") == results
+
+
+def test_precompute_cache_and_resume(precompute_run):
+    pre, ds, results, work = precompute_run
+    # all questions cached
+    for i in range(3):
+        assert pre.cache.has("TinyBench", str(i))
+    # rerun with resume: returns same results without touching the scorer
+    class Boom:
+        def __getattr__(self, k):
+            raise AssertionError("scorer must not be called on resume")
+    pre2 = FrameIndexPrecompute(Boom(), pre.cache, pre.cfg,
+                                work_dir=pre.work_dir, name="TEST")
+    again = pre2.run(ds)
+    assert again == results
+
+
+def test_precompute_sharding(bench_dir, scorer, tmp_path):
+    ds = VideoQuestionDataset.from_tsv("TinyBench", str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    cfg = PrecomputeConfig(sample_num=8, max_frames=512)
+    shard_results = {}
+    for rank in range(2):
+        pre = FrameIndexPrecompute(scorer, FeatureCache(str(tmp_path / "c")),
+                                   cfg, work_dir=str(tmp_path / f"w{rank}"),
+                                   name="T")
+        shard_results.update(pre.run(ds, shard=(rank, 2)))
+    assert set(shard_results) == {"q0", "q1", "q2"}
+
+
+def test_merge_frame_indices_schema(precompute_run):
+    pre, ds, results, work = precompute_run
+    anno = [{"question_id": f"q{i}", "question": f"What is shown {i}?",
+             "answer": "A"} for i in range(3)] + [{"question_id": "missing"}]
+    out_path = str(work / "jsons_idx" / "TEST_frameIdx.json")
+    merged = pre.emit_frame_idx_json("TinyBench", anno, out_path)
+    assert os.path.exists(out_path)
+    reloaded = load_json(out_path)
+    assert reloaded == merged
+    assert merged[0]["frame_idx"] == results["q0"]
+    assert "frame_idx" not in merged[3]  # missing entries pass through
+
+
+def test_reference_frameidx_schema_compatibility():
+    """Our merge reproduces the reference golden artifact byte-for-byte when
+    fed the reference's own annotations + scores (LongVideoBench sample)."""
+    ref = "/root/reference/evaluation"
+    if not os.path.exists(f"{ref}/jsons_idx/TSPO_LongVideoBench_frameIdx.json"):
+        pytest.skip("reference artifacts not mounted")
+    golden = load_json(f"{ref}/jsons_idx/TSPO_LongVideoBench_frameIdx.json")[:20]
+    anno = load_json(f"{ref}/jsons/lvb_val.json")[:20]
+    scores = {g["id"]: g["frame_idx"] for g in golden}
+    merged = merge_frame_indices(anno, scores, "LongVideoBench")
+    assert merged == golden
+
+
+# ---------------- phase 2 ----------------
+
+class StubBackbone:
+    """Deterministic fake MLLM: answers 'A' when mean pixel < 128 else 'B'."""
+
+    def __init__(self):
+        self.calls = []
+
+    def generate(self, frames, prompt):
+        self.calls.append((frames.shape, prompt))
+        return "A" if frames.mean() < 128 else "The answer is B."
+
+
+def test_harness_with_frame_idx(precompute_run):
+    pre, ds, results, _ = precompute_run
+    docs = [{"question_id": f"q{i}", "question": f"What is shown {i}?",
+             "options": ["A. red", "B. green"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": f"v{i}.mp4",
+             "frame_idx": results[f"q{i}"]} for i in range(3)]
+    backbone = StubBackbone()
+    res = evaluate_task("VideoMME", docs, backbone,
+                        video_root=str(ds.video_root), max_frames_num=8,
+                        on_error="raise")
+    assert len(res.results) == 3
+    assert backbone.calls[0][0] == (8, 48, 64, 3)
+    assert "overall" in res.metrics and "short" in res.metrics
+    assert res.samples[0]["frame_idx"] == sorted(int(i) for i in results["q0"][:8])
+
+
+def test_harness_uniform_baseline(precompute_run):
+    pre, ds, results, _ = precompute_run
+    docs = [{"question_id": "q0", "question": "?", "options": [], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": "v0.mp4"}]
+    res = evaluate_task("VideoMME", docs, StubBackbone(),
+                        video_root=str(ds.video_root), max_frames_num=8,
+                        is_uniform=True, on_error="raise")
+    assert len(res.results) == 1
+
+
+def test_harness_shard_merge(precompute_run):
+    pre, ds, results, _ = precompute_run
+    docs = [{"question_id": f"q{i}", "question": "?", "options": [],
+             "answer": "A", "duration": "short", "domain": "d",
+             "sub_category": "s", "task_type": "t", "videoID": f"v{i}.mp4",
+             "frame_idx": results[f"q{i}"]} for i in range(3)]
+    shards = [evaluate_task("VideoMME", docs, StubBackbone(),
+                            video_root=str(ds.video_root), max_frames_num=8,
+                            shard=(r, 2), on_error="raise") for r in range(2)]
+    merged = merge_shards("VideoMME", shards)
+    assert len(merged.results) == 3
+
+
+def test_harness_error_resilience(tmp_path):
+    docs = [{"question_id": "q0", "question": "?", "options": [], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": "nope.mp4"}]
+    res = evaluate_task("VideoMME", docs, StubBackbone(), video_root=str(tmp_path),
+                        max_frames_num=4)
+    assert len(res.results) == 1
+    assert res.samples[0]["response"].startswith("[error:")
+
+
+# ---------------- parsing + aggregation ----------------
+
+def test_extract_answer_letter():
+    assert extract_answer_letter("The best answer is C.") == "C"
+    assert extract_answer_letter("(B) green") == "B"
+    assert extract_answer_letter("I think the scene shows a long story about "
+                                 "something with many words and no letter"
+                                 " at all really truly nothing") == ""
+    assert extract_answer_letter("b") == ""  # uppercase only, as reference
+
+
+def test_parse_multi_choice_random_fallback():
+    import random
+    rng = random.Random(0)
+    out = parse_multi_choice_response("no idea x y z w q r s t u v longer than ten words here",
+                                      ["A", "B", "C"], rng)
+    assert out in {"A", "B", "C"}
+    assert parse_multi_choice_response("D. A book", list("ABCD")) == "D"
+
+
+def test_mlvu_aggregate():
+    results = ([{"task_type": "count", "pred_answer": "A", "answer": "A"}] * 3 +
+               [{"task_type": "order", "pred_answer": "B", "answer": "A"}])
+    out = aggregate_mlvu_dev(results)
+    assert out["count"] == 100.0
+    assert out["order"] == 0.0
+    assert out["overall"] == 75.0
+
+
+def test_videomme_aggregate():
+    results = [
+        {"duration": "short", "category": "c1", "pred_answer": "A", "answer": "A"},
+        {"duration": "long", "category": "c1", "pred_answer": "B", "answer": "A"},
+        {"duration": "long", "category": "c2", "pred_answer": "A", "answer": "A"},
+    ]
+    out = aggregate_videomme(results)
+    assert out["short"] == 100.0
+    assert out["long"] == 50.0
+    assert out["overall"] == pytest.approx(200 / 3)
+    assert out["categories"]["c1"] == 50.0

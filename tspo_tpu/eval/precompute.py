@@ -1,0 +1,194 @@
+"""Phase-1 evaluation: frame-index precompute.
+
+TPU rebuild of the mp_tools pipeline (SURVEY.md §3.3): per question, decode all
+1-fps candidate frames (<= max_frames), extract CLIP features once (cached),
+run the selector, emit *absolute* frame indices.  Results checkpoint
+incrementally to ``<work_dir>/<name>_<dataset>_supp.pkl`` so reruns
+skip-and-continue (run_hzf.py:88-102,148-173), and merge into
+``*_frameIdx.json`` (change_score_tch.py).
+
+Where the reference shards questions across GPUs with one process per device
+(run_hzf.py:107-142), a TPU chip is fed by a single host process with a
+decode prefetch thread; multi-chip scale-out shards the question list across
+hosts/chips via ``shard`` (the per-rank slice used by jax.process_index()).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+
+import numpy as np
+
+from ..configs import PrecomputeConfig
+from ..models.tspo_model import TSPOScorer
+from ..video.cache import FeatureCache
+from ..video.reader import load_video, sample_indices, video_info
+from .datasets import VideoQuestionDataset, merge_frame_indices
+
+
+def select_method_for(dataset: str, cfg: PrecomputeConfig) -> str:
+    """topk everywhere except VideoMME -> bin-max (gen_id_tspo.py:83)."""
+    return "bin-max" if dataset == "VideoMME" else cfg.method
+
+
+def candidate_schedule(video_path: str, max_frames: int):
+    """Absolute frame indices of the 1-fps candidates (gen_id_tspo load_video:
+    min_frames_num is NOT applied in the precompute variant)."""
+    total, fps, _, _ = video_info(video_path)
+    idx, _ = sample_indices(total, fps or 30.0, fps=1, max_frames_num=max_frames,
+                            min_frames_num=0, force_sample=False)
+    return np.asarray(idx, np.int64)
+
+
+class FrameIndexPrecompute:
+    def __init__(self, scorer: TSPOScorer, cache: FeatureCache,
+                 cfg: PrecomputeConfig = PrecomputeConfig(),
+                 work_dir: str = "work_dir", name: str = "TSPO",
+                 prefetch: int = 2):
+        self.scorer = scorer
+        self.cache = cache
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.name = name
+        self.prefetch = prefetch
+
+    # -- persistence --------------------------------------------------------
+
+    def _supp_path(self, dataset: str) -> str:
+        return os.path.join(self.work_dir, f"{self.name}_{dataset}_supp.pkl")
+
+    def load_results(self, dataset: str) -> dict:
+        path = self._supp_path(dataset)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        return {}
+
+    def _checkpoint(self, dataset: str, results: dict):
+        os.makedirs(self.work_dir, exist_ok=True)
+        tmp = self._supp_path(dataset) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(results, f)
+        os.replace(tmp, self._supp_path(dataset))
+
+    # -- per-question scoring ----------------------------------------------
+
+    def features_for(self, struct, dataset: str):
+        """Cache-or-compute (image_feat, text_feat, clip_scores, sampled_idx)
+        for one question (gen_id_tspo.py:66-79)."""
+        index = struct["index"]
+        if self.cache.has(dataset, index):
+            blob = self.cache.load(dataset, index)
+            return (blob["image_features"], blob["text_features"],
+                    blob["clip_scores"], blob["sampled_idx"])
+        sampled_idx = candidate_schedule(struct["video_path"], self.cfg.max_frames)
+        frames, _, _ = load_video(struct["video_path"],
+                                  max_frames_num=self.cfg.max_frames, fps=1,
+                                  min_frames_num=0)
+        img, txt, csc = self.scorer.extract_features(frames, struct["problem"])
+        img, txt, csc = map(np.asarray, (
+            img.astype("float32"), txt.astype("float32"), csc.astype("float32")))
+        self.cache.save(dataset, index, image_features=img, text_features=txt,
+                        clip_scores=csc, sampled_idx=sampled_idx)
+        return img, txt, csc, sampled_idx
+
+    def frame_indices_for(self, struct, dataset: str) -> list:
+        """Absolute selected frame ids as floats (gen_id_tspo.py:81-92)."""
+        img, txt, csc, sampled_idx = self.features_for(struct, dataset)
+        sampled_idx = np.asarray(sampled_idx, np.int64)
+        if len(img) > self.cfg.sample_num:
+            ts_ids, _ = self.scorer.temporal_sampling(
+                img, txt, csc, method=select_method_for(dataset, self.cfg),
+                window_size=self.cfg.window_size, sample_num=self.cfg.sample_num)
+            abs_ids = sampled_idx[np.asarray(ts_ids)]
+        else:
+            abs_ids = sampled_idx
+        return [float(x) for x in abs_ids]
+
+    # -- dataset run --------------------------------------------------------
+
+    def run(self, dataset: VideoQuestionDataset, shard: tuple = (0, 1),
+            rerun: bool = False, progress=None) -> dict:
+        """Score this rank's slice of the question list; returns
+        {question_id: [abs frame ids]} merged with prior results."""
+        results = {} if rerun else self.load_results(dataset.name)
+        rank, world = shard
+        structs = [s for i, s in enumerate(dataset.iter_structs())
+                   if i % world == rank]
+        todo = [s for s in structs if s["question_id"] not in results]
+
+        # Host decode prefetch thread: ffmpeg overlaps with device compute.
+        # The producer only touches the cache index and the decoder; all
+        # device work (CLIP encode, selector) stays on the consumer side.
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            for s in todo:
+                if self.cache.has(dataset.name, s["index"]):
+                    q.put((s, "cached", None))
+                    continue
+                try:
+                    sampled_idx = candidate_schedule(s["video_path"],
+                                                     self.cfg.max_frames)
+                    frames, _, _ = load_video(s["video_path"],
+                                              max_frames_num=self.cfg.max_frames,
+                                              fps=1, min_frames_num=0)
+                    q.put((s, "frames", (frames, sampled_idx)))
+                except Exception as e:  # keep the run alive (run_hzf resume)
+                    q.put((s, "error", e))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        done_since_ckpt = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            s, kind, payload = item
+            if kind == "error":
+                continue
+            if kind == "cached":
+                blob = self.cache.load(dataset.name, s["index"])
+                img, txt, csc, sampled_idx = (
+                    blob["image_features"], blob["text_features"],
+                    blob["clip_scores"], blob["sampled_idx"])
+            else:
+                frames, sampled_idx = payload
+                img, txt, csc = self.scorer.extract_features(frames, s["problem"])
+                img = np.asarray(img, np.float32)
+                txt = np.asarray(txt, np.float32)
+                csc = np.asarray(csc, np.float32)
+                self.cache.save(dataset.name, s["index"], image_features=img,
+                                text_features=txt, clip_scores=csc,
+                                sampled_idx=sampled_idx)
+            sampled_idx = np.asarray(sampled_idx, np.int64)
+            if len(img) > self.cfg.sample_num:
+                ts_ids, _ = self.scorer.temporal_sampling(
+                    img, txt, csc,
+                    method=select_method_for(dataset.name, self.cfg),
+                    window_size=self.cfg.window_size,
+                    sample_num=self.cfg.sample_num)
+                abs_ids = sampled_idx[np.asarray(ts_ids)]
+            else:
+                abs_ids = sampled_idx
+            results[s["question_id"]] = [float(x) for x in abs_ids]
+            done_since_ckpt += 1
+            if progress:
+                progress(s["question_id"])
+            if done_since_ckpt >= self.cfg.checkpoint_every:
+                self._checkpoint(dataset.name, results)
+                done_since_ckpt = 0
+        t.join()
+        self._checkpoint(dataset.name, results)
+        return results
+
+    def emit_frame_idx_json(self, dataset: str, anno: list, out_path: str) -> list:
+        from .datasets import dump_json
+        merged = merge_frame_indices(anno, self.load_results(dataset), dataset)
+        dump_json(merged, out_path)
+        return merged

@@ -1,0 +1,195 @@
+"""Benchmark task registry: prompts, answer parsing, metric aggregation.
+
+Re-implements the per-benchmark logic of the reference's vendored lmms-eval
+tasks for the four TSPO benchmarks (SURVEY.md C32):
+  - LongVideoBench: letter parse with random fallback, plain accuracy
+    (tasks/longvideobench/utils.py:196-256)
+  - MLVU dev: micro-average over 7 task types (tasks/mlvu/utils.py:109-148)
+  - VideoMME: accuracy by duration x domain x sub_category x task_type
+    (tasks/videomme/utils.py:260-340)
+  - LVBench: plain accuracy over the meta jsonl questions
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+_ANSWER_PREFIXES = [
+    "The best answer is",
+    "The correct answer is",
+    "The answer is",
+    "The answer",
+    "The best option is",
+    "The correct option is",
+    "Best answer:",
+    "Best option:",
+]
+
+
+def extract_answer_letter(response: str, letters: str = "ABCD") -> str:
+    """VideoMME/MLVU-style parse (tasks/videomme/utils.py:230-249): strip known
+    prefixes, fail to "" on long answers without a letter, else first letter."""
+    s = response.strip()
+    for prefix in _ANSWER_PREFIXES:
+        s = s.replace(prefix, "")
+    if len(s.split()) > 10 and not re.search(f"[{letters}]", s):
+        return ""
+    m = re.search(f"[{letters}]", s)
+    return m[0] if m else ""
+
+
+def parse_multi_choice_response(response: str, all_choices: list,
+                                rng: random.Random | None = None) -> str:
+    """LongVideoBench-style parse (tasks/longvideobench/utils.py:196-223):
+    random choice fallback when no letter found (original paper behavior)."""
+    rng = rng or random
+    s = response.strip()
+    for prefix in _ANSWER_PREFIXES:
+        s = s.replace(prefix, "")
+    letters = "".join(all_choices)
+    if len(s.split()) > 10 and not re.search(f"[{letters}]", s):
+        return rng.choice(all_choices)
+    m = re.search(f"[{letters}]", s)
+    if m is None:
+        return rng.choice(all_choices)
+    return m[0]
+
+
+def _accuracy(results: list) -> float:
+    if not results:
+        return 0.0
+    return 100.0 * sum(r["pred_answer"] == r["answer"] for r in results) / len(results)
+
+
+def aggregate_accuracy(results: list) -> dict:
+    return {"overall": _accuracy(results)}
+
+
+MLVU_DEV_TASK_TYPES = ("anomaly_reco", "count", "ego", "needle", "order",
+                       "plotQA", "topic_reasoning")
+
+
+def aggregate_mlvu_dev(results: list) -> dict:
+    """Micro-average + per-task-type accuracy (tasks/mlvu/utils.py:109-148)."""
+    out = {}
+    for t in MLVU_DEV_TASK_TYPES:
+        sub = [r for r in results if r.get("task_type") == t]
+        out[t] = _accuracy(sub)
+    out["overall"] = _accuracy(results)
+    return out
+
+
+VIDEOMME_DURATIONS = ("short", "medium", "long")
+
+
+def aggregate_videomme(results: list) -> dict:
+    """Overall + per-duration accuracy; per-category available under
+    'categories' (tasks/videomme/utils.py:281-340)."""
+    out = {}
+    for d in VIDEOMME_DURATIONS:
+        sub = [r for r in results if r.get("duration") == d]
+        out[d] = _accuracy(sub)
+    cats = {}
+    for r in results:
+        cats.setdefault(r.get("category", "?"), []).append(r)
+    out["categories"] = {k: _accuracy(v) for k, v in sorted(cats.items())}
+    out["overall"] = _accuracy(results)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-benchmark doc handling for phase-2
+# ---------------------------------------------------------------------------
+
+def _lvb_doc_to_text(doc, pre_prompt: str = "", post_prompt: str = "") -> str:
+    cands = doc.get("candidates") or []
+    q = doc["question"] + "\n" + "\n".join(
+        f"{chr(ord('A') + i)}. {c}" for i, c in enumerate(cands))
+    return f"{pre_prompt}{q}\n{post_prompt}"
+
+
+def _mlvu_doc_to_text(doc, **_) -> str:
+    return "\n" + doc["question"] + "\nOnly give the best option.\n" + "\nBest option: ("
+
+
+def _videomme_doc_to_text(doc, **_) -> str:
+    option_prompt = ("Select the best answer to the following multiple-choice "
+                     "question based on the video and the subtitles. Respond "
+                     "with only the letter (A, B, C, or D) of the correct option.")
+    question = doc["question"] + "\n" + "\n".join(doc.get("options", []))
+    return option_prompt + "\n" + question + "\n" + "The best answer is:"
+
+
+def _lvb_process(doc, response, rng=None) -> dict:
+    cands = doc.get("candidates") or []
+    all_choices = [chr(ord("A") + i) for i in range(len(cands))]
+    pred = parse_multi_choice_response(response, all_choices or list("ABCD"), rng)
+    answer = chr(ord("A") + int(doc["correct_choice"])) \
+        if "correct_choice" in doc else doc.get("answer")
+    return {"id": doc.get("id"), "pred_answer": pred, "answer": answer}
+
+
+def _mlvu_process(doc, response, rng=None) -> dict:
+    return {"question_id": doc.get("question_id"),
+            "task_type": doc.get("task_type"),
+            "pred_answer": extract_answer_letter(response),
+            "answer": doc.get("answer")}
+
+
+def _videomme_process(doc, response, rng=None) -> dict:
+    return {"question_id": doc.get("question_id"),
+            "duration": doc.get("duration"),
+            "category": doc.get("domain"),
+            "sub_category": doc.get("sub_category"),
+            "task_type": doc.get("task_type"),
+            "pred_answer": extract_answer_letter(response),
+            "answer": doc.get("answer")}
+
+
+def _lvbench_process(doc, response, rng=None) -> dict:
+    return {"question_id": doc.get("question_id"),
+            "pred_answer": extract_answer_letter(response),
+            "answer": doc.get("answer")}
+
+
+@dataclass(frozen=True)
+class BenchmarkTask:
+    name: str
+    doc_to_text: Callable
+    process_response: Callable
+    aggregate: Callable
+    video_path_keys: tuple = ("video_path",)
+
+    def resolve_video(self, doc, video_root: str = "") -> str:
+        import os
+        for key in self.video_path_keys:
+            if key in doc and doc[key]:
+                return os.path.join(video_root, str(doc[key]))
+        raise KeyError(f"no video path in doc (tried {self.video_path_keys})")
+
+
+TASK_REGISTRY = {
+    "LongVideoBench": BenchmarkTask(
+        name="LongVideoBench", doc_to_text=_lvb_doc_to_text,
+        process_response=_lvb_process, aggregate=aggregate_accuracy,
+        video_path_keys=("video_path",)),
+    "MLVU": BenchmarkTask(
+        name="MLVU", doc_to_text=_mlvu_doc_to_text,
+        process_response=_mlvu_process, aggregate=aggregate_mlvu_dev,
+        video_path_keys=("video_name", "video_path")),
+    "VideoMME": BenchmarkTask(
+        name="VideoMME", doc_to_text=_videomme_doc_to_text,
+        process_response=_videomme_process, aggregate=aggregate_videomme,
+        video_path_keys=("videoID", "video_path")),
+    "LVBench": BenchmarkTask(
+        name="LVBench", doc_to_text=_videomme_doc_to_text,
+        process_response=_lvbench_process, aggregate=aggregate_accuracy,
+        video_path_keys=("video_path", "key")),
+}
+
+
+def get_task(name: str) -> BenchmarkTask:
+    return TASK_REGISTRY[name]
