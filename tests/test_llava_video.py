@@ -1,0 +1,197 @@
+"""LLaVA-Video backbone tests: SigLIP parity vs torch, 2dPool/grid-token
+oracles, and full-stack first-token parity against a torch re-composition of
+the pipeline (tower -> projector -> pool -> splice -> Qwen2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from tspo_tpu.models.llava_video import (  # noqa: E402
+    IMAGE_TOKEN_INDEX,
+    LLaVAVideoConfig,
+    LLaVAVideoModel,
+    add_token_per_grid,
+    build_qwen15_prompt,
+    encode_video_chunk,
+    pool_2d_average,
+    tokenize_with_image,
+)
+from tspo_tpu.models.siglip import (  # noqa: E402
+    SigLIPConfig,
+    siglip_encode,
+    siglip_params_from_torch,
+)
+
+CFG = LLaVAVideoConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def torch_siglip():
+    v = CFG.vision
+    hf_cfg = transformers.SiglipVisionConfig(
+        hidden_size=v.width, intermediate_size=v.intermediate,
+        num_hidden_layers=v.layers + 1,  # checkpoint has one extra layer
+        num_attention_heads=v.heads, image_size=v.image_size,
+        patch_size=v.patch_size, layer_norm_eps=v.layer_norm_eps,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    return transformers.SiglipVisionModel(hf_cfg).eval()
+
+
+def test_siglip_parity_truncated_tower(torch_siglip):
+    """Our tower == torch hidden_states[layers] (the LLaVA truncation:
+    hidden state after dropping the final layer, no post-layernorm)."""
+    v = CFG.vision
+    params = siglip_params_from_torch(torch_siglip, v, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(3, 3, v.image_size, v.image_size)).astype(np.float32)
+    with torch.no_grad():
+        out = torch_siglip(pixel_values=torch.from_numpy(pixels),
+                           output_hidden_states=True)
+    want = out.hidden_states[v.layers].numpy()       # after layer `layers`
+    got = np.asarray(siglip_encode(params, jnp.asarray(pixels), v))
+    assert got.shape == (3, v.num_patches, v.width)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pool_2d_average_matches_torch():
+    F, g, D = 2, 9, 5  # odd grid: edge row/col dropped
+    x = np.random.default_rng(1).normal(size=(F, g * g, D)).astype(np.float32)
+    want = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x).view(F, g, g, D).permute(0, 3, 1, 2), 2
+    ).permute(0, 2, 3, 1).reshape(F, -1, D).numpy()
+    got = np.asarray(pool_2d_average(jnp.asarray(x), g, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_add_token_per_grid_matches_torch():
+    """Oracle: the reference permute gymnastics (llava_arch.py:222-243)."""
+    F, side, D = 3, 4, 7
+    x = np.random.default_rng(2).normal(size=(F, side * side, D)).astype(np.float32)
+    nl = np.random.default_rng(3).normal(size=D).astype(np.float32)
+
+    t = torch.from_numpy(x).view(F, 1, side, side, D).permute(4, 0, 2, 1, 3)
+    t = t.flatten(1, 2).flatten(2, 3)
+    t = torch.cat([t, torch.from_numpy(nl)[:, None, None].expand(D, F * side, 1)], dim=-1)
+    want = t.flatten(1, 2).transpose(0, 1).numpy()
+
+    got = np.asarray(add_token_per_grid(jnp.asarray(x), jnp.asarray(nl), side))
+    assert got.shape == (F * side * (side + 1), D)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_tokenize_with_image():
+    enc = lambda s: [ord(c) for c in s]
+    ids = tokenize_with_image("ab<image>\ncd", enc)
+    assert ids == [ord("a"), ord("b"), IMAGE_TOKEN_INDEX, ord("\n"),
+                   ord("c"), ord("d")]
+    prompt = build_qwen15_prompt("Why?")
+    assert "<image>\nWhy?" in prompt and prompt.endswith("assistant\n")
+
+
+@pytest.fixture(scope="module")
+def torch_stack(torch_siglip):
+    """torch Qwen2 + projector + newline matching a random jax model."""
+    lm_cfg = CFG.lm
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=lm_cfg.vocab_size, hidden_size=lm_cfg.hidden_size,
+        intermediate_size=lm_cfg.intermediate_size,
+        num_hidden_layers=lm_cfg.num_layers,
+        num_attention_heads=lm_cfg.num_heads,
+        num_key_value_heads=lm_cfg.num_kv_heads, head_dim=lm_cfg.head_dim,
+        rope_theta=lm_cfg.rope_theta, rms_norm_eps=lm_cfg.rms_eps,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    torch.manual_seed(1)
+    qwen = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    torch.manual_seed(2)
+    proj0 = torch.nn.Linear(CFG.vision.width, lm_cfg.hidden_size)
+    proj2 = torch.nn.Linear(lm_cfg.hidden_size, lm_cfg.hidden_size)
+    newline = torch.randn(lm_cfg.hidden_size) * 0.1
+    return qwen, proj0, proj2, newline
+
+
+@pytest.fixture(scope="module")
+def jax_model(torch_siglip, torch_stack):
+    qwen, proj0, proj2, newline = torch_stack
+    sd = {}
+    for k, v in qwen.state_dict().items():
+        sd[k if k.startswith("lm_head") else k] = v
+    for k, v in torch_siglip.state_dict().items():
+        sd["model.vision_tower.vision_tower." + k] = v
+    sd["model.mm_projector.0.weight"] = proj0.weight
+    sd["model.mm_projector.0.bias"] = proj0.bias
+    sd["model.mm_projector.2.weight"] = proj2.weight
+    sd["model.mm_projector.2.bias"] = proj2.bias
+    sd["model.image_newline"] = newline
+    enc = lambda s: [ord(c) % CFG.lm.vocab_size for c in s]
+    dec = lambda toks: " ".join(str(t) for t in toks)
+    return LLaVAVideoModel.from_torch_checkpoint(sd, CFG, dtype=jnp.float32,
+                                                 encode=enc, decode=dec,
+                                                 batch_frames=4,
+                                                 max_new_tokens=4)
+
+
+def test_full_stack_first_token_parity(torch_siglip, torch_stack, jax_model):
+    """First generated token matches a torch re-composition of the whole
+    pipeline on identical preprocessed frames."""
+    qwen, proj0, proj2, newline = torch_stack
+    v, side = CFG.vision, CFG.pooled_side
+    F = 2
+    rng = np.random.default_rng(4)
+    # frames already at tower resolution -> device preprocess reduces to
+    # normalize only, shared exactly by both sides
+    frames = rng.integers(0, 256, (F, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    pixels = ((frames.astype(np.float32) / 255.0) - 0.5) / 0.5
+    pixels_t = torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+
+    with torch.no_grad():
+        feat = torch_siglip(pixel_values=pixels_t,
+                            output_hidden_states=True).hidden_states[v.layers]
+        feat = proj2(torch.nn.functional.gelu(proj0(feat)))
+        D = feat.shape[-1]
+        pooled = torch.nn.functional.avg_pool2d(
+            feat.view(F, v.grid, v.grid, D).permute(0, 3, 1, 2), 2
+        ).permute(0, 2, 3, 1).reshape(F, -1, D)
+        t = pooled.view(F, 1, side, side, D).permute(4, 0, 2, 1, 3)
+        t = t.flatten(1, 2).flatten(2, 3)
+        t = torch.cat([t, newline[:, None, None].expand(D, F * side, 1)], dim=-1)
+        vid_tokens = t.flatten(1, 2).transpose(0, 1)
+
+        prompt = build_qwen15_prompt("What?")
+        ids = tokenize_with_image(prompt, jax_model.encode)
+        p = ids.index(IMAGE_TOKEN_INDEX)
+        emb_w = qwen.get_input_embeddings().weight
+        embeds = torch.cat([emb_w[torch.tensor(ids[:p])], vid_tokens,
+                            emb_w[torch.tensor(ids[p + 1:])]])[None]
+        logits = qwen(inputs_embeds=embeds).logits[0, -1]
+        want_tok = int(torch.argmax(logits))
+
+    out = jax_model.generate(frames, "What?", max_new_tokens=1)
+    got_tok = int(out.split()[0])
+    assert got_tok == want_tok
+
+
+def test_generate_deterministic(jax_model):
+    frames = np.random.default_rng(5).integers(
+        0, 256, (3, 40, 56, 3), dtype=np.uint8)
+    a = jax_model.generate(frames, "Describe.", max_new_tokens=4)
+    b = jax_model.generate(frames, "Describe.", max_new_tokens=4)
+    assert a == b
+
+
+def test_encode_video_chunking(jax_model):
+    frames = np.random.default_rng(6).integers(
+        0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    toks = jax_model.encode_video(frames)
+    assert toks.shape == (6 * CFG.tokens_per_frame, CFG.lm.hidden_size)
+    one = LLaVAVideoModel(params=jax_model.params, cfg=CFG,
+                          encode=jax_model.encode, decode=jax_model.decode,
+                          batch_frames=16)
+    np.testing.assert_allclose(np.asarray(toks), np.asarray(one.encode_video(frames)),
+                               rtol=2e-4, atol=2e-4)

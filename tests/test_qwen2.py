@@ -1,0 +1,143 @@
+"""Qwen2 decoder parity vs torch transformers (tiny random config) and
+KV-cache / greedy-decode invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from tspo_tpu.models.qwen2 import (  # noqa: E402
+    KVCache,
+    Qwen2Config,
+    embed_tokens,
+    greedy_decode,
+    init_qwen2_params,
+    lm_logits,
+    qwen2_forward,
+    qwen2_params_from_torch,
+)
+
+CFG = Qwen2Config.tiny()
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_layers, num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads, head_dim=CFG.head_dim,
+        rope_theta=CFG.rope_theta, rms_norm_eps=CFG.rms_eps,
+        max_position_embeddings=CFG.max_position_embeddings,
+        tie_word_embeddings=CFG.tie_word_embeddings,
+        attention_dropout=0.0, use_cache=True,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen2ForCausalLM(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def params(torch_model):
+    return qwen2_params_from_torch(torch_model, CFG, dtype=jnp.float32)
+
+
+def _forward_full(params, ids, cfg=CFG, max_len=None):
+    B, S = ids.shape
+    max_len = max_len or S
+    cache = KVCache.create(cfg, B, max_len, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids))
+    valid = jnp.zeros((B, max_len), bool).at[:, :S].set(True)
+    hidden, cache = qwen2_forward(params, embeds, cache, jnp.arange(S),
+                                  valid, cfg)
+    return lm_logits(params, hidden, cfg), cache
+
+
+def test_logits_parity(torch_model, params):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, CFG.vocab_size, size=(2, 11))
+    with torch.no_grad():
+        want = torch_model(input_ids=torch.from_numpy(ids)).logits.numpy()
+    got, _ = _forward_full(params, ids)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_greedy_matches_torch_generate(torch_model, params):
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, 7))
+    with torch.no_grad():
+        want = torch_model.generate(
+            torch.from_numpy(ids), max_new_tokens=8, do_sample=False,
+            eos_token_id=-1, pad_token_id=0).numpy()[0, 7:]
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, 7), bool)
+    toks, n = greedy_decode(params, embeds, valid, cache, CFG, 8,
+                            eos_token_id=-7)  # unreachable eos
+    assert int(n) == 8
+    np.testing.assert_array_equal(np.asarray(toks), want)
+
+
+def test_incremental_cache_matches_full(params):
+    """Prefill(0:5) + steps 5,6 == full forward on 7 tokens."""
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 7))
+    full, _ = _forward_full(params, ids, max_len=16)
+
+    cache = KVCache.create(CFG, 1, 16, jnp.float32)
+    e = embed_tokens(params, jnp.asarray(ids))
+    valid = jnp.zeros((1, 16), bool).at[:, :5].set(True)
+    h, cache = qwen2_forward(params, e[:, :5], cache, jnp.arange(5), valid, CFG)
+    np.testing.assert_allclose(np.asarray(lm_logits(params, h, CFG)),
+                               np.asarray(full[:, :5]), rtol=2e-3, atol=2e-3)
+    for i in (5, 6):
+        valid = jnp.zeros((1, 16), bool).at[:, :i + 1].set(True)
+        h, cache = qwen2_forward(params, e[:, i:i + 1], cache,
+                                 jnp.asarray([i]), valid, CFG)
+        np.testing.assert_allclose(np.asarray(lm_logits(params, h[:, 0], CFG)),
+                                   np.asarray(full[:, i]), rtol=2e-3, atol=2e-3)
+
+
+def test_padded_prompt_equivalence(params):
+    """Right-padded prompt gives the same first generated token as unpadded."""
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 6))
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    e = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    toks_a, _ = greedy_decode(params, e, jnp.ones((1, 6), bool), cache, CFG, 4,
+                              eos_token_id=-7)
+
+    padded = np.concatenate([ids, np.zeros((1, 4), ids.dtype)], axis=1)
+    ep = embed_tokens(params, jnp.asarray(padded)).astype(jnp.float32)
+    vp = jnp.zeros((1, 10), bool).at[:, :6].set(True)
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    toks_b, _ = greedy_decode(params, ep, vp, cache, CFG, 4, eos_token_id=-7)
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+
+
+def test_eos_stops_decode(params):
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 5))
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    e = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    # first find what greedy produces, then set eos to the 2nd token
+    toks, _ = greedy_decode(params, e, jnp.ones((1, 5), bool), cache, CFG, 6,
+                            eos_token_id=-7)
+    second = int(np.asarray(toks)[1])
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    toks2, n2 = greedy_decode(params, e, jnp.ones((1, 5), bool), cache, CFG, 6,
+                              eos_token_id=second)
+    assert int(n2) == 2
+    assert np.all(np.asarray(toks2)[1:] == second)
+
+
+def test_bf16_decode_runs(params):
+    p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    ids = np.random.default_rng(5).integers(0, CFG.vocab_size, size=(1, 4))
+    cache = KVCache.create(CFG, 1, 16, jnp.bfloat16)
+    e = embed_tokens(p16, jnp.asarray(ids))
+    toks, n = greedy_decode(p16, e, jnp.ones((1, 4), bool), cache, CFG, 4,
+                            eos_token_id=-7)
+    assert int(n) == 4

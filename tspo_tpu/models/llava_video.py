@@ -1,0 +1,268 @@
+"""LLaVA-Video-7B-Qwen2 backbone: SigLIP tower + projector + Qwen2 decoder.
+
+Rebuilds the reference's vendored LLaVA-NeXT video path (SURVEY.md C38-C43):
+
+  frames -> SigLIP (729 patches) -> mlp2x_gelu projector -> 2dPool stride 2
+  (27x27 -> 13x13 = 169 tokens/frame, llava_arch.py:171-190) -> grid newline
+  tokens (add_token_per_grid, llava_arch.py:222-243: 13 rows x (13 cols +
+  image_newline) = 182 tokens/frame) -> spliced into the qwen_1_5 chat prompt
+  at the IMAGE_TOKEN position (mm_utils.py:341-361) -> greedy Qwen2 decode.
+
+NOTE the operation order difference from naive reading: the reference encodes
+images through tower+projector first and pools *afterwards*
+(prepare_inputs_labels_for_multimodal: encode_images -> get_2dPool on the
+projected features, llava_arch.py:279-289).  We match that order exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.hf_port import state_dict_of
+from .qwen2 import (KVCache, Qwen2Config, embed_tokens, greedy_decode,
+                    init_qwen2_params, qwen2_params_from_torch,
+                    qwen2_param_shardings)
+from .siglip import (SigLIPConfig, init_siglip_params, siglip_encode,
+                     siglip_params_from_torch, siglip_preprocess)
+
+IMAGE_TOKEN_INDEX = -200
+DEFAULT_IMAGE_TOKEN = "<image>"
+
+QWEN15_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+
+
+@dataclass(frozen=True)
+class LLaVAVideoConfig:
+    lm: Qwen2Config = field(default_factory=Qwen2Config.llava_video_7b)
+    vision: SigLIPConfig = field(default_factory=SigLIPConfig)
+    pool_stride: int = 2
+    mm_newline_position: str = "grid"
+    max_context: int = 16384
+
+    @property
+    def pooled_side(self) -> int:
+        return self.vision.grid // self.pool_stride
+
+    @property
+    def tokens_per_frame(self) -> int:
+        s = self.pooled_side
+        return s * (s + 1) if self.mm_newline_position == "grid" else s * s
+
+    @classmethod
+    def tiny(cls) -> "LLaVAVideoConfig":
+        return cls(lm=Qwen2Config.tiny(), vision=SigLIPConfig.tiny(),
+                   max_context=512)
+
+
+def build_qwen15_prompt(question: str,
+                        trailer: str = "\nPlease answer with the option's "
+                                       "letter from the given choices directly.") -> str:
+    """chatml prompt of the reference trainer/demo (tspo_trainer.py:486-492):
+    system + user(<image>\\n + question + trailer) + assistant stub."""
+    q = DEFAULT_IMAGE_TOKEN + "\n" + question + trailer
+    return (QWEN15_SYSTEM + f"<|im_start|>user\n{q}<|im_end|>\n"
+            "<|im_start|>assistant\n")
+
+
+def tokenize_with_image(prompt: str, encode: Callable, bos_token_id=None) -> list:
+    """Split on <image> and insert IMAGE_TOKEN_INDEX (mm_utils.py:341-361)."""
+    chunks = [encode(chunk) for chunk in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    input_ids = []
+    offset = 0
+    if chunks and chunks[0] and bos_token_id is not None and chunks[0][0] == bos_token_id:
+        offset = 1
+        input_ids.append(chunks[0][0])
+    for i, chunk in enumerate(chunks):
+        if i > 0:
+            input_ids.extend([IMAGE_TOKEN_INDEX] * (offset + 1))
+        input_ids.extend(chunk[offset:])
+    return input_ids
+
+
+# ---------------------------------------------------------------------------
+# Vision pipeline (jitted per frame-chunk)
+# ---------------------------------------------------------------------------
+
+def pool_2d_average(feat: jnp.ndarray, grid: int, stride: int) -> jnp.ndarray:
+    """[F, grid^2, D] -> [F, (grid//stride)^2, D] average pooling; odd edges
+    dropped like torch avg_pool2d (27 -> 13)."""
+    F, _, D = feat.shape
+    s = grid // stride
+    x = feat.reshape(F, grid, grid, D)[:, : s * stride, : s * stride]
+    x = x.reshape(F, s, stride, s, stride, D)
+    return x.mean(axis=(2, 4)).reshape(F, s * s, D)
+
+
+def add_token_per_grid(feat: jnp.ndarray, newline: jnp.ndarray,
+                       side: int) -> jnp.ndarray:
+    """[F, side^2, D] -> [F*side*(side+1), D]: image_newline after each row
+    (llava_arch.py:222-243 ordering: frame-major, row-major)."""
+    F, _, D = feat.shape
+    x = feat.reshape(F, side, side, D)
+    nl = jnp.broadcast_to(newline.astype(feat.dtype), (F, side, 1, D))
+    return jnp.concatenate([x, nl], axis=2).reshape(F * side * (side + 1), D)
+
+
+def add_token_per_frame(feat: jnp.ndarray, newline: jnp.ndarray) -> jnp.ndarray:
+    """[F, N, D] -> [F*(N+1), D]: one newline per frame (llava_arch.py:245-249)."""
+    F, N, D = feat.shape
+    nl = jnp.broadcast_to(newline.astype(feat.dtype), (F, 1, D))
+    return jnp.concatenate([feat, nl], axis=1).reshape(F * (N + 1), D)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_video_chunk(params: Mapping, frames_u8: jnp.ndarray,
+                       cfg: LLaVAVideoConfig) -> jnp.ndarray:
+    """[F, H, W, 3] uint8 -> [F, pooled_side^2, hidden] projected features.
+
+    Matches reference order: tower -> projector -> 2dPool
+    (llava_arch.py:279-289)."""
+    pixels = siglip_preprocess(frames_u8, cfg.vision.image_size)
+    feat = siglip_encode(params["vision"], pixels, cfg.vision)    # [F, 729, W]
+    p = params["projector"]
+    feat = jax.nn.gelu(feat @ p["fc1"]["kernel"] + p["fc1"]["bias"],
+                       approximate=False)
+    feat = feat @ p["fc2"]["kernel"] + p["fc2"]["bias"]           # [F, 729, D]
+    return pool_2d_average(feat, cfg.vision.grid, cfg.pool_stride)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LLaVAVideoModel:
+    """Host orchestrator: vision encode (chunked), prompt splice, greedy
+    decode.  ``encode``/``decode`` are tokenizer callables (HF tokenizer for
+    real checkpoints; stubs in tests)."""
+
+    params: dict
+    cfg: LLaVAVideoConfig = field(default_factory=LLaVAVideoConfig)
+    encode: Callable | None = None
+    decode: Callable | None = None
+    batch_frames: int = 32
+    max_new_tokens: int = 256
+
+    def encode_video(self, frames: np.ndarray) -> jnp.ndarray:
+        """[T, H, W, 3] uint8 -> [T*tokens_per_frame, D] spliceable tokens."""
+        T = frames.shape[0]
+        B = self.batch_frames
+        outs = []
+        for start in range(0, T, B):
+            chunk = frames[start:start + B]
+            n = chunk.shape[0]
+            if n < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - n, *chunk.shape[1:]), chunk.dtype)])
+            feat = encode_video_chunk(self.params, jnp.asarray(chunk), self.cfg)
+            outs.append(feat[:n])
+        feat = jnp.concatenate(outs, axis=0)
+        if self.cfg.mm_newline_position == "grid":
+            return add_token_per_grid(feat, self.params["image_newline"],
+                                      self.cfg.pooled_side)
+        if self.cfg.mm_newline_position == "frame":
+            return add_token_per_frame(feat, self.params["image_newline"])
+        return feat.reshape(-1, feat.shape[-1])   # no_token / one_token flat
+
+    def splice_embeddings(self, input_ids: list, video_tokens: jnp.ndarray):
+        """Replace the IMAGE_TOKEN_INDEX slot with video tokens
+        (llava_arch.py:360-430 simplified to the single-video case)."""
+        ids = np.asarray(input_ids)
+        (img_pos,) = np.where(ids == IMAGE_TOKEN_INDEX)
+        lm = self.params["lm"]
+        if len(img_pos) == 0:
+            return embed_tokens(lm, jnp.asarray(ids))[None]
+        p = int(img_pos[0])
+        pre = embed_tokens(lm, jnp.asarray(ids[:p]))
+        post = embed_tokens(lm, jnp.asarray(ids[p + 1:]))
+        emb = jnp.concatenate([pre, video_tokens.astype(pre.dtype), post], axis=0)
+        return emb[None]                                          # [1, S, D]
+
+    def generate(self, frames: np.ndarray, question: str,
+                 max_new_tokens: int | None = None, prompt: str | None = None) -> str:
+        """Full reference generate path (llava_qwen.py:178-197 +
+        tspo_trainer.py:527-534): greedy, temperature 0."""
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        max_new = max_new_tokens or self.max_new_tokens
+        prompt = prompt if prompt is not None else build_qwen15_prompt(question)
+        input_ids = tokenize_with_image(prompt, self.encode)
+        video_tokens = self.encode_video(frames)
+        embeds = self.splice_embeddings(input_ids, video_tokens)
+
+        S = embeds.shape[1]
+        max_len = min(self.cfg.max_context, S + max_new + 8)
+        cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
+        valid = jnp.ones((1, S), bool)
+        toks, n = greedy_decode(self.params["lm"], embeds, valid, cache,
+                                self.cfg.lm, max_new)
+        toks = np.asarray(toks)[: int(n)]
+        eos = self.cfg.lm.eos_token_id
+        toks = toks[toks != eos]
+        return self.decode(toks.tolist())
+
+    # -- checkpoint interop -------------------------------------------------
+
+    @classmethod
+    def from_torch_checkpoint(cls, model_or_sd, cfg: LLaVAVideoConfig,
+                              dtype=jnp.bfloat16, **kw) -> "LLaVAVideoModel":
+        """Port a LlavaQwenForCausalLM checkpoint (llava_qwen.py layout):
+        LM under ``model.``, tower under ``model.vision_tower.vision_tower.``,
+        projector ``model.mm_projector.{0,2}``, plus ``model.image_newline``.
+        The TSPO selector weights (``multiModal_align.*``) are ignored here —
+        load them via models/selector.py."""
+        sd = state_dict_of(model_or_sd)
+        lm_sd = {k: v for k, v in sd.items()
+                 if k.startswith("model.") and ".vision_tower." not in k
+                 and ".mm_projector." not in k and k != "model.image_newline"}
+        lm_sd["lm_head.weight"] = sd["lm_head.weight"]
+        vt = "model.vision_tower.vision_tower.vision_model."
+        vision_sd = {k[len("model.vision_tower.vision_tower."):]: v
+                     for k, v in sd.items() if k.startswith(vt)}
+        params = {
+            "lm": qwen2_params_from_torch(lm_sd, cfg.lm, dtype),
+            "vision": siglip_params_from_torch(vision_sd, cfg.vision, dtype),
+            "projector": {
+                "fc1": {"kernel": jnp.asarray(sd["model.mm_projector.0.weight"].T, dtype),
+                        "bias": jnp.asarray(sd["model.mm_projector.0.bias"], dtype)},
+                "fc2": {"kernel": jnp.asarray(sd["model.mm_projector.2.weight"].T, dtype),
+                        "bias": jnp.asarray(sd["model.mm_projector.2.bias"], dtype)},
+            },
+            "image_newline": jnp.asarray(sd["model.image_newline"], dtype),
+        }
+        return cls(params=params, cfg=cfg, **kw)
+
+    @classmethod
+    def random_init(cls, seed: int, cfg: LLaVAVideoConfig, dtype=jnp.bfloat16,
+                    **kw) -> "LLaVAVideoModel":
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+        W, D = cfg.vision.width, cfg.lm.hidden_size
+        params = {
+            "lm": init_qwen2_params(k1, cfg.lm, dtype),
+            "vision": init_siglip_params(k2, cfg.vision, dtype),
+            "projector": {
+                "fc1": {"kernel": jax.random.normal(k3, (W, D), dtype) * 0.02,
+                        "bias": jnp.zeros(D, dtype)},
+                "fc2": {"kernel": jax.random.normal(k4, (D, D), dtype) * 0.02,
+                        "bias": jnp.zeros(D, dtype)},
+            },
+            "image_newline": jnp.zeros(D, dtype),
+        }
+        return cls(params=params, cfg=cfg, **kw)
+
+
+def llava_video_param_shardings(params, mesh):
+    """TP shardings: Qwen2 rules for the LM; vision/projector replicated (the
+    tower is small relative to the LM and frame-batch data parallelism covers
+    it)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()),
+        {k: v for k, v in params.items() if k != "lm"})
+    return {"lm": qwen2_param_shardings(params["lm"], mesh), **repl}

@@ -1,0 +1,321 @@
+"""Qwen2 decoder in JAX — the language model of LLaVA-Video-7B-Qwen2.
+
+Replaces the reference's torch ``Qwen2ForCausalLM`` + flash-attn backbone
+(llava/model/language_model/llava_qwen.py:52-129).  TPU-first:
+
+  - weight-stacked layers + ``lax.scan`` (one compiled block, 28 iterations);
+  - preallocated static-shape KV cache, greedy decode as ``lax.while_loop``
+    with donated cache (no per-token retrace, no host sync in the loop);
+  - fp32 RMSNorm/softmax/rope on bf16 weights & activations;
+  - Megatron TP sharding rules (q/k/v/gate/up column-, o/down row-sharded)
+    for a 'model' mesh axis — collectives inserted by XLA.
+
+The model consumes *embeddings*, not token ids, at the top level, because
+LLaVA splices projected visual tokens into the text embedding sequence
+(llava_arch.py:251-556); ``embed_tokens``/``lm_head`` are exposed separately.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Mapping, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.hf_port import state_dict_of, stack_layers
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    eos_token_id: int = 151645  # <|im_end|> for chat models
+
+    @classmethod
+    def tiny(cls) -> "Qwen2Config":
+        return cls(vocab_size=512, hidden_size=64, intermediate_size=128,
+                   num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                   rope_theta=10_000.0, max_position_embeddings=128,
+                   eos_token_id=511)
+
+    @classmethod
+    def llava_video_7b(cls) -> "Qwen2Config":
+        return cls()  # Qwen2-7B-Instruct geometry
+
+
+class KVCache(NamedTuple):
+    """Static-shape cache: k/v are [L, B, max_len, kv_heads, head_dim];
+    ``length`` is the number of valid positions."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def create(cls, cfg: Qwen2Config, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+def _rms_norm(x, weight, eps):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(positions, head_dim, theta):
+    """[S] positions -> (cos, sin) [S, head_dim] fp32, HF half-rotation layout."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x, cos, sin):
+    """x [B, S, H, hd]; rotate_half convention matching HF Qwen2."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(x.dtype)
+
+
+def _attention(q, k, v, mask_bias):
+    """q [B,S,H,hd], k/v [B,T,KV,hd] -> [B,S,H,hd]; GQA via reshape-grouping.
+
+    fp32 logits+softmax; mask_bias is additive fp32 [B, 1, S, T]."""
+    B, S, H, hd = q.shape
+    KV = k.shape[2]
+    G = H // KV
+    q = q.reshape(B, S, KV, G, hd)
+    scores = jnp.einsum("bskgd,btkd->bkgst", q, k).astype(jnp.float32)
+    scores = scores / np.sqrt(hd) + mask_bias[:, :, None, :, :]
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    ctx = jnp.einsum("bkgst,btkd->bskgd", attn, v)
+    return ctx.reshape(B, S, H, hd)
+
+
+def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
+                  positions: jnp.ndarray, attn_valid: jnp.ndarray,
+                  cfg: Qwen2Config):
+    """Run the decoder over ``embeds`` [B, S, D] appended after the cache.
+
+    positions:  [S] rope positions of the new tokens.
+    attn_valid: [B, total] validity of cache+new key positions (True=attend),
+                where total = cache max_len; new tokens are written at
+                [cache.length, cache.length+S).
+    Returns (hidden [B, S, D], new cache).  Causality within the appended
+    block is enforced internally.
+    """
+    B, S, D = embeds.shape
+    T = cache.k.shape[2]
+    start = cache.length
+
+    # Additive mask: key j attendable by query i (global pos start+i) iff
+    # attn_valid[j] and j <= start+i.
+    key_pos = jnp.arange(T)[None, :]                       # [1, T]
+    q_glob = start + jnp.arange(S)[:, None]                # [S, 1]
+    causal_ok = key_pos[None] <= q_glob[None]              # [1, S, T]
+    ok = causal_ok & attn_valid[:, None, :]                # [B, S, T]
+    mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+
+    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def block(h, xs):
+        lp, k_l, v_l = xs                                   # cache slices [B,T,KV,hd]
+        x = _rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, hd)
+        k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, KV, hd)
+        v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, KV, hd)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        k_l = jax.lax.dynamic_update_slice(k_l, k.astype(k_l.dtype),
+                                           (0, start, 0, 0))
+        v_l = jax.lax.dynamic_update_slice(v_l, v.astype(v_l.dtype),
+                                           (0, start, 0, 0))
+
+        ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, S, D)
+        h = h + ctx @ lp["o"]["kernel"]
+
+        x = _rms_norm(h, lp["ln2"], cfg.rms_eps)
+        gate = jax.nn.silu(x @ lp["gate"]["kernel"])
+        up = x @ lp["up"]["kernel"]
+        h = h + (gate * up) @ lp["down"]["kernel"]
+        return h, (k_l, v_l)
+
+    h, (k_new, v_new) = jax.lax.scan(
+        block, embeds, (params["layers"], cache.k, cache.v))
+    h = _rms_norm(h, params["final_ln"], cfg.rms_eps)
+    new_cache = KVCache(k=k_new, v=v_new, length=start + S)
+    return h, new_cache
+
+
+def embed_tokens(params, input_ids):
+    return params["embedding"][input_ids]
+
+
+def lm_logits(params, hidden, cfg: Qwen2Config):
+    w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
+    return (hidden @ w.T.astype(hidden.dtype)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"),
+         donate_argnames=("cache",))
+def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
+                  cfg: Qwen2Config, max_new_tokens: int,
+                  eos_token_id: int | None = None):
+    """Greedy generation (reference GenerationConfig do_sample=False,
+    tspo_trainer.py:310-319).
+
+    prompt_embeds: [1, S, D] (right-padded); prompt_valid: [1, S] bool.
+    Returns (tokens [max_new_tokens] int32, n_valid) — tokens after the first
+    EOS are padded with EOS.
+    """
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    B, S, D = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid[0].astype(jnp.int32))
+
+    # Prefill. Key validity over the whole cache window: prompt positions
+    # use prompt_valid; future positions are enabled as they are written.
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    positions = jnp.arange(S)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache, positions,
+                                  attn_valid, cfg)
+    # Last *valid* prompt token predicts the first output token.
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    first_tok = jnp.argmax(lm_logits(params, last_h, cfg), axis=-1)  # [B]
+
+    # The cache was written at [0, S); decode appends at S, S+1, ...
+    # but positions (rope + causality) follow the true length n_prompt.
+    def cond(state):
+        i, tok, cache, out, done = state
+        return (i < max_new_tokens) & ~done
+
+    def body(state):
+        i, tok, cache, out, done = state
+        out = out.at[i].set(jnp.where(done, eos, tok[0]))
+        done = done | (tok[0] == eos)
+        emb = embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
+        pos = (n_prompt + i)[None]
+        av = (jnp.arange(T)[None, :] < cache.length + 1) & \
+             jnp.concatenate([prompt_valid,
+                              jnp.ones((B, T - S), bool)], axis=1)
+        h, cache = qwen2_forward(params, emb, cache, pos, av, cfg)
+        nxt = jnp.argmax(lm_logits(params, h[:, -1], cfg), axis=-1)
+        return i + 1, nxt, cache, out, done
+
+    out = jnp.full((max_new_tokens,), eos, jnp.int32)
+    state = (jnp.int32(0), first_tok.astype(jnp.int32), cache, out,
+             jnp.asarray(False))
+    i, tok, cache, out, done = jax.lax.while_loop(cond, body, state)
+    return out, i
+
+
+# ---------------------------------------------------------------------------
+# Weight port / init / sharding
+# ---------------------------------------------------------------------------
+
+def qwen2_params_from_torch(model_or_sd, cfg: Qwen2Config,
+                            dtype=jnp.bfloat16, prefix: str = "model.") -> dict:
+    """Port an HF ``Qwen2ForCausalLM`` state dict.  ``prefix`` handles nesting
+    (e.g. LLaVA checkpoints keep the LM under ``model.``)."""
+    sd = state_dict_of(model_or_sd)
+    L = cfg.num_layers
+    f = prefix + "layers.{i}"
+
+    def lin(fmt, bias):
+        out = {"kernel": stack_layers(sd, L, fmt + ".weight").transpose(0, 2, 1)}
+        if bias:
+            out["bias"] = stack_layers(sd, L, fmt + ".bias")
+        return out
+
+    params = {
+        "embedding": sd[prefix + "embed_tokens.weight"],
+        "layers": {
+            "ln1": stack_layers(sd, L, f + ".input_layernorm.weight"),
+            "ln2": stack_layers(sd, L, f + ".post_attention_layernorm.weight"),
+            "q": lin(f + ".self_attn.q_proj", True),
+            "k": lin(f + ".self_attn.k_proj", True),
+            "v": lin(f + ".self_attn.v_proj", True),
+            "o": lin(f + ".self_attn.o_proj", False),
+            "gate": lin(f + ".mlp.gate_proj", False),
+            "up": lin(f + ".mlp.up_proj", False),
+            "down": lin(f + ".mlp.down_proj", False),
+        },
+        "final_ln": sd[prefix + "norm.weight"],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = sd["lm_head.weight"]
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def init_qwen2_params(rng, cfg: Qwen2Config, dtype=jnp.bfloat16) -> dict:
+    keys = iter(jax.random.split(rng, 16))
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    qd, kvd = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
+
+    def lin(n, fi, fo, bias):
+        out = {"kernel": jax.random.normal(next(keys), (n, fi, fo), dtype) * 0.02}
+        if bias:
+            out["bias"] = jnp.zeros((n, fo), dtype)
+        return out
+
+    params = {
+        "embedding": jax.random.normal(next(keys), (cfg.vocab_size, D), dtype) * 0.02,
+        "layers": {
+            "ln1": jnp.ones((L, D), dtype), "ln2": jnp.ones((L, D), dtype),
+            "q": lin(L, D, qd, True), "k": lin(L, D, kvd, True),
+            "v": lin(L, D, kvd, True), "o": lin(L, qd, D, False),
+            "gate": lin(L, D, I, False), "up": lin(L, D, I, False),
+            "down": lin(L, I, D, False),
+        },
+        "final_ln": jnp.ones(D, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(next(keys), (cfg.vocab_size, D),
+                                              dtype) * 0.02
+    return params
+
+
+def qwen2_param_shardings(params, mesh):
+    """Megatron TP specs: q/k/v/gate/up column-sharded, o/down row-sharded,
+    embeddings/lm_head vocab-sharded on 'model'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(path):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        leaf = keys[-1]
+        if keys[0] in ("embedding", "lm_head"):
+            return P("model", None)
+        if "layers" in keys:
+            which = keys[1]
+            if which in ("q", "k", "v", "gate", "up"):
+                return P(None, None, "model") if leaf == "kernel" else P(None, "model")
+            if which in ("o", "down"):
+                return P(None, "model", None) if leaf == "kernel" else P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path)), params)

@@ -1,0 +1,177 @@
+"""SigLIP vision tower — LLaVA-Video-7B-Qwen2's frame encoder.
+
+Reference: the vendored SigLIP ViT-SO400M-384 implementation
+(llava/model/multimodal_encoder/siglip_encoder.py).  The LLaVA tower *drops
+the final transformer layer* and the pooling head (siglip_encoder.py:570-571)
+and emits the raw hidden state of the remaining stack — 729 patch tokens per
+frame, no class token, no final layernorm (siglip_encoder.py:576-589).
+
+Same TPU construction as the CLIP tower: stacked layers + lax.scan, patchify
+as one GEMM, fused on-device preprocessing (resize to SxS + 0.5/0.5
+normalization — SigLipImageProcessor semantics), bf16 with fp32 norms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.hf_port import state_dict_of, stack_layers
+
+
+@dataclass(frozen=True)
+class SigLIPConfig:
+    width: int = 1152
+    layers: int = 26            # 27 in the checkpoint; LLaVA drops the last
+    heads: int = 16
+    intermediate: int = 4304
+    patch_size: int = 14
+    image_size: int = 384
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid   # 729 for SO400M-384
+
+    @classmethod
+    def tiny(cls) -> "SigLIPConfig":
+        return cls(width=64, layers=2, heads=4, intermediate=128, patch_size=8,
+                   image_size=32)
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
+
+
+def _mha(x, lp, heads):
+    B, S, W = x.shape
+    hd = W // heads
+    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, heads, hd)
+    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, heads, hd)
+    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    attn = jax.nn.softmax(scores * (1.0 / np.sqrt(hd)), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, W)
+    return ctx @ lp["o"]["kernel"] + lp["o"]["bias"]
+
+
+def siglip_encode(params: Mapping, pixel_values: jnp.ndarray,
+                  cfg: SigLIPConfig = SigLIPConfig()) -> jnp.ndarray:
+    """[B, 3, S, S] preprocessed pixels -> [B, grid^2, width] patch features
+    (pre-layernorm hidden state, matching the truncated LLaVA tower)."""
+    B = pixel_values.shape[0]
+    P, g = cfg.patch_size, cfg.grid
+    x = pixel_values.reshape(B, 3, g, P, g, P)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * P * P)
+    x = x.astype(params["patch_kernel"].dtype) @ params["patch_kernel"]
+    x = x + params["patch_bias"] + params["position_embedding"]
+
+    def block(h, lp):
+        r = h
+        h = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
+        h = r + _mha(h, lp["attn"], cfg.heads)
+        r = h
+        h = _layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+        h = _gelu_tanh(h @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
+        h = h @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+        return r + h, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+    return x
+
+
+@partial(jax.jit, static_argnames=("image_size", "dtype"))
+def siglip_preprocess(frames: jnp.ndarray, image_size: int = 384,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[T, H, W, 3] uint8 -> [T, 3, S, S]; SigLipImageProcessor semantics:
+    direct resize to (S, S) bicubic, rescale, normalize mean=std=0.5."""
+    T = frames.shape[0]
+    x = frames.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (T, image_size, image_size, 3), method="cubic")
+    x = (x - 0.5) / 0.5
+    return x.transpose(0, 3, 1, 2).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight port / init
+# ---------------------------------------------------------------------------
+
+def _lin_stack(sd, n, fmt):
+    return {"kernel": stack_layers(sd, n, fmt + ".weight").transpose(0, 2, 1),
+            "bias": stack_layers(sd, n, fmt + ".bias")}
+
+
+def _ln_stack(sd, n, fmt):
+    return {"scale": stack_layers(sd, n, fmt + ".weight"),
+            "bias": stack_layers(sd, n, fmt + ".bias")}
+
+
+def siglip_params_from_torch(model_or_sd, cfg: SigLIPConfig,
+                             dtype=jnp.bfloat16,
+                             prefix: str = "vision_model.") -> dict:
+    """Port an HF ``SiglipVisionModel`` state dict, keeping only
+    ``cfg.layers`` transformer layers (LLaVA truncation)."""
+    sd = state_dict_of(model_or_sd)
+    patch = sd[prefix + "embeddings.patch_embedding.weight"]  # [W, 3, P, P]
+    f = prefix + "encoder.layers.{i}"
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), {
+        "patch_kernel": patch.reshape(cfg.width, -1).T,
+        "patch_bias": sd[prefix + "embeddings.patch_embedding.bias"],
+        "position_embedding": sd[prefix + "embeddings.position_embedding.weight"],
+        "layers": {
+            "ln1": _ln_stack(sd, cfg.layers, f + ".layer_norm1"),
+            "ln2": _ln_stack(sd, cfg.layers, f + ".layer_norm2"),
+            "attn": {
+                "q": _lin_stack(sd, cfg.layers, f + ".self_attn.q_proj"),
+                "k": _lin_stack(sd, cfg.layers, f + ".self_attn.k_proj"),
+                "v": _lin_stack(sd, cfg.layers, f + ".self_attn.v_proj"),
+                "o": _lin_stack(sd, cfg.layers, f + ".self_attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _lin_stack(sd, cfg.layers, f + ".mlp.fc1"),
+                "fc2": _lin_stack(sd, cfg.layers, f + ".mlp.fc2"),
+            },
+        },
+    })
+
+
+def init_siglip_params(rng, cfg: SigLIPConfig, dtype=jnp.bfloat16) -> dict:
+    keys = iter(jax.random.split(rng, 8))
+    W, I, L = cfg.width, cfg.intermediate, cfg.layers
+
+    def lin(n, fi, fo):
+        return {"kernel": jax.random.normal(next(keys), (n, fi, fo), dtype) * 0.02,
+                "bias": jnp.zeros((n, fo), dtype)}
+
+    def ln(n):
+        return {"scale": jnp.ones((n, W), dtype), "bias": jnp.zeros((n, W), dtype)}
+
+    return {
+        "patch_kernel": jax.random.normal(next(keys), (3 * cfg.patch_size ** 2, W),
+                                          dtype) * 0.02,
+        "patch_bias": jnp.zeros(W, dtype),
+        "position_embedding": jax.random.normal(next(keys),
+                                                (cfg.num_patches, W), dtype) * 0.01,
+        "layers": {
+            "ln1": ln(L), "ln2": ln(L),
+            "attn": {x: lin(L, W, W) for x in ("q", "k", "v", "o")},
+            "mlp": {"fc1": lin(L, W, I), "fc2": lin(L, I, W)},
+        },
+    }
