@@ -1,0 +1,191 @@
+"""GRPO trainer tests: rewards, checkpointing, one-step metrics, the
+needle-in-haystack path, and an end-to-end learning smoke test (the toy
+example of SURVEY.md §4.1: reward must rise when the selector learns to pick
+the relevant segment)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tspo_tpu.configs import CLIPConfig, SelectorConfig, TrainConfig
+from tspo_tpu.models.tspo_model import build_random_scorer
+from tspo_tpu.train.checkpoint import (export_torch_selector, list_checkpoints,
+                                       load_train_state, prune_checkpoints,
+                                       save_train_state)
+from tspo_tpu.train.rewards import (accuracy_reward, clean_question,
+                                    compose_rewards, extract_problem,
+                                    format_reward, map_prediction_to_option,
+                                    temporal_localization_reward)
+from tspo_tpu.train.trainer import TSPOTrainer
+
+cv2 = pytest.importorskip("cv2")
+
+CLIP_CFG = CLIPConfig.tiny()
+SEL_CFG = SelectorConfig(dim=CLIP_CFG.text.projection_dim, num_heads=4,
+                         window_size=8)
+
+
+def _tokenize(problem: str):
+    ids = np.full((1, 8), 3, np.int32)
+    ids[0, -1] = CLIP_CFG.text.eos_token_id
+    return ids, np.ones((1, 8), np.int32)
+
+
+# ---------------- rewards ----------------
+
+def test_map_prediction_to_option():
+    assert map_prediction_to_option("A") == "a"
+    assert map_prediction_to_option("The answer is (B).") == "b"
+    assert map_prediction_to_option("cat") is False      # no standalone letter
+    assert map_prediction_to_option("b) something") == "b"
+
+
+def test_accuracy_reward():
+    out = accuracy_reward(["A", "b.", "C", "nothing here"],
+                          ["<answer>a</answer>"] * 4)
+    assert out == [1.0, 0.0, 0.0, 0.0]
+    out = accuracy_reward(["The answer is B"], ["B"])
+    assert out == [1.0]
+
+
+def test_temporal_reward():
+    mask = np.array([1, 1, 0, 0, 0], bool)
+    out = temporal_localization_reward([], [], sel_idxs=[[0, 1], [2, 3]],
+                                       total_mask=mask)
+    assert out == [1.0, 0.0]
+
+
+def test_format_reward():
+    assert format_reward(["<think>x</think> <answer>a</answer>"]) == [1.0]
+    assert format_reward(["a"]) == [0.0]
+
+
+def test_compose_rewards():
+    rpf = np.array([[1.0, 0.5], [0.0, 0.25]])
+    np.testing.assert_allclose(compose_rewards(rpf, "specific"), [1.5, 0.25])
+    np.testing.assert_allclose(compose_rewards(rpf, "general"), [2.0, 1.0])
+
+
+def test_question_extraction():
+    q = "<image>\nWhat color?\nA. red\nB. blue Please respond with only the letter of the correct answer."
+    assert extract_problem(q) == "What color?"
+    assert "Please respond" not in clean_question(q)
+
+
+# ---------------- checkpointing ----------------
+
+def test_checkpoint_round_trip(tmp_path):
+    import jax
+    from tspo_tpu.models.selector import init_selector_params
+    params = init_selector_params(jax.random.PRNGKey(0), SEL_CFG)
+    save_train_state(str(tmp_path), 10, params, extra={"note": "x"})
+    save_train_state(str(tmp_path), 20, params)
+    assert list_checkpoints(str(tmp_path)) == [10, 20]
+    step, loaded, _ = load_train_state(str(tmp_path))
+    assert step == 20
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    prune_checkpoints(str(tmp_path), keep=1)
+    assert list_checkpoints(str(tmp_path)) == [20]
+
+
+def test_export_torch_selector(tmp_path):
+    torch = pytest.importorskip("torch")
+    import jax
+    from tspo_tpu.models.selector import (init_selector_params,
+                                          selector_params_from_torch)
+    params = init_selector_params(jax.random.PRNGKey(1), SEL_CFG)
+    path = export_torch_selector(str(tmp_path / "sel.pth"), params)
+    sd = torch.load(path, weights_only=True)
+    back = selector_params_from_torch(sd)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+# ---------------- trainer ----------------
+
+class OracleBackbone:
+    """Answers 'A' iff the majority of given frames are bright (the relevant
+    segment), else 'B' — a stand-in for the frozen 7B MLLM."""
+
+    def generate(self, frames, question):
+        frac = float((frames.astype(np.float32).mean(axis=(1, 2, 3)) > 100).mean())
+        return "A" if frac > 0.5 else "B"
+
+
+@pytest.fixture(scope="module")
+def train_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train")
+    # 64-frame 1fps video, bright segment [20, 40)
+    w = cv2.VideoWriter(str(root / "train.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 1.0, (48, 48))
+    for i in range(64):
+        val = 200 if 20 <= i < 40 else 30
+        w.write(np.full((48, 48, 3), val, np.uint8))
+    w.release()
+    dataset = [{
+        "video": "train.mp4",
+        "original_question": "<image>\nWhen is it bright?\nA. mid\nB. never "
+                             "Please respond with only the letter of the correct answer.",
+        "problem": "When is it bright?",
+        "solution": "<answer>a</answer>",
+        "type": "general",
+    }]
+    return root, dataset
+
+
+def _make_trainer(root, dataset, out, **cfg_kw):
+    cfg = TrainConfig(num_generations=4, training_sample_len=8,
+                      learning_rate=5e-3, max_steps=60, window_size=8,
+                      save_every=1000, seed=0, **cfg_kw)
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                                 dtype=jnp.float32, tokenize=_tokenize,
+                                 batch_frames=32, frame_buckets=(64, 128, 256,
+                                                                 512, 1024))
+    return TSPOTrainer(scorer=scorer, backbone=OracleBackbone(),
+                       dataset=dataset, cfg=cfg, sel_cfg=SEL_CFG,
+                       video_folder=str(root), output_dir=str(out))
+
+
+def test_train_step_metrics(train_setup, tmp_path):
+    root, dataset = train_setup
+    tr = _make_trainer(root, dataset, tmp_path / "out")
+    m = tr.train_step(dataset[0])
+    for key in ("loss", "grad_norm", "reward", "ts_length",
+                "rewards/accuracy_reward", "score_tau"):
+        assert key in m
+        assert np.isfinite(m[key]) or isinstance(m[key], str)
+    assert m["ts_length"] == 4.0  # general: training_sample_len // 2
+
+
+def test_training_improves_reward(train_setup, tmp_path):
+    root, dataset = train_setup
+    tr = _make_trainer(root, dataset, tmp_path / "out2")
+    history = tr.train(max_steps=50)
+    first = np.mean([h["rewards/accuracy_reward"] for h in history[:10]])
+    last = np.mean([h["rewards/accuracy_reward"] for h in history[-10:]])
+    assert last > first, f"reward did not improve: {first:.3f} -> {last:.3f}"
+    assert last >= 0.7, f"final accuracy reward too low: {last:.3f}"
+    assert os.path.exists(tr.metrics_path)
+    assert list_checkpoints(tr.output_dir)  # final checkpoint written
+
+
+def test_needle_specific_sample(train_setup, tmp_path):
+    root, dataset = train_setup
+    row = dict(dataset[0], type="specific")
+    tr = _make_trainer(root, [row], tmp_path / "out3")
+    tr.irrelevant_pool = [{"video": "train.mp4"}]
+    tr.cfg = tr.cfg.__class__(**{**tr.cfg.__dict__, "needle_wrong_clips": 3,
+                                 "needle_clip_len": 10})
+    video, mask, problem, question, sample_len, stype = tr.prepare_sample(row)
+    assert stype == "specific"
+    assert sample_len == 8
+    assert video.shape[0] == mask.shape[0]
+    assert 0 < mask.sum() < len(mask)
+    m = tr.train_step(row)
+    assert "rewards/temporal_reward" in m
+    assert 0.0 <= m["rewards/temporal_reward"] <= 1.0

@@ -1,0 +1,260 @@
+"""GRPO trainer — host loop orchestrating rollouts, rewards and updates.
+
+TPU rebuild of ``LLaVAVideoTSPOTrainer.compute_loss`` (tspo_trainer.py:434-640,
+call stack SURVEY.md §3.1).  Per sample:
+
+  1. host: 1-fps decode (<=128 frames); "specific" samples become
+     needle-in-a-haystack composites with a ground-truth mask
+  2. device: CLIP features once per sample (bucketed, bf16)
+  3. device: G Gumbel-top-k frame subsets from the selector logits
+  4. host: frozen backbone answers once per subset (greedy)
+  5. host: rewards (accuracy / temporal / format) -> group advantages
+  6. device: REINFORCE surrogate update of the selector only
+
+The backbone is any ``generate(frames, question) -> str`` callable — the
+LLaVA-Video jax model, a Qwen2.5-VL adapter, or a test stub.  Data parallelism
+shards samples across mesh 'data' (selector_update_step's gradient mean
+becomes an ICI all-reduce); this loop is the single-sample-per-step layout
+matching the reference's per-rank bs=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import SelectorConfig, TrainConfig
+from ..models.tspo_model import TSPOScorer
+from ..ops.masking import bucket_for, pad_to_bucket
+from ..video.augment import repeat_videos, sample_real_frames, shuffle_clips
+from ..video.reader import load_video
+from .checkpoint import prune_checkpoints, save_train_state
+from .grpo import (TrainBatch, anneal_tau, make_optimizer, sample_subsets,
+                   selector_update_step)
+from .rewards import (REWARD_REGISTRY, clean_question, compose_rewards,
+                      extract_problem)
+
+
+@dataclass
+class TSPOTrainer:
+    scorer: TSPOScorer                      # CLIP (frozen) + selector (trains)
+    backbone: object                        # generate(frames, question) -> str
+    dataset: Sequence                       # jsonl rows (C15 schema)
+    cfg: TrainConfig = field(default_factory=TrainConfig)
+    sel_cfg: SelectorConfig = field(default_factory=SelectorConfig)
+    video_folder: str = ""
+    irrelevant_pool: Sequence | None = None  # distractor source rows
+    reward_funcs: Sequence[str] = ("accuracy", "temporal")
+    output_dir: str = "output"
+    toy_example: bool = False
+    metric_hook: Callable | None = None
+
+    def __post_init__(self):
+        self.optimizer = make_optimizer(self.cfg)
+        self.opt_state = self.optimizer.init(self.scorer.selector_params)
+        self.step = 0
+        self._rng = jax.random.PRNGKey(self.cfg.seed)
+        self._np_rng = np.random.default_rng(self.cfg.seed)
+        self.metrics_path = os.path.join(self.output_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+    # sample preparation (host)
+    # ------------------------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def prepare_sample(self, row: dict):
+        """Decode + augment one sample; returns (video, mask, problem,
+        question, sample_len, sample_type)."""
+        sample_type = row.get("type", "general")
+        problem = extract_problem(row["original_question"])
+        question = clean_question(row["original_question"])
+        path = os.path.join(self.video_folder, row["video"])
+        video, _, _ = load_video(path, max_frames_num=self.cfg.max_candidate_frames,
+                                 fps=1, force_sample=False)
+        if sample_type == "specific":
+            # needle-in-a-haystack composite (tspo_trainer.py:462-480)
+            true_clips = repeat_videos(
+                video, repeat_times=int(self._np_rng.integers(1, 5)),
+                sample_len=self.cfg.needle_clip_len, rng=self._np_rng)
+            wrong_clips = []
+            for _ in range(self.cfg.needle_wrong_clips):
+                wrong_clips.append(sample_real_frames(
+                    self.irrelevant_pool, root=self.video_folder,
+                    sample_num=len(true_clips[0]), target_h=video.shape[1],
+                    target_w=video.shape[2], rng=self._np_rng))
+            video, mask = shuffle_clips(true_clips, wrong_clips, rng=self._np_rng)
+            sample_len = self.cfg.training_sample_len
+        else:
+            mask = np.ones(len(video), bool)
+            sample_len = self.cfg.training_sample_len // 2
+        return video, mask, problem, question, sample_len, sample_type
+
+    # ------------------------------------------------------------------
+    # one training step
+    # ------------------------------------------------------------------
+
+    def train_step(self, row: dict) -> dict:
+        cfg, sel_cfg = self.cfg, self.sel_cfg
+        video, mask, problem, question, sample_len, sample_type = \
+            self.prepare_sample(row)
+
+        tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
+                               cfg.score_tau_final))
+
+        # CLIP features once per sample (tspo_trainer.py:497-498)
+        img, txt, csc = self.scorer.extract_features(video, problem)
+        T = int(img.shape[0])
+        bucket = bucket_for(T, self.scorer.frame_buckets)
+        img_p, valid = pad_to_bucket(np.asarray(img, np.float32), bucket)
+        csc_p, _ = pad_to_bucket(np.asarray(csc, np.float32), bucket)
+        batch = TrainBatch(
+            frame_feat=jnp.asarray(img_p)[None],
+            text_feat=jnp.asarray(txt, jnp.float32).reshape(1, -1)[None],
+            clip_scores=jnp.asarray(csc_p)[None],
+            valid=jnp.asarray(valid)[None])
+
+        # G stochastic subsets (device), then frozen rollouts (host)
+        subsets = sample_subsets(self.scorer.selector_params, batch,
+                                 self._next_rng(), jnp.float32(tau),
+                                 sel_cfg=sel_cfg,
+                                 num_generations=cfg.num_generations,
+                                 sample_len=sample_len,
+                                 window_size=cfg.window_size)
+        idx_g = np.asarray(subsets.indices[0])                  # [G, K]
+        completions = [self.backbone.generate(video[idx], question)
+                       for idx in idx_g]
+
+        # rewards -> [G, n_funcs] (tspo_trainer.py:557-573)
+        solutions = [row.get("solution", "")] * cfg.num_generations
+        rewards_per_func = np.zeros((cfg.num_generations, len(self.reward_funcs)),
+                                    np.float32)
+        for j, name in enumerate(self.reward_funcs):
+            fn = REWARD_REGISTRY[name]
+            rewards_per_func[:, j] = fn(
+                completions=completions, solution=solutions,
+                sel_idxs=list(idx_g), total_mask=mask)
+        rewards = compose_rewards(rewards_per_func, sample_type)  # [G]
+
+        # device update (REINFORCE surrogate, group baseline)
+        params, self.opt_state, dev_metrics = selector_update_step(
+            self.scorer.selector_params, self.opt_state, batch, subsets,
+            jnp.asarray(rewards)[None], jnp.float32(tau), sel_cfg=sel_cfg,
+            train_cfg=cfg, optimizer=self.optimizer,
+            window_size=cfg.window_size)
+        self.scorer.selector_params = params
+
+        metrics = {
+            "step": self.step,
+            "loss": float(dev_metrics["loss"]),
+            "grad_norm": float(dev_metrics["grad_norm"]),
+            "reward": float(rewards.mean()),
+            "reward_std": float(rewards.std()),
+            "ts_length": float(idx_g.shape[1]),
+            "completion_length": float(np.mean([len(c) for c in completions])),
+            "score_tau": tau,
+            "type": sample_type,
+        }
+        for j, name in enumerate(self.reward_funcs):
+            metrics[f"rewards/{name}_reward"] = float(rewards_per_func[:, j].mean())
+
+        if self.toy_example:
+            pred = self.scorer.score(img, txt, csc, window_size=cfg.window_size,
+                                     score_tau=tau)
+            self._toy_artifacts(video, idx_g, rewards_per_func,
+                                np.asarray(csc, np.float32), pred * tau,
+                                sample_type)
+        return metrics
+
+    # ------------------------------------------------------------------
+    # loop
+    # ------------------------------------------------------------------
+
+    def train(self, max_steps: int | None = None, shuffle: bool = True) -> list:
+        max_steps = max_steps or min(self.cfg.max_steps, len(self.dataset))
+        order = self._np_rng.permutation(len(self.dataset)) if shuffle \
+            else np.arange(len(self.dataset))
+        os.makedirs(self.output_dir, exist_ok=True)
+        history = []
+        t0 = time.time()
+        for i in range(max_steps):
+            row = self.dataset[int(order[i % len(self.dataset)])]
+            metrics = self.train_step(row)
+            metrics["time"] = round(time.time() - t0, 2)
+            history.append(metrics)
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(metrics) + "\n")
+            if self.metric_hook:
+                self.metric_hook(metrics)
+            self.step += 1
+            if self.step % self.cfg.save_every == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        return history
+
+    def save_checkpoint(self):
+        save_train_state(self.output_dir, self.step,
+                         self.scorer.selector_params, self.opt_state)
+        prune_checkpoints(self.output_dir, self.cfg.save_total_limit)
+
+    def export_merged(self, directory: str):
+        """Standalone TSPO-0.4B export (merge_weights.py equivalent)."""
+        from .checkpoint import export_merged
+        return export_merged(directory, self.scorer.clip_params,
+                             self.scorer.selector_params)
+
+    # ------------------------------------------------------------------
+
+    def _toy_artifacts(self, video, idx_g, rewards_per_func, clip_scores,
+                       pred_scores, sample_type):
+        """Contact sheet of the last sampled subset + smoothed pred/CLIP score
+        curves (tspo_trainer.py:575-585, trainer/utils.py:265-329) — the
+        reference's de-facto end-to-end correctness check."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from scipy.ndimage import gaussian_filter1d
+        except Exception:
+            return
+        out = os.path.join(self.output_dir, f"save_image_{sample_type}")
+        os.makedirs(out, exist_ok=True)
+        idx = idx_g[-1]
+        sel = video[idx]
+        n = len(sel)
+        ncols = int(np.ceil(np.sqrt(n)))
+        nrows = int(np.ceil(n / ncols))
+        fig, axes = plt.subplots(nrows, ncols, figsize=(ncols * 2, nrows * 1.5))
+        axes = np.atleast_2d(axes)
+        for j in range(nrows * ncols):
+            ax = axes.flat[j]
+            ax.axis("off")
+            if j < n:
+                ax.imshow(sel[j])
+                ax.set_title(str(int(idx[j])), fontsize=10, color="red")
+        fig.savefig(os.path.join(out, f"sampled_frames_{self.step}.jpg"),
+                    dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
+        fig = plt.figure(figsize=(5, 2.5))
+        plt.plot(gaussian_filter1d(np.asarray(pred_scores, np.float32), 1.5),
+                 label=f"Pred Score (Step {self.step})", color="#ff7f0e")
+        title = f"Mean R_A: {rewards_per_func[:, 0].mean():.4f}"
+        if sample_type == "specific" and rewards_per_func.shape[1] > 1:
+            title += f"  Mean R_T: {rewards_per_func[:, 1].mean():.4f}"
+        plt.title(title)
+        plt.xlabel("Video Frame Index")
+        plt.legend(loc="upper right")
+        plt.grid(True, linestyle="--", alpha=0.5)
+        fig.savefig(os.path.join(out, f"scores_{self.step}.jpg"), dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)

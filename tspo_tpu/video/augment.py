@@ -137,6 +137,13 @@ def sample_real_frames(data: list, root: str, sample_num: int,
     rng = rng or np.random.default_rng()
     line = data[int(rng.integers(len(data)))]
     path = os.path.join(root, line["video"])
-    frames, _, _ = load_video(path, max_frames_num=50, fps=1, force_sample=False)
+    frames, _, _ = load_video(path, max_frames_num=max(50, sample_num), fps=1,
+                              force_sample=False)
+    # The reference always uses 50-frame clips; honoring sample_num keeps the
+    # composite consistent for other clip lengths (tile short decodes).
+    if len(frames) < sample_num:
+        reps = -(-sample_num // len(frames))
+        frames = np.tile(frames, (reps, 1, 1, 1))
+    frames = frames[:sample_num]
     return np.stack([cv2.resize(f, (target_w, target_h),
                                 interpolation=cv2.INTER_LINEAR) for f in frames])
