@@ -1,0 +1,111 @@
+"""CLI smoke tests — the L7 shell layer end-to-end with stub backbones."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tspo_tpu.cli import demo as demo_cli
+from tspo_tpu.cli import evaluate as evaluate_cli
+from tspo_tpu.cli import precompute as precompute_cli
+from tspo_tpu.cli import train as train_cli
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    (root / "videos").mkdir()
+    for i in range(2):
+        w = cv2.VideoWriter(str(root / "videos" / f"v{i}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+        for j in range(120):
+            w.write(np.full((48, 48, 3), (j * 2 + i * 40) % 255, np.uint8))
+        w.release()
+    # toy training jsonl (C15 schema)
+    with open(root / "toy.jsonl", "w") as f:
+        for i in range(2):
+            f.write(json.dumps({
+                "video": f"videos/v{i}.mp4",
+                "original_question": "<image>\nWhat?\nA. x\nB. y Please respond "
+                                     "with only the letter of the correct answer.",
+                "problem": "What?",
+                "solution": "<answer>a</answer>",
+                "complete_answer": "A. x",
+                "type": "general"}) + "\n")
+    # phase-1 TSV
+    with open(root / "Bench.tsv", "w") as f:
+        f.write("index\ttask_name\tvideo_name\tquestion_id\tquestion\t"
+                "answer_number\tcandidates\tanswer\n")
+        for i in range(2):
+            f.write(f"{i}\tBench\tv{i}.mp4\tq{i}\tWhat {i}?\t0\t"
+                    f"['x', 'y']\tA\n")
+    # phase-2 annotations
+    with open(root / "anno.json", "w") as f:
+        json.dump([{"question_id": f"q{i}", "question": f"What {i}?",
+                    "options": ["A. x", "B. y"], "answer": "A",
+                    "duration": "short", "domain": "d", "sub_category": "s",
+                    "task_type": "t", "videoID": f"v{i}.mp4"}
+                   for i in range(2)], f)
+    return root
+
+
+def test_train_cli_toy(workspace, capsys):
+    out = workspace / "train_out"
+    train_cli.main([
+        "--toy-jsonl-path", str(workspace / "toy.jsonl"),
+        "--video-folder", str(workspace),
+        "--backbone", "stub", "--max-steps", "2", "--tiny",
+        "--num-generations", "2", "--training-sample-len", "4",
+        "--window-size", "4",
+        "--output-dir", str(out),
+        "--export-merged", str(out / "merged"),
+    ])
+    assert os.path.exists(out / "metrics.jsonl")
+    assert os.path.exists(out / "merged" / "tspo_params.npz")
+    assert "trained 2 steps" in capsys.readouterr().out
+
+
+def test_precompute_and_evaluate_cli(workspace, capsys):
+    out_json = str(workspace / "Bench_frameIdx.json")
+    precompute_cli.main([
+        "--data", "Bench", "--tsv", str(workspace / "Bench.tsv"),
+        "--video-root", str(workspace / "videos"),
+        "--work-dir", str(workspace / "work"),
+        "--cache-root", str(workspace / "cache"),
+        "--sample-num", "8", "--max-frames", "512", "--tiny",
+        "--anno-json", str(workspace / "anno.json"),
+        "--out-json", out_json,
+    ])
+    txt = capsys.readouterr().out
+    assert "2 questions scored" in txt
+    docs = json.load(open(out_json))
+    assert all("frame_idx" in d for d in docs)
+
+    evaluate_cli.main([
+        "--task", "VideoMME", "--frame-idx-json", out_json,
+        "--video-root", str(workspace / "videos"),
+        "--backbone", "stub", "--max-frames-num", "8",
+        "--output", str(workspace / "results"),
+    ])
+    txt = capsys.readouterr().out
+    assert "overall" in txt
+    results = [f for f in os.listdir(workspace / "results") if f.endswith(".json")]
+    assert results
+
+
+def test_demo_cli(workspace, capsys):
+    sheet = str(workspace / "sheet.jpg")
+    demo_cli.main([
+        "--video", str(workspace / "videos" / "v0.mp4"),
+        "--question", "What happens?",
+        "--sample-num", "8", "--window-size", "4", "--tiny",
+        "--contact-sheet", sheet,
+        "--backbone", "stub",
+    ])
+    txt = capsys.readouterr().out
+    assert "selected 8 frames" in txt
+    assert "answer: A" in txt
+    assert os.path.exists(sheet)

@@ -1,0 +1,136 @@
+"""Shared CLI plumbing: checkpoint loading and backbone construction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def load_scorer(model_path: str | None, *, dtype=None, batch_frames: int = 256,
+                seed: int = 0, tiny: bool = False):
+    """TSPOScorer from a merged checkpoint directory (npz format or a torch
+    merged TSPO-0.4B), or random weights when ``model_path`` is None
+    (smoke/bench runs).  ``tiny`` selects the small test config (fast CPU
+    smoke runs of the full pipelines)."""
+    import jax.numpy as jnp
+    from ..configs import CLIPConfig, SelectorConfig
+    from ..models.tspo_model import TSPOScorer, build_random_scorer
+
+    dtype = dtype or jnp.bfloat16
+    tokenize = None
+    if model_path:
+        tokenize = make_clip_tokenizer(model_path)
+        if os.path.exists(os.path.join(model_path, "tspo_params.npz")):
+            return TSPOScorer.load(model_path, dtype=dtype, tokenize=tokenize,
+                                   batch_frames=batch_frames)
+        return _scorer_from_torch_dir(model_path, dtype, tokenize, batch_frames)
+    if tiny:
+        clip_cfg = CLIPConfig.tiny()
+        return build_random_scorer(
+            seed=seed, clip_cfg=clip_cfg,
+            selector_cfg=SelectorConfig(dim=clip_cfg.text.projection_dim,
+                                        num_heads=4),
+            dtype=jnp.float32, batch_frames=32,
+            tokenize=_stub_tokenizer(eos=clip_cfg.text.eos_token_id, length=8))
+    return build_random_scorer(seed=seed, dtype=dtype,
+                               batch_frames=batch_frames,
+                               tokenize=_stub_tokenizer())
+
+
+def _scorer_from_torch_dir(path: str, dtype, tokenize, batch_frames):
+    """Load a reference-format merged TSPO-0.4B HF directory (safetensors or
+    pytorch_model.bin) — merge_weights.py output."""
+    from ..models.tspo_model import TSPOScorer
+    sd = {}
+    st_files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors import safe_open
+        for fname in st_files:
+            with safe_open(os.path.join(path, fname), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    else:
+        import torch
+        sd = torch.load(os.path.join(path, "pytorch_model.bin"),
+                        map_location="cpu", weights_only=True)
+    return TSPOScorer.from_torch_merged(sd, dtype=dtype, tokenize=tokenize,
+                                        batch_frames=batch_frames)
+
+
+def make_clip_tokenizer(model_path: str):
+    """CLIP tokenizer from a local checkpoint dir; returns
+    problem -> (input_ids, attention_mask) with CLIP padding/truncation."""
+    try:
+        from transformers import CLIPTokenizerFast
+        tok = CLIPTokenizerFast.from_pretrained(model_path)
+    except Exception:
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(model_path)
+        except Exception:
+            return _stub_tokenizer()
+
+    def tokenize(problem: str):
+        out = tok(problem, return_tensors="np", padding=True, truncation=True)
+        return out["input_ids"], out["attention_mask"]
+
+    return tokenize
+
+
+def _stub_tokenizer(eos: int = 49407, length: int = 16, vocab: int | None = None):
+    vocab = vocab if vocab is not None else eos + 1
+    def tokenize(problem: str):
+        ids = np.full((1, length), 3, np.int32)
+        for i, ch in enumerate(problem[: length - 2]):
+            ids[0, i + 1] = 1 + (ord(ch) % max(vocab - 2, 1))
+        ids[0, -1] = eos
+        return ids, np.ones((1, length), np.int32)
+    return tokenize
+
+
+def load_backbone(kind: str, model_path: str | None = None, **kw):
+    """Backbone adapter factory: 'stub' (testing), 'llava_video' (jax),
+    'qwen2_5_vl' (jax)."""
+    if kind == "stub":
+        class Stub:
+            def generate(self, frames, prompt):
+                return "A"
+        return Stub()
+    if kind == "llava_video":
+        from ..models.llava_video import LLaVAVideoModel, LLaVAVideoConfig
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(model_path)
+        cfg = LLaVAVideoConfig()
+        model = _load_llava_dir(model_path, cfg, **kw)
+        model.encode = lambda s: tok(s).input_ids
+        model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)
+        return model
+    if kind == "qwen2_5_vl":
+        from ..models.qwen25vl import load_qwen25vl_adapter
+        return load_qwen25vl_adapter(model_path, **kw)
+    raise ValueError(f"unknown backbone: {kind}")
+
+
+def _load_llava_dir(path: str, cfg, **kw):
+    from ..models.llava_video import LLaVAVideoModel
+    import glob
+    sd = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+        for fname in st_files:
+            with safe_open(fname, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    else:
+        import torch
+        for fname in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
+            sd.update(torch.load(fname, map_location="cpu", weights_only=True))
+    return LLaVAVideoModel.from_torch_checkpoint(sd, cfg, **kw)
+
+
+def load_jsonl(path: str) -> list:
+    with open(path, encoding="utf-8") as f:
+        return [json.loads(line) for line in f if line.strip()]

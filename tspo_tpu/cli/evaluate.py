@@ -1,0 +1,75 @@
+"""Phase-2 CLI — replaces evaluation/*.sh + the lmms-eval invocation.
+
+  python -m tspo_tpu.cli.evaluate --task LongVideoBench \
+      --frame-idx-json evaluation/jsons_idx/TSPO_LongVideoBench_frameIdx.json \
+      --video-root /videos --backbone llava_video --backbone-path /ckpt \
+      --max-frames-num 64 --output results/
+
+Baseline (uniform sampling, no TSPO):  add --uniform.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TSPO benchmark evaluation")
+    p.add_argument("--task", required=True,
+                   help="LongVideoBench | MLVU | VideoMME | LVBench")
+    p.add_argument("--frame-idx-json", required=True)
+    p.add_argument("--video-root", default="")
+    p.add_argument("--backbone", default="stub",
+                   choices=["stub", "llava_video", "qwen2_5_vl"])
+    p.add_argument("--backbone-path", default=None)
+    p.add_argument("--max-frames-num", type=int, default=64)
+    p.add_argument("--uniform", action="store_true",
+                   help="uniform-sampling baseline (is_uniform=True)")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world", type=int, default=1)
+    p.add_argument("--output", default="eval_results")
+    p.add_argument("--log-samples", action="store_true", default=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..eval.datasets import load_json
+    from ..eval.harness import evaluate_task
+    from .common import load_backbone
+
+    docs = load_json(args.frame_idx_json)
+    backbone = load_backbone(args.backbone, args.backbone_path)
+    t0 = time.time()
+    done = []
+    res = evaluate_task(
+        args.task, docs, backbone, video_root=args.video_root,
+        max_frames_num=args.max_frames_num, is_uniform=args.uniform,
+        limit=args.limit, shard=(args.rank, args.world),
+        log_samples=args.log_samples,
+        progress=lambda qid: done.append(qid) or (
+            len(done) % 25 == 0 and print(f"{len(done)} done")))
+
+    os.makedirs(args.output, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    agg_path = os.path.join(args.output,
+                            f"{args.task}_rank{args.rank}_{stamp}.json")
+    with open(agg_path, "w") as f:
+        json.dump({"task": args.task, "metrics": res.metrics,
+                   "n": len(res.results),
+                   "elapsed_s": round(time.time() - t0, 1),
+                   "config": vars(args)}, f, indent=2)
+    if args.log_samples:
+        with open(agg_path.replace(".json", "_samples.jsonl"), "w") as f:
+            for s in res.samples:
+                f.write(json.dumps(s) + "\n")
+    print(json.dumps(res.metrics, indent=2))
+    print(f"saved -> {agg_path}")
+
+
+if __name__ == "__main__":
+    main()

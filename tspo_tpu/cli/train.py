@@ -1,0 +1,80 @@
+"""Training CLI — replaces train_deepspeed.sh / toy_example.sh + tspo.py main.
+
+  python -m tspo_tpu.cli.train --jsonl-path data.jsonl --video-folder /videos \
+      --clip-path /ckpt/clip --backbone llava_video --backbone-path /ckpt/llava \
+      --num-generations 8 --training-sample-len 16 --window-size 12
+
+Toy example (single chip, stub-friendly):
+  python -m tspo_tpu.cli.train --toy-jsonl-path toy.jsonl --video-folder . \
+      --backbone stub --max-steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TSPO GRPO training on TPU")
+    p.add_argument("--jsonl-path", default=None)
+    p.add_argument("--toy-jsonl-path", default=None)
+    p.add_argument("--video-folder", required=True)
+    p.add_argument("--clip-path", default=None,
+                   help="merged TSPO/CLIP checkpoint dir (random init if absent)")
+    p.add_argument("--backbone", default="stub",
+                   choices=["stub", "llava_video", "qwen2_5_vl"])
+    p.add_argument("--backbone-path", default=None)
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--reward-funcs", nargs="+", default=["accuracy", "temporal"])
+    p.add_argument("--num-generations", type=int, default=8)
+    p.add_argument("--training-sample-len", type=int, default=16)
+    p.add_argument("--window-size", type=int, default=12)
+    p.add_argument("--score-tau", type=float, default=0.025)
+    p.add_argument("--learning-rate", type=float, default=5e-4)
+    p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--save-steps", type=int, default=100)
+    p.add_argument("--save-total-limit", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CPU smoke runs)")
+    p.add_argument("--export-merged", default=None,
+                   help="directory for the merged TSPO-0.4B export after training")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..configs import TrainConfig
+    from ..train.trainer import TSPOTrainer
+    from .common import load_backbone, load_jsonl, load_scorer
+
+    jsonl = args.toy_jsonl_path or args.jsonl_path
+    if not jsonl:
+        raise SystemExit("need --jsonl-path or --toy-jsonl-path")
+    dataset = load_jsonl(jsonl)
+
+    cfg = TrainConfig(
+        num_generations=args.num_generations,
+        training_sample_len=args.training_sample_len,
+        window_size=args.window_size, score_tau=args.score_tau,
+        learning_rate=args.learning_rate, max_steps=args.max_steps,
+        save_every=args.save_steps, save_total_limit=args.save_total_limit,
+        seed=args.seed)
+
+    scorer = load_scorer(args.clip_path, seed=args.seed, tiny=args.tiny)
+    backbone = load_backbone(args.backbone, args.backbone_path)
+    trainer = TSPOTrainer(
+        scorer=scorer, backbone=backbone, dataset=dataset, cfg=cfg,
+        video_folder=args.video_folder, irrelevant_pool=dataset,
+        reward_funcs=tuple(args.reward_funcs), output_dir=args.output_dir,
+        toy_example=bool(args.toy_jsonl_path))
+    history = trainer.train(max_steps=args.max_steps)
+    if args.export_merged:
+        trainer.export_merged(args.export_merged)
+    print(f"trained {len(history)} steps; "
+          f"final reward {history[-1]['reward']:.3f}" if history else "no steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,7 @@ class TSPOTrainer:
     backbone: object                        # generate(frames, question) -> str
     dataset: Sequence                       # jsonl rows (C15 schema)
     cfg: TrainConfig = field(default_factory=TrainConfig)
-    sel_cfg: SelectorConfig = field(default_factory=SelectorConfig)
+    sel_cfg: SelectorConfig | None = None   # defaults to scorer.selector_cfg
     video_folder: str = ""
     irrelevant_pool: Sequence | None = None  # distractor source rows
     reward_funcs: Sequence[str] = ("accuracy", "temporal")
@@ -57,6 +57,8 @@ class TSPOTrainer:
     metric_hook: Callable | None = None
 
     def __post_init__(self):
+        if self.sel_cfg is None:
+            self.sel_cfg = self.scorer.selector_cfg
         self.optimizer = make_optimizer(self.cfg)
         self.opt_state = self.optimizer.init(self.scorer.selector_params)
         self.step = 0
