@@ -1,0 +1,211 @@
+"""Qwen2.5-VL parity vs torch transformers (tiny config): preprocessing,
+vision tower, M-RoPE LM, and end-to-end logits/first-token."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from tspo_tpu.models.qwen25vl import (  # noqa: E402
+    Qwen25VLConfig,
+    Qwen25VLModel,
+    _vision_layout,
+    _vision_rope,
+    preprocess_video,
+    qwen25vl_vision_forward,
+    rope_index_for_video,
+)
+from tspo_tpu.models.qwen2 import (  # noqa: E402
+    KVCache,
+    embed_tokens,
+    lm_logits,
+    mrope_cos_sin,
+    qwen2_forward,
+)
+from tspo_tpu.ops.flash_attention import flash_attention  # noqa: E402
+
+CFG = Qwen25VLConfig.tiny()
+
+
+def test_flash_attention_matches_dense():
+    rng = np.random.default_rng(0)
+    B, S, H, hd = 2, 100, 3, 8
+    q = jnp.asarray(rng.normal(size=(B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, hd)), jnp.float32)
+    valid = jnp.asarray(rng.random((B, S)) > 0.2).at[:, 0].set(True)
+    # (key 0 valid: a fully-masked query row is undefined behavior in any
+    # flash formulation and never occurs in real use)
+
+    def dense(q, k, v, valid, causal):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        ok = valid[:, None, None, :]
+        if causal:
+            cm = jnp.tril(jnp.ones((S, S), bool))
+            ok = ok & cm[None, None]
+        s = jnp.where(ok, s, -1e30)
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", a, v)
+
+    for causal in (False, True):
+        want = dense(q, k, v, valid, causal)
+        got = flash_attention(q, k, v, valid, causal=causal, q_chunk=32,
+                              k_chunk=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    v, lm = CFG.vision, CFG.lm
+    hf_cfg = transformers.Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=lm.vocab_size, hidden_size=lm.hidden_size,
+            intermediate_size=lm.intermediate_size,
+            num_hidden_layers=lm.num_layers, num_attention_heads=lm.num_heads,
+            num_key_value_heads=lm.num_kv_heads, head_dim=lm.head_dim,
+            rope_theta=lm.rope_theta, rms_norm_eps=lm.rms_eps,
+            max_position_embeddings=lm.max_position_embeddings,
+            tie_word_embeddings=False, attention_dropout=0.0,
+            rope_scaling={"type": "mrope",
+                          "mrope_section": list(CFG.mrope_section)},
+        ),
+        vision_config=dict(
+            depth=v.depth, hidden_size=v.hidden, intermediate_size=v.intermediate,
+            num_heads=v.heads, patch_size=v.patch_size,
+            temporal_patch_size=v.temporal_patch_size,
+            spatial_merge_size=v.spatial_merge_size, window_size=v.window_size,
+            fullatt_block_indexes=list(v.fullatt_block_indexes),
+            out_hidden_size=v.out_hidden, tokens_per_second=v.tokens_per_second,
+            hidden_act="silu",
+        ),
+        image_token_id=CFG.image_token_id, video_token_id=CFG.video_token_id,
+        vision_start_token_id=CFG.vision_start_token_id,
+        vision_end_token_id=CFG.vision_end_token_id,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def jax_model(torch_model):
+    return Qwen25VLModel.from_torch_checkpoint(torch_model, CFG,
+                                               dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def video_inputs():
+    rng = np.random.default_rng(1)
+    # H=W=32 divisible by factor 8 -> smart_resize is identity, so torch and
+    # jax preprocessing see identical pixels
+    frames = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    return frames
+
+
+def test_preprocess_matches_hf_processor(video_inputs):
+    v = CFG.vision
+    proc = transformers.models.qwen2_vl.image_processing_qwen2_vl.Qwen2VLImageProcessor(
+        patch_size=v.patch_size, temporal_patch_size=v.temporal_patch_size,
+        merge_size=v.spatial_merge_size, min_pixels=1, max_pixels=10 ** 8)
+    out = proc(images=None, videos=[list(video_inputs)], return_tensors="np")
+    want = out["pixel_values_videos"]
+    grid_want = out["video_grid_thw"][0]
+    got, grid = preprocess_video(video_inputs, v, min_pixels=1,
+                                 max_pixels=10 ** 8)
+    np.testing.assert_array_equal(np.asarray(grid), grid_want)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_vision_tower_parity(torch_model, jax_model, video_inputs):
+    v = CFG.vision
+    patches, grid = preprocess_video(video_inputs, v, min_pixels=1,
+                                     max_pixels=10 ** 8)
+    with torch.no_grad():
+        want = torch_model.model.visual(
+            torch.from_numpy(patches.astype(np.float32)),
+            grid_thw=torch.tensor([list(grid)])).numpy()
+    pos_hw, window_cells = _vision_layout(*grid, v.spatial_merge_size,
+                                          v.merger_window)
+    cos, sin = _vision_rope(pos_hw, v.head_dim)
+    got = np.asarray(qwen25vl_vision_forward(
+        jax_model.params["visual"], jnp.asarray(patches), jnp.asarray(cos),
+        jnp.asarray(sin), jnp.asarray(window_cells), v))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_mrope_lm_logits_parity(torch_model, jax_model, video_inputs):
+    """Full multimodal prefill: vision features spliced at video_pad tokens,
+    3D rope positions — logits vs HF forward."""
+    c = CFG
+    v = c.vision
+    patches, grid = preprocess_video(video_inputs, v, min_pixels=1,
+                                     max_pixels=10 ** 8)
+    n_vid = int(np.prod(grid) // v.merge_unit)
+    rng = np.random.default_rng(2)
+    pre = rng.integers(0, 500, size=6).tolist() + [c.vision_start_token_id]
+    post = [c.vision_end_token_id] + rng.integers(0, 500, size=5).tolist()
+    ids = np.asarray(pre + [c.video_token_id] * n_vid + post)
+
+    with torch.no_grad():
+        want = torch_model(
+            input_ids=torch.from_numpy(ids)[None],
+            pixel_values_videos=torch.from_numpy(patches.astype(np.float32)),
+            video_grid_thw=torch.tensor([list(grid)]),
+            second_per_grid_ts=torch.tensor([2.0]),
+        ).logits[0].numpy()
+
+    feats, grid2 = (jax_model.encode_video(video_inputs)
+                    if False else (None, None))
+    pos_hw, window_cells = _vision_layout(*grid, v.spatial_merge_size,
+                                          v.merger_window)
+    cos_v, sin_v = _vision_rope(pos_hw, v.head_dim)
+    feats = qwen25vl_vision_forward(
+        jax_model.params["visual"], jnp.asarray(patches), jnp.asarray(cos_v),
+        jnp.asarray(sin_v), jnp.asarray(window_cells), v)
+
+    lm = jax_model.params["lm"]
+    emb = embed_tokens(lm, jnp.asarray(ids))
+    emb = emb.at[len(pre):len(pre) + n_vid].set(feats.astype(emb.dtype))
+    pos3, _ = rope_index_for_video(len(pre), grid, len(post),
+                                   v.spatial_merge_size, v.tokens_per_second,
+                                   2.0)
+    cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
+                             c.lm.rope_theta, c.mrope_section)
+    S = len(ids)
+    cache = KVCache.create(c.lm, 1, S, jnp.float32)
+    h, _ = qwen2_forward(lm, emb[None], cache, jnp.arange(S),
+                         jnp.ones((1, S), bool), c.lm,
+                         rope_cos_sin=(cos, sin))
+    got = np.asarray(lm_logits(lm, h, c.lm))[0]
+    # fp32 accumulation-order noise amplified through the LM head; argmax
+    # parity is asserted exactly in test_generate_end_to_end
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=1.5e-2)
+
+
+def test_generate_end_to_end(torch_model, jax_model, video_inputs):
+    """Greedy generation matches HF generate on the chat-formatted prompt."""
+    c = CFG
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    jax_model.second_per_grid_t = 2.0
+    out = jax_model.generate(video_inputs, "What?", max_new_tokens=4)
+    got_toks = [int(t) for t in out.split()]
+
+    v = c.vision
+    patches, grid = preprocess_video(video_inputs, v, min_pixels=1,
+                                     max_pixels=jax_model.max_pixels)
+    n_vid = int(np.prod(grid) // v.merge_unit)
+    pre_ids, vid_ids, post_ids = jax_model.build_prompt_ids("What?", n_vid)
+    ids = torch.tensor(pre_ids + vid_ids + post_ids)[None]
+    with torch.no_grad():
+        want = torch_model.generate(
+            ids, pixel_values_videos=torch.from_numpy(patches.astype(np.float32)),
+            video_grid_thw=torch.tensor([list(grid)]),
+            second_per_grid_ts=torch.tensor([2.0]),
+            max_new_tokens=4, do_sample=False,
+            eos_token_id=-7, pad_token_id=0).numpy()[0, ids.shape[1]:]
+    assert got_toks == want.tolist()

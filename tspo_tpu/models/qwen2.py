@@ -85,6 +85,27 @@ def _rope(positions, head_dim, theta):
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def mrope_cos_sin(positions3: jnp.ndarray, head_dim: int, theta: float,
+                  sections) -> tuple:
+    """Multimodal 3D rope (Qwen2.5-VL): positions3 [3, S] (t, h, w); channel
+    dim split into ``sections`` (summing to head_dim//2), section i drawing
+    from position dim i%3 after the half-duplication — matching HF
+    ``apply_multimodal_rotary_pos_emb``."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    freqs = positions3.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)          # [3, S, head_dim]
+    cos3, sin3 = jnp.cos(emb), jnp.sin(emb)
+    doubled = list(sections) * 2
+    starts = np.cumsum([0] + doubled[:-1])
+    cos = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(cos3[i % 3], int(s), int(d), axis=-1)
+         for i, (s, d) in enumerate(zip(starts, doubled))], axis=-1)
+    sin = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(sin3[i % 3], int(s), int(d), axis=-1)
+         for i, (s, d) in enumerate(zip(starts, doubled))], axis=-1)
+    return cos, sin                                          # [S, head_dim]
+
+
 def _apply_rope(x, cos, sin):
     """x [B, S, H, hd]; rotate_half convention matching HF Qwen2."""
     half = x.shape[-1] // 2
@@ -112,13 +133,15 @@ def _attention(q, k, v, mask_bias):
 
 def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                   positions: jnp.ndarray, attn_valid: jnp.ndarray,
-                  cfg: Qwen2Config):
+                  cfg: Qwen2Config, rope_cos_sin: tuple | None = None):
     """Run the decoder over ``embeds`` [B, S, D] appended after the cache.
 
     positions:  [S] rope positions of the new tokens.
     attn_valid: [B, total] validity of cache+new key positions (True=attend),
                 where total = cache max_len; new tokens are written at
                 [cache.length, cache.length+S).
+    rope_cos_sin: optional precomputed ([S, head_dim], [S, head_dim])
+                overriding ``positions`` for rope (multimodal 3D rope).
     Returns (hidden [B, S, D], new cache).  Causality within the appended
     block is enforced internally.
     """
@@ -134,7 +157,10 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
     ok = causal_ok & attn_valid[:, None, :]                # [B, S, T]
     mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
-    cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    if rope_cos_sin is None:
+        cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+    else:
+        cos, sin = rope_cos_sin
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def block(h, xs):
@@ -184,11 +210,16 @@ def lm_logits(params, hidden, cfg: Qwen2Config):
          donate_argnames=("cache",))
 def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
                   cfg: Qwen2Config, max_new_tokens: int,
-                  eos_token_id: int | None = None):
+                  eos_token_id: int | None = None,
+                  prompt_rope_cos_sin: tuple | None = None,
+                  decode_pos_start=None):
     """Greedy generation (reference GenerationConfig do_sample=False,
     tspo_trainer.py:310-319).
 
     prompt_embeds: [1, S, D] (right-padded); prompt_valid: [1, S] bool.
+    ``prompt_rope_cos_sin`` enables multimodal rope prefill (Qwen2.5-VL);
+    ``decode_pos_start`` sets the first decode rope position (mrope delta —
+    max prompt position + 1), defaulting to the valid prompt length.
     Returns (tokens [max_new_tokens] int32, n_valid) — tokens after the first
     EOS are padded with EOS.
     """
@@ -196,19 +227,22 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
     B, S, D = prompt_embeds.shape
     T = cache.k.shape[2]
     n_prompt = jnp.sum(prompt_valid[0].astype(jnp.int32))
+    pos0 = n_prompt if decode_pos_start is None else jnp.asarray(decode_pos_start)
 
     # Prefill. Key validity over the whole cache window: prompt positions
     # use prompt_valid; future positions are enabled as they are written.
     attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
     positions = jnp.arange(S)
     hidden, cache = qwen2_forward(params, prompt_embeds, cache, positions,
-                                  attn_valid, cfg)
+                                  attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
     # Last *valid* prompt token predicts the first output token.
     last_h = hidden[jnp.arange(B), n_prompt - 1]
     first_tok = jnp.argmax(lm_logits(params, last_h, cfg), axis=-1)  # [B]
 
     # The cache was written at [0, S); decode appends at S, S+1, ...
-    # but positions (rope + causality) follow the true length n_prompt.
+    # but rope positions follow pos0 + i (decode positions are 1D: equal
+    # t/h/w make mrope collapse to standard rope).
     def cond(state):
         i, tok, cache, out, done = state
         return (i < max_new_tokens) & ~done
@@ -218,7 +252,7 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
         out = out.at[i].set(jnp.where(done, eos, tok[0]))
         done = done | (tok[0] == eos)
         emb = embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
-        pos = (n_prompt + i)[None]
+        pos = (pos0 + i)[None]
         av = (jnp.arange(T)[None, :] < cache.length + 1) & \
              jnp.concatenate([prompt_valid,
                               jnp.ones((B, T - S), bool)], axis=1)

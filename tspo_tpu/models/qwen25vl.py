@@ -1,0 +1,494 @@
+"""Qwen2.5-VL backbone — the zero-shot transfer target of TSPO.
+
+Reference usage: ``demo/qwen25vl_tspo.py`` and the eval adapter
+``lmms_eval/models/simple/qwen2_5_vl_tspo.py`` + vendored
+``qwen25vl_vision_process.py`` (smart_resize pixel budget).  The torch model
+comes from transformers; this is a from-scratch JAX rebuild:
+
+  vision tower: 3D patchify (2-frame temporal patches) -> 32 blocks of
+    RMSNorm + 2D-rope attention (windowed 112px; global every 8th block) +
+    SwiGLU -> 2x2 patch merger MLP into the LM width.
+    TPU mapping: window attention runs as *batched fixed-size windows*
+    (gather merged cells per window, pad, mask) — no varlen flash needed;
+    the four global layers use chunked flash attention (ops/flash_attention).
+  language model: the Qwen2 decoder of models/qwen2.py with multimodal 3D
+    rope (mrope sections) during prefill.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import lru_cache, partial
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.flash_attention import flash_attention
+from ..utils.hf_port import state_dict_of, stack_layers
+from .clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+from .qwen2 import (KVCache, Qwen2Config, embed_tokens, greedy_decode,
+                    mrope_cos_sin, qwen2_params_from_torch,
+                    init_qwen2_params)
+
+
+@dataclass(frozen=True)
+class Qwen25VLVisionConfig:
+    depth: int = 32
+    hidden: int = 1280
+    intermediate: int = 3420
+    heads: int = 16
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112
+    fullatt_block_indexes: tuple = (7, 15, 23, 31)
+    out_hidden: int = 3584
+    tokens_per_second: float = 2.0
+    rms_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def merge_unit(self) -> int:
+        return self.spatial_merge_size ** 2
+
+    @property
+    def merger_window(self) -> int:
+        """Window side in merged cells (HF vit_merger_window_size)."""
+        return self.window_size // self.spatial_merge_size // self.patch_size
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.temporal_patch_size * self.patch_size ** 2
+
+    @classmethod
+    def tiny(cls) -> "Qwen25VLVisionConfig":
+        return cls(depth=4, hidden=32, intermediate=64, heads=4, patch_size=4,
+                   window_size=16, fullatt_block_indexes=(1, 3), out_hidden=64)
+
+
+@dataclass(frozen=True)
+class Qwen25VLConfig:
+    vision: Qwen25VLVisionConfig = field(default_factory=Qwen25VLVisionConfig)
+    lm: Qwen2Config = field(default_factory=lambda: Qwen2Config(
+        rope_theta=1_000_000.0, eos_token_id=151645))
+    mrope_section: tuple = (16, 24, 24)
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
+    max_context: int = 16384
+
+    @classmethod
+    def tiny(cls) -> "Qwen25VLConfig":
+        lm = Qwen2Config.tiny()
+        return cls(vision=Qwen25VLVisionConfig.tiny(), lm=lm,
+                   mrope_section=(2, 3, 3),        # sums to head_dim//2 = 8
+                   image_token_id=lm.vocab_size - 5,
+                   video_token_id=lm.vocab_size - 4,
+                   vision_start_token_id=lm.vocab_size - 3,
+                   vision_end_token_id=lm.vocab_size - 2,
+                   max_context=2048)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preprocessing (smart_resize + 3D patchify, HF processor parity)
+# ---------------------------------------------------------------------------
+
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 56 * 56,
+                 max_pixels: int = 14 * 14 * 4 * 1280):
+    """HF Qwen2VLImageProcessor.smart_resize: dims divisible by ``factor``,
+    pixel count within budget, aspect preserved."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("aspect ratio must be < 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def preprocess_video(frames: np.ndarray, cfg: Qwen25VLVisionConfig,
+                     min_pixels: int = 56 * 56, max_pixels: int = 235200):
+    """[T, H, W, 3] uint8 -> (patches [n_patches, patch_dim] fp32, grid_thw).
+
+    Matches Qwen2VLImageProcessor._preprocess ordering exactly: CLIP-stat
+    normalization, odd-tail frame repeat, (t, h', w', merge, merge) cell-major
+    flatten with (c, tp, P, P) inner layout.  max_pixels default 235200
+    follows the TSPO eval budget (evaluation/TSPO_qwen25_vl.sh:25)."""
+    import cv2
+    T, H, W, _ = frames.shape
+    factor = cfg.patch_size * cfg.spatial_merge_size
+    rh, rw = smart_resize(H, W, factor, min_pixels, max_pixels)
+    resized = np.stack([cv2.resize(f, (rw, rh), interpolation=cv2.INTER_CUBIC)
+                        for f in frames])
+    x = resized.astype(np.float32) / 255.0
+    x = (x - np.array(CLIP_IMAGE_MEAN)) / np.array(CLIP_IMAGE_STD)
+    x = x.transpose(0, 3, 1, 2)                               # [T, C, H, W]
+
+    tp, P, m = cfg.temporal_patch_size, cfg.patch_size, cfg.spatial_merge_size
+    if T % tp != 0:
+        x = np.concatenate([x, np.repeat(x[-1:], tp - T % tp, axis=0)])
+    grid_t = x.shape[0] // tp
+    grid_h, grid_w = rh // P, rw // P
+    x = x.reshape(grid_t, tp, 3, grid_h // m, m, P, grid_w // m, m, P)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = x.reshape(grid_t * grid_h * grid_w, 3 * tp * P * P)
+    return patches, (grid_t, grid_h, grid_w)
+
+
+@lru_cache(maxsize=64)
+def _vision_layout(grid_t: int, grid_h: int, grid_w: int, merge: int,
+                   merger_window: int):
+    """Host-side per-grid layout (cached):
+
+      pos_hw        [n_cells*mu, 2] (h, w) patch positions, cell-major order
+      window_cells  [n_windows, merger_window^2] merged-cell ids (-1 pad)
+    """
+    Hm, Wm = grid_h // merge, grid_w // merge
+    # (h, w) ids in the processor's cell-major patch order
+    h_ids = np.arange(grid_h).reshape(Hm, merge, 1, 1)
+    h_ids = np.broadcast_to(h_ids, (Hm, merge, Wm, merge)).transpose(0, 2, 1, 3)
+    w_ids = np.arange(grid_w).reshape(1, 1, Wm, merge)
+    w_ids = np.broadcast_to(w_ids, (Hm, merge, Wm, merge)).transpose(0, 2, 1, 3)
+    pos_hw = np.stack([h_ids.reshape(-1), w_ids.reshape(-1)], axis=-1)
+    pos_hw = np.tile(pos_hw, (grid_t, 1))                    # [t*h*w, 2]
+
+    vw = merger_window
+    nwh, nww = -(-Hm // vw), -(-Wm // vw)
+    cells = np.full((grid_t, nwh * vw, nww * vw), -1, np.int64)
+    cells[:, :Hm, :Wm] = np.arange(grid_t * Hm * Wm).reshape(grid_t, Hm, Wm)
+    cells = cells.reshape(grid_t, nwh, vw, nww, vw).transpose(0, 1, 3, 2, 4)
+    window_cells = cells.reshape(grid_t * nwh * nww, vw * vw)
+    return pos_hw, window_cells
+
+
+def _vision_rope(pos_hw: np.ndarray, head_dim: int, theta: float = 10000.0):
+    """2D rope cos/sin [S, head_dim] from (h, w) patch positions."""
+    dim = head_dim // 2
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2) / dim))  # [head_dim//4]
+    freqs = pos_hw[:, :, None] * inv_freq[None, None, :]      # [S, 2, hd//4]
+    half = freqs.reshape(len(pos_hw), -1)                     # [S, hd//2]
+    emb = np.concatenate([half, half], axis=-1)               # [S, head_dim]
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower forward
+# ---------------------------------------------------------------------------
+
+def _rms(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rot_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope_vis(x, cos, sin):
+    x32 = x.astype(jnp.float32)
+    out = x32 * cos[:, None, :] + _rot_half(x32) * sin[:, None, :]
+    return out.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def qwen25vl_vision_forward(params: Mapping, patches: jnp.ndarray,
+                            cos: jnp.ndarray, sin: jnp.ndarray,
+                            window_cells: jnp.ndarray,
+                            cfg: Qwen25VLVisionConfig) -> jnp.ndarray:
+    """[S, patch_dim] pixel patches -> [S/merge_unit, out_hidden] features.
+
+    S must be cell-major (processor order); ``window_cells`` from
+    ``_vision_layout``.  One jit trace per (S, n_windows) shape.
+    """
+    S = patches.shape[0]
+    D, H, hd = cfg.hidden, cfg.heads, cfg.head_dim
+    mu = cfg.merge_unit
+    n_cells = S // mu
+    nW, wc = window_cells.shape                      # windows x cells/window
+
+    x = patches.astype(params["patch_kernel"].dtype) @ params["patch_kernel"]
+
+    win_valid = window_cells >= 0                                # [nW, wc]
+    cells_safe = jnp.where(win_valid, window_cells, 0)
+    key_ok = jnp.repeat(win_valid, mu, axis=1)                   # [nW, wc*mu]
+
+    def gather_windows(t):  # [S, ...] -> [nW, wc*mu, ...]
+        tc = t.reshape(n_cells, mu, *t.shape[1:])
+        return tc[cells_safe].reshape(nW, wc * mu, *t.shape[1:])
+
+    cos_w = gather_windows(cos)
+    sin_w = gather_windows(sin)
+
+    def attn(h_in, lp, full: bool):
+        qkv = h_in @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]     # [S, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(-1, H, hd)
+        k = k.reshape(-1, H, hd)
+        v = v.reshape(-1, H, hd)
+        if full:
+            q = _apply_rope_vis(q, cos, sin)
+            k = _apply_rope_vis(k, cos, sin)
+            ctx = flash_attention(q[None], k[None], v[None],
+                                  q_chunk=2048, k_chunk=2048)[0]
+            ctx = ctx.reshape(S, D)
+        else:
+            qw = gather_windows(q)                                # [nW, wcmu, H, hd]
+            kw = gather_windows(k)
+            vw = gather_windows(v)
+            qw = jax.vmap(_apply_rope_vis)(qw, cos_w, sin_w)
+            kw = jax.vmap(_apply_rope_vis)(kw, cos_w, sin_w)
+            s = jnp.einsum("nqhd,nkhd->nhqk", qw, kw).astype(jnp.float32)
+            s = s / np.sqrt(hd)
+            s = jnp.where(key_ok[:, None, None, :], s, -1e30)
+            a = jax.nn.softmax(s, axis=-1).astype(h_in.dtype)
+            ow = jnp.einsum("nhqk,nkhd->nqhd", a, vw).reshape(nW, wc, mu, D)
+            # scatter back to cell-major order (pads dropped)
+            flat = jnp.zeros((n_cells + 1, mu, D), h_in.dtype)
+            idx = jnp.where(win_valid, window_cells, n_cells)
+            ctx = flat.at[idx].set(ow)[:n_cells].reshape(S, D)
+        return ctx @ lp["proj"]["kernel"] + lp["proj"]["bias"]
+
+    full_set = frozenset(cfg.fullatt_block_indexes)
+    h = x
+    # Per-layer python loop (not scan): window vs full attention alternates by
+    # static layer index; 32 small blocks compile fine.
+    for li in range(cfg.depth):
+        lp = jax.tree_util.tree_map(lambda a: a[li], params["layers"])
+        h = h + attn(_rms(h, lp["norm1"], cfg.rms_eps), lp, li in full_set)
+        z = _rms(h, lp["norm2"], cfg.rms_eps)
+        gate = jax.nn.silu(z @ lp["gate"]["kernel"] + lp["gate"]["bias"])
+        up = z @ lp["up"]["kernel"] + lp["up"]["bias"]
+        h = h + (gate * up) @ lp["down"]["kernel"] + lp["down"]["bias"]
+
+    # Patch merger: RMSNorm then 2x2 cell concat -> MLP -> out_hidden
+    mp = params["merger"]
+    h = _rms(h, mp["ln_q"], cfg.rms_eps).reshape(n_cells, mu * D)
+    h = jax.nn.gelu(h @ mp["fc1"]["kernel"] + mp["fc1"]["bias"], approximate=False)
+    return h @ mp["fc2"]["kernel"] + mp["fc2"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# M-RoPE position ids (single text-video-text sequence)
+# ---------------------------------------------------------------------------
+
+def rope_index_for_video(n_pre: int, grid_thw, n_post: int, merge: int,
+                         tokens_per_second: float, second_per_grid_t: float):
+    """3D position ids [3, S] for [text video text] and the decode start
+    position (HF get_rope_index single-video case)."""
+    gt, gh, gw = grid_thw
+    Hm, Wm = gh // merge, gw // merge
+    pre = np.tile(np.arange(n_pre), (3, 1))
+    t_idx = np.repeat(np.arange(gt), Hm * Wm)
+    t_idx = (t_idx * second_per_grid_t * tokens_per_second).astype(np.int64)
+    h_idx = np.tile(np.repeat(np.arange(Hm), Wm), gt)
+    w_idx = np.tile(np.arange(Wm), gt * Hm)
+    vid = np.stack([t_idx, h_idx, w_idx]) + n_pre
+    post_start = vid.max() + 1
+    post = np.tile(np.arange(n_post), (3, 1)) + post_start
+    pos = np.concatenate([pre, vid, post], axis=1)
+    return pos, int(pos.max()) + 1
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+QWEN25_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+
+
+@dataclass
+class Qwen25VLModel:
+    """Host orchestrator for the Qwen2.5-VL backbone."""
+
+    params: dict
+    cfg: Qwen25VLConfig = field(default_factory=Qwen25VLConfig)
+    encode: Callable | None = None
+    decode: Callable | None = None
+    max_new_tokens: int = 256
+    max_pixels: int = 235200        # TSPO eval budget (TSPO_qwen25_vl.sh:25)
+    second_per_grid_t: float = 1.0  # 1-fps frames, temporal patch 2 -> 2.0?
+                                    # HF uses temporal_patch_size/fps; TSPO
+                                    # passes sampled frames at nominal 1 fps.
+
+    def encode_video(self, frames: np.ndarray):
+        v = self.cfg.vision
+        patches, grid = preprocess_video(frames, v, max_pixels=self.max_pixels)
+        pos_hw, window_cells = _vision_layout(*grid, v.spatial_merge_size,
+                                              v.merger_window)
+        cos, sin = _vision_rope(pos_hw, v.head_dim)
+        feats = qwen25vl_vision_forward(
+            self.params["visual"], jnp.asarray(patches), jnp.asarray(cos),
+            jnp.asarray(sin), jnp.asarray(window_cells), v)
+        return feats, grid                                   # [n_merged, out]
+
+    def build_prompt_ids(self, question: str, n_video_tokens: int):
+        c = self.cfg
+        pre_text = QWEN25_SYSTEM + "<|im_start|>user\n"
+        post_text = (question + "<|im_end|>\n<|im_start|>assistant\n")
+        pre_ids = list(self.encode(pre_text)) + [c.vision_start_token_id]
+        vid_ids = [c.video_token_id] * n_video_tokens
+        post_ids = [c.vision_end_token_id] + list(self.encode(post_text))
+        return pre_ids, vid_ids, post_ids
+
+    def generate(self, frames: np.ndarray, question: str,
+                 max_new_tokens: int | None = None) -> str:
+        """TSPO transfer path (demo/qwen25vl_tspo.py:53-95): frames are the
+        TSPO-selected subset; greedy decode."""
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        c = self.cfg
+        feats, grid = self.encode_video(frames)
+        n_vid = feats.shape[0]
+        pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
+        ids = np.asarray(pre_ids + vid_ids + post_ids)
+
+        lm = self.params["lm"]
+        emb = embed_tokens(lm, jnp.asarray(ids))
+        p = len(pre_ids)
+        emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
+
+        pos3, decode_start = rope_index_for_video(
+            len(pre_ids), grid, len(post_ids), c.vision.spatial_merge_size,
+            c.vision.tokens_per_second, self.second_per_grid_t)
+        cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
+                                 c.lm.rope_theta, c.mrope_section)
+
+        S = emb.shape[0]
+        max_new = max_new_tokens or self.max_new_tokens
+        cache = KVCache.create(c.lm, 1, min(c.max_context, S + max_new + 8),
+                               emb.dtype)
+        toks, n = greedy_decode(lm, emb[None], jnp.ones((1, S), bool), cache,
+                                c.lm, max_new, prompt_rope_cos_sin=(cos, sin),
+                                decode_pos_start=decode_start)
+        toks = np.asarray(toks)[: int(n)]
+        toks = toks[toks != c.lm.eos_token_id]
+        return self.decode(toks.tolist())
+
+    # -- checkpoint interop -------------------------------------------------
+
+    @classmethod
+    def from_torch_checkpoint(cls, model_or_sd, cfg: Qwen25VLConfig,
+                              dtype=jnp.bfloat16, **kw) -> "Qwen25VLModel":
+        """Port an HF ``Qwen2_5_VLForConditionalGeneration`` state dict
+        (keys: model.visual.*, model.language_model.*, lm_head.*)."""
+        sd = state_dict_of(model_or_sd)
+        v = cfg.vision
+
+        def vk(name):
+            for prefix in ("model.visual.", "visual."):
+                if prefix + name in sd:
+                    return sd[prefix + name]
+            raise KeyError(name)
+
+        L = v.depth
+        def vis_lin(field_, bias=True):
+            stacked = {"kernel": np.stack(
+                [vk(f"blocks.{i}.{field_}.weight") for i in range(L)]
+            ).transpose(0, 2, 1)}
+            if bias:
+                stacked["bias"] = np.stack(
+                    [vk(f"blocks.{i}.{field_}.bias") for i in range(L)])
+            return stacked
+
+        visual = {
+            "patch_kernel": vk("patch_embed.proj.weight").reshape(v.hidden, -1).T,
+            "layers": {
+                "norm1": np.stack([vk(f"blocks.{i}.norm1.weight") for i in range(L)]),
+                "norm2": np.stack([vk(f"blocks.{i}.norm2.weight") for i in range(L)]),
+                "qkv": vis_lin("attn.qkv"),
+                "proj": vis_lin("attn.proj"),
+                "gate": vis_lin("mlp.gate_proj"),
+                "up": vis_lin("mlp.up_proj"),
+                "down": vis_lin("mlp.down_proj"),
+            },
+            "merger": {
+                "ln_q": vk("merger.ln_q.weight"),
+                "fc1": {"kernel": vk("merger.mlp.0.weight").T,
+                        "bias": vk("merger.mlp.0.bias")},
+                "fc2": {"kernel": vk("merger.mlp.2.weight").T,
+                        "bias": vk("merger.mlp.2.bias")},
+            },
+        }
+        lm_prefix = "model.language_model." if any(
+            k.startswith("model.language_model.") for k in sd) else "model."
+        lm_sd = {k: v_ for k, v_ in sd.items() if k.startswith(lm_prefix)
+                 or k.startswith("lm_head")}
+        params = {
+            "visual": jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), visual),
+            "lm": qwen2_params_from_torch(lm_sd, cfg.lm, dtype, prefix=lm_prefix),
+        }
+        return cls(params=params, cfg=cfg, **kw)
+
+    @classmethod
+    def random_init(cls, seed: int, cfg: Qwen25VLConfig, dtype=jnp.float32,
+                    **kw) -> "Qwen25VLModel":
+        v = cfg.vision
+        keys = iter(jax.random.split(jax.random.PRNGKey(seed), 24))
+        L, D, I = v.depth, v.hidden, v.intermediate
+
+        def lin(n, fi, fo):
+            return {"kernel": jax.random.normal(next(keys), (n, fi, fo), dtype) * 0.02,
+                    "bias": jnp.zeros((n, fo), dtype)}
+
+        visual = {
+            "patch_kernel": jax.random.normal(next(keys), (v.patch_dim, D), dtype) * 0.02,
+            "layers": {
+                "norm1": jnp.ones((L, D), dtype), "norm2": jnp.ones((L, D), dtype),
+                "qkv": lin(L, D, 3 * D), "proj": lin(L, D, D),
+                "gate": lin(L, D, I), "up": lin(L, D, I), "down": lin(L, I, D),
+            },
+            "merger": {
+                "ln_q": jnp.ones(D, dtype),
+                "fc1": {"kernel": jax.random.normal(next(keys),
+                        (v.merge_unit * D, v.merge_unit * D), dtype) * 0.02,
+                        "bias": jnp.zeros(v.merge_unit * D, dtype)},
+                "fc2": {"kernel": jax.random.normal(next(keys),
+                        (v.merge_unit * D, v.out_hidden), dtype) * 0.02,
+                        "bias": jnp.zeros(v.out_hidden, dtype)},
+            },
+        }
+        return cls(params={"visual": visual,
+                           "lm": init_qwen2_params(jax.random.PRNGKey(seed + 1),
+                                                   cfg.lm, dtype)},
+                   cfg=cfg, **kw)
+
+
+def load_qwen25vl_adapter(model_path: str, dtype=jnp.bfloat16, **kw):
+    """CLI factory: HF checkpoint dir -> Qwen25VLModel with HF tokenizer."""
+    import glob
+    import os
+    from transformers import AutoTokenizer
+    sd = {}
+    st_files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+        for fname in st_files:
+            with safe_open(fname, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    else:
+        import torch
+        for fname in sorted(glob.glob(os.path.join(model_path, "pytorch_model*.bin"))):
+            sd.update(torch.load(fname, map_location="cpu", weights_only=True))
+    tok = AutoTokenizer.from_pretrained(model_path)
+    model = Qwen25VLModel.from_torch_checkpoint(sd, Qwen25VLConfig(), dtype,
+                                               **kw)
+    model.encode = lambda s: tok(s).input_ids
+    model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)
+    return model
