@@ -64,9 +64,11 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   is_uniform: bool = False, limit: int | None = None,
                   shard: tuple = (0, 1), log_samples: bool = True,
                   seed: int = 1234, progress: Callable | None = None,
-                  on_error: str = "skip") -> EvalResult:
+                  on_error: str = "skip", response_cache=None) -> EvalResult:
     """Run one benchmark slice.  ``is_uniform=True`` reproduces the baseline
-    (no TSPO) rows of the results table."""
+    (no TSPO) rows of the results table.  ``response_cache`` (eval/caching.py)
+    skips regeneration on resume — responses are deterministic (greedy,
+    frozen backbone)."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
     id_key = DOC_ID_KEY[task_name]
@@ -76,14 +78,22 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
               if i % world == rank]
     results, samples = [], []
     for doc in picked:
+        cached = (response_cache.get(doc.get(id_key))
+                  if response_cache is not None else None)
         try:
-            path = task.resolve_video(doc, video_root)
-            if is_uniform or "frame_idx" not in doc:
-                frames, frame_idx = load_frames_uniform(path, max_frames_num)
+            if cached is not None:
+                response, frame_idx = cached, doc.get("frame_idx", [])
             else:
-                frames, frame_idx = load_frames_by_index(path, doc, max_frames_num)
-            prompt = task.doc_to_text(doc)
-            response = backbone.generate(frames, prompt)
+                path = task.resolve_video(doc, video_root)
+                if is_uniform or "frame_idx" not in doc:
+                    frames, frame_idx = load_frames_uniform(path, max_frames_num)
+                else:
+                    frames, frame_idx = load_frames_by_index(path, doc,
+                                                             max_frames_num)
+                prompt = task.doc_to_text(doc)
+                response = backbone.generate(frames, prompt)
+                if response_cache is not None:
+                    response_cache.put(doc.get(id_key), response)
         except Exception as e:
             if on_error == "raise":
                 raise

@@ -1,0 +1,65 @@
+"""Multi-host orchestration — the TPU replacement for the reference's
+torchrun/accelerate/NCCL process layer (SURVEY.md §2.5 comm-backend row).
+
+One python process per host; ``jax.distributed.initialize`` wires the
+controller; collectives ride ICI/DCN inside jit.  Host-side work (question
+lists, decode, rewards) shards by ``process_shard``; small result dicts merge
+to host 0 via ``gather_host_objects`` (the gather_object equivalent built on
+multihost_utils broadcast of pickled payloads).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None):
+    """Idempotent jax.distributed init; no-op in single-process runs."""
+    if jax.process_count() > 1:
+        return
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
+def process_shard(n_items: int) -> tuple:
+    """(rank, world) slice for host-side work lists."""
+    return jax.process_index(), jax.process_count()
+
+
+def gather_host_objects(obj, max_bytes: int = 1 << 24) -> list | None:
+    """Gather a small picklable object from every host onto host 0.
+
+    Returns the list of per-host objects on host 0, None elsewhere.  Uses a
+    fixed-size uint8 all-gather through the device mesh (replaces
+    torch.distributed.gather_object, evaluator.py:612-626).
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj)
+    if len(payload) > max_bytes - 8:
+        raise ValueError(f"object too large to gather ({len(payload)} bytes)")
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    if jax.process_index() != 0:
+        return None
+    out = []
+    for row in gathered:
+        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.append(pickle.loads(row[8:8 + n].tobytes()))
+    return out
+
+
+def barrier(name: str = "barrier"):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
