@@ -65,6 +65,9 @@ def main():
     jax.block_until_ready(score_and_select(sel_params, img_bucket, txt, valid))
 
     # Timed: one "video" = BUCKET frames -> 8 encode chunks + text + selector.
+    # Each iteration fetches the selected indices to host: a true round-trip
+    # sync (block_until_ready can return early on tunneled PJRT backends) and
+    # exactly what the precompute pipeline consumes.
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -72,7 +75,7 @@ def main():
         chunks = [encode_chunk(clip_params, frames) for _ in range(BUCKET // CHUNK)]
         img_bucket = jnp.concatenate(chunks, axis=0)
         idx, logits = score_and_select(sel_params, img_bucket, txt, valid)
-    jax.block_until_ready(idx)
+        np.asarray(idx)
     dt = time.perf_counter() - t0
 
     frames_per_sec = n_iters * BUCKET / dt

@@ -195,3 +195,47 @@ def test_encode_video_chunking(jax_model):
                           batch_frames=16)
     np.testing.assert_allclose(np.asarray(toks), np.asarray(one.encode_video(frames)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_loglikelihood_matches_torch(torch_siglip, torch_stack, jax_model):
+    """loglikelihood of a continuation vs torch re-composition."""
+    qwen, proj0, proj2, newline = torch_stack
+    v, side = CFG.vision, CFG.pooled_side
+    frames = np.random.default_rng(7).integers(
+        0, 256, (2, v.image_size, v.image_size, 3), dtype=np.uint8)
+    question, continuation = "Which?", "AB"
+
+    lp, greedy = jax_model.loglikelihood(frames, question, continuation)
+    assert isinstance(greedy, bool)
+
+    # torch oracle
+    from tspo_tpu.models.llava_video import (IMAGE_TOKEN_INDEX,
+                                             build_qwen15_prompt,
+                                             tokenize_with_image)
+    pixels = ((frames.astype(np.float32) / 255.0) - 0.5) / 0.5
+    with torch.no_grad():
+        feat = torch_siglip(pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2)),
+                            output_hidden_states=True).hidden_states[v.layers]
+        feat = proj2(torch.nn.functional.gelu(proj0(feat)))
+        D = feat.shape[-1]
+        F = feat.shape[0]
+        pooled = torch.nn.functional.avg_pool2d(
+            feat.view(F, v.grid, v.grid, D).permute(0, 3, 1, 2), 2
+        ).permute(0, 2, 3, 1).reshape(F, -1, D)
+        t = pooled.view(F, 1, side, side, D).permute(4, 0, 2, 1, 3)
+        t = t.flatten(1, 2).flatten(2, 3)
+        t = torch.cat([t, newline[:, None, None].expand(D, F * side, 1)], dim=-1)
+        vid = t.flatten(1, 2).transpose(0, 1)
+
+        ids = tokenize_with_image(build_qwen15_prompt(question), jax_model.encode)
+        cont_ids = list(jax_model.encode(continuation))
+        all_ids = ids + cont_ids
+        p = all_ids.index(IMAGE_TOKEN_INDEX)
+        emb_w = qwen.get_input_embeddings().weight
+        embeds = torch.cat([emb_w[torch.tensor(all_ids[:p])], vid,
+                            emb_w[torch.tensor(all_ids[p + 1:])]])[None]
+        logits = qwen(inputs_embeds=embeds).logits[0]
+        n = len(cont_ids)
+        logp = torch.log_softmax(logits[-n - 1:-1], dim=-1)
+        want = float(logp[torch.arange(n), torch.tensor(cont_ids)].sum())
+    assert abs(lp - want) < 5e-3

@@ -207,6 +207,32 @@ class LLaVAVideoModel:
         toks = toks[toks != eos]
         return self.decode(toks.tolist())
 
+    def loglikelihood(self, frames: np.ndarray, question: str,
+                      continuation: str, prompt: str | None = None):
+        """(logprob, is_greedy) of ``continuation`` given the video prompt —
+        the lmms-eval ``loglikelihood`` request type (api/model.py:20-82,
+        llava_vid_tspo.py:385-445)."""
+        from .qwen2 import lm_logits, qwen2_forward
+        prompt = prompt if prompt is not None else build_qwen15_prompt(question)
+        prompt_ids = tokenize_with_image(prompt, self.encode)
+        cont_ids = list(self.encode(continuation))
+        video_tokens = self.encode_video(frames)
+        embeds = self.splice_embeddings(prompt_ids + cont_ids, video_tokens)
+
+        S = embeds.shape[1]
+        n_cont = len(cont_ids)
+        cache = KVCache.create(self.cfg.lm, 1, S, embeds.dtype)
+        hidden, _ = qwen2_forward(self.params["lm"], embeds, cache,
+                                  jnp.arange(S), jnp.ones((1, S), bool),
+                                  self.cfg.lm)
+        logits = lm_logits(self.params["lm"], hidden[0, -n_cont - 1:-1],
+                           self.cfg.lm)                       # [n_cont, V]
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        targets = jnp.asarray(cont_ids)
+        token_lp = lp[jnp.arange(n_cont), targets]
+        greedy = jnp.argmax(logits, axis=-1) == targets
+        return float(token_lp.sum()), bool(jnp.all(greedy))
+
     # -- checkpoint interop -------------------------------------------------
 
     @classmethod

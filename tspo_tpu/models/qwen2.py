@@ -54,6 +54,14 @@ class Qwen2Config:
     def llava_video_7b(cls) -> "Qwen2Config":
         return cls()  # Qwen2-7B-Instruct geometry
 
+    @classmethod
+    def llava_video_72b(cls) -> "Qwen2Config":
+        """LLaVA-Video-72B-Qwen2 (TSPO_llava_72B.sh) — where the reference
+        resorts to HF device_map=auto layer placement, this geometry runs
+        under the same Megatron TP shardings over a larger 'model' axis."""
+        return cls(hidden_size=8192, intermediate_size=29568, num_layers=80,
+                   num_heads=64, num_kv_heads=8)
+
 
 class KVCache(NamedTuple):
     """Static-shape cache: k/v are [L, B, max_len, kv_heads, head_dim];
