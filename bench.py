@@ -44,6 +44,9 @@ def main():
         pixels = preprocess_frames(frames_u8, clip_cfg.vision.image_size)
         return encode_images(clip_params, pixels, clip_cfg.vision)
 
+    encode_text_j = jax.jit(
+        lambda p, i: encode_text(p, i, cfg=clip_cfg.text))
+
     @jax.jit
     def score_and_select(sel_params, img, txt, valid):
         csc = cosine_scores(img, txt)
@@ -59,7 +62,7 @@ def main():
     valid = jnp.ones(BUCKET, bool)
 
     # Warmup / compile
-    txt = encode_text(clip_params, ids, cfg=clip_cfg.text)
+    txt = encode_text_j(clip_params, ids)
     feat = encode_chunk(clip_params, frames)
     img_bucket = jnp.tile(feat, (BUCKET // CHUNK, 1))
     jax.block_until_ready(score_and_select(sel_params, img_bucket, txt, valid))
@@ -71,7 +74,7 @@ def main():
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        txt = encode_text(clip_params, ids, cfg=clip_cfg.text)
+        txt = encode_text_j(clip_params, ids)
         chunks = [encode_chunk(clip_params, frames) for _ in range(BUCKET // CHUNK)]
         img_bucket = jnp.concatenate(chunks, axis=0)
         idx, logits = score_and_select(sel_params, img_bucket, txt, valid)

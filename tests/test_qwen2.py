@@ -141,3 +141,21 @@ def test_bf16_decode_runs(params):
     toks, n = greedy_decode(p16, e, jnp.ones((1, 4), bool), cache, CFG, 4,
                             eos_token_id=-7)
     assert int(n) == 4
+
+
+def test_flash_prefill_matches_dense(params):
+    """Long-prompt prefill via flash attention == dense path (same logits)."""
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 40))
+    embeds = embed_tokens(params, jnp.asarray(ids))
+    valid = jnp.ones((1, 48), bool).at[:, 40:].set(False)
+
+    def run(threshold):
+        cache = KVCache.create(CFG, 1, 48, jnp.float32)
+        h, _ = qwen2_forward(params, embeds, cache, jnp.arange(40),
+                             valid, CFG, flash_threshold=threshold)
+        return np.asarray(lm_logits(params, h, CFG))
+
+    dense = run(10_000)   # S=40 < threshold -> dense
+    flash = run(8)        # S=40 >= threshold -> flash
+    np.testing.assert_allclose(flash, dense, rtol=2e-4, atol=2e-4)

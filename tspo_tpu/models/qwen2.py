@@ -141,7 +141,8 @@ def _attention(q, k, v, mask_bias):
 
 def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                   positions: jnp.ndarray, attn_valid: jnp.ndarray,
-                  cfg: Qwen2Config, rope_cos_sin: tuple | None = None):
+                  cfg: Qwen2Config, rope_cos_sin: tuple | None = None,
+                  flash_threshold: int = 512):
     """Run the decoder over ``embeds`` [B, S, D] appended after the cache.
 
     positions:  [S] rope positions of the new tokens.
@@ -152,18 +153,24 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                 overriding ``positions`` for rope (multimodal 3D rope).
     Returns (hidden [B, S, D], new cache).  Causality within the appended
     block is enforced internally.
+
+    Long-prompt prefill (S >= ``flash_threshold``, which only happens at
+    start == 0) switches to chunked flash attention — a 64-frame LLaVA-Video
+    prompt is ~12k tokens, where dense [H, S, T] scores would cost ~16 GB.
     """
     B, S, D = embeds.shape
     T = cache.k.shape[2]
     start = cache.length
+    use_flash = S >= flash_threshold  # static: S is a trace-time constant
 
-    # Additive mask: key j attendable by query i (global pos start+i) iff
-    # attn_valid[j] and j <= start+i.
-    key_pos = jnp.arange(T)[None, :]                       # [1, T]
-    q_glob = start + jnp.arange(S)[:, None]                # [S, 1]
-    causal_ok = key_pos[None] <= q_glob[None]              # [1, S, T]
-    ok = causal_ok & attn_valid[:, None, :]                # [B, S, T]
-    mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+    if not use_flash:
+        # Additive mask: key j attendable by query i (global pos start+i) iff
+        # attn_valid[j] and j <= start+i.
+        key_pos = jnp.arange(T)[None, :]                   # [1, T]
+        q_glob = start + jnp.arange(S)[:, None]            # [S, 1]
+        causal_ok = key_pos[None] <= q_glob[None]          # [1, S, T]
+        ok = causal_ok & attn_valid[:, None, :]            # [B, S, T]
+        mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
     if rope_cos_sin is None:
         cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
@@ -185,7 +192,15 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
         v_l = jax.lax.dynamic_update_slice(v_l, v.astype(v_l.dtype),
                                            (0, start, 0, 0))
 
-        ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, S, D)
+        if use_flash:
+            from ..ops.flash_attention import flash_attention
+            G = H // KV
+            k_rep = jnp.repeat(k_l[:, :S], G, axis=2)      # [B, S, H, hd]
+            v_rep = jnp.repeat(v_l[:, :S], G, axis=2)
+            ctx = flash_attention(q, k_rep, v_rep, attn_valid[:, :S],
+                                  causal=True).reshape(B, S, D)
+        else:
+            ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, S, D)
         h = h + ctx @ lp["o"]["kernel"]
 
         x = _rms_norm(h, lp["ln2"], cfg.rms_eps)
