@@ -76,20 +76,48 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
 
     picked = [d for i, d in enumerate(docs[:limit] if limit else docs)
               if i % world == rank]
-    results, samples = [], []
-    for doc in picked:
-        cached = (response_cache.get(doc.get(id_key))
-                  if response_cache is not None else None)
-        try:
-            if cached is not None:
-                response, frame_idx = cached, doc.get("frame_idx", [])
-            else:
+
+    # Host decode prefetch: the next doc's frame gather (ffmpeg) overlaps the
+    # current doc's backbone generate on device (same pattern as phase-1).
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def producer():
+        for doc in picked:
+            if response_cache is not None and \
+                    response_cache.get(doc.get(id_key)) is not None:
+                q.put((doc, "cached", None))
+                continue
+            try:
                 path = task.resolve_video(doc, video_root)
                 if is_uniform or "frame_idx" not in doc:
                     frames, frame_idx = load_frames_uniform(path, max_frames_num)
                 else:
                     frames, frame_idx = load_frames_by_index(path, doc,
                                                              max_frames_num)
+                q.put((doc, "frames", (frames, frame_idx)))
+            except Exception as e:
+                q.put((doc, "error", e))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    results, samples = [], []
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        doc, kind, payload = item
+        try:
+            if kind == "cached":
+                response = response_cache.get(doc.get(id_key))
+                frame_idx = doc.get("frame_idx", [])
+            elif kind == "error":
+                raise payload
+            else:
+                frames, frame_idx = payload
                 prompt = task.doc_to_text(doc)
                 response = backbone.generate(frames, prompt)
                 if response_cache is not None:
