@@ -122,3 +122,17 @@ def test_from_torch_merged(tmp_path):
     idx, logits = scorer(_frames(30, seed=5), "q", sample_num=8)
     assert np.all(np.isfinite(logits))
     assert len(idx) == 8
+
+
+def test_host_preprocess_mode_close_to_device(scorer):
+    """host (cv2) vs device (XLA) preprocessing give closely matching
+    features: resize kernels differ slightly, scores must stay within the
+    index-fidelity tolerance."""
+    frames = _frames(20, seed=9, hw=72)  # non-square-free: 72 -> resize+crop
+    dev = TSPOScorer(**{**scorer.__dict__, "preprocess": "device"})
+    host = TSPOScorer(**{**scorer.__dict__, "preprocess": "host"})
+    f_dev = np.asarray(dev.encode_frame_features(frames))
+    f_host = np.asarray(host.encode_frame_features(frames))
+    cos = np.sum(f_dev * f_host, -1) / (
+        np.linalg.norm(f_dev, axis=-1) * np.linalg.norm(f_host, axis=-1))
+    assert np.all(cos > 0.995), cos.min()

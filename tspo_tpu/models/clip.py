@@ -157,6 +157,37 @@ def cosine_scores(image_features: jnp.ndarray, text_features: jnp.ndarray,
 # On-device preprocessing
 # ---------------------------------------------------------------------------
 
+def host_resize_crop(frames: "np.ndarray", image_size: int = 224) -> "np.ndarray":
+    """Host-side (cv2) shortest-edge resize + center crop -> [T, S, S, 3] u8.
+
+    Same geometry as :func:`preprocess_frames` but on CPU: use when a dataset
+    mixes video resolutions — the device path would recompile per (H, W),
+    while this bounds everything to ONE compiled shape and cuts host->device
+    bytes ~4x.  Overlaps with device compute via the decode prefetch thread.
+    """
+    import cv2
+    T, H, W, _ = frames.shape
+    if H < W:
+        nh, nw = image_size, max(int(W * image_size / H), image_size)
+    else:
+        nw, nh = image_size, max(int(H * image_size / W), image_size)
+    top, left = (nh - image_size) // 2, (nw - image_size) // 2
+    out = np.empty((T, image_size, image_size, 3), np.uint8)
+    for i in range(T):
+        r = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_CUBIC)
+        out[i] = r[top:top + image_size, left:left + image_size]
+    return out
+
+
+@partial(jax.jit, static_argnames=("image_size", "dtype"))
+def normalize_frames(frames: jnp.ndarray, image_size: int = 224,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[T, S, S, 3] uint8 (already resized+cropped) -> [T, 3, S, S] pixels."""
+    x = frames.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+    return x.transpose(0, 3, 1, 2).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("image_size", "dtype"))
 def preprocess_frames(frames: jnp.ndarray, image_size: int = 224,
                       dtype=jnp.bfloat16) -> jnp.ndarray:

@@ -54,6 +54,13 @@ def _encode_chunk(clip_params, frames_u8, vision_cfg, dtype):
     return encode_images(clip_params, pixels, vision_cfg)
 
 
+@partial(jax.jit, static_argnames=("vision_cfg", "dtype"))
+def _encode_chunk_square(clip_params, frames_u8_sq, vision_cfg, dtype):
+    from .clip import normalize_frames
+    pixels = normalize_frames(frames_u8_sq, vision_cfg.image_size, dtype)
+    return encode_images(clip_params, pixels, vision_cfg)
+
+
 @partial(jax.jit, static_argnames=("selector_cfg", "window_size"))
 def _score_bucket(selector_params, image_feat, text_feat, clip_sc, valid,
                   selector_cfg, window_size, score_tau):
@@ -80,6 +87,10 @@ class TSPOScorer:
     batch_frames: int = 256
     dtype: object = jnp.bfloat16
     frame_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+    preprocess: str = "device"   # "device": fused resize on chip (one compile
+                                 # per resolution); "host": cv2 resize+crop on
+                                 # CPU -> single compiled shape, 4x fewer
+                                 # host->device bytes (mixed-resolution sets)
 
     # -- feature extraction -------------------------------------------------
 
@@ -99,6 +110,13 @@ class TSPOScorer:
 
     def encode_frame_features(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, 3] uint8 -> [T, proj] image features (chunked)."""
+        if self.preprocess == "host":
+            from .clip import host_resize_crop
+            frames = host_resize_crop(np.asarray(frames),
+                                      self.clip_cfg.vision.image_size)
+            encode = _encode_chunk_square
+        else:
+            encode = _encode_chunk
         T = frames.shape[0]
         B = self.batch_frames
         outs = []
@@ -108,8 +126,8 @@ class TSPOScorer:
             if n < B:  # pad the tail chunk so the jitted program is reused
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - n, *chunk.shape[1:]), chunk.dtype)])
-            feats = _encode_chunk(self.clip_params, jnp.asarray(chunk),
-                                  self.clip_cfg.vision, self.dtype)
+            feats = encode(self.clip_params, jnp.asarray(chunk),
+                           self.clip_cfg.vision, self.dtype)
             outs.append(feats[:n])
         return jnp.concatenate(outs, axis=0)
 
