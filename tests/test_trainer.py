@@ -141,7 +141,7 @@ def train_setup(tmp_path_factory):
 def _make_trainer(root, dataset, out, **cfg_kw):
     cfg = TrainConfig(num_generations=4, training_sample_len=8,
                       learning_rate=5e-3, max_steps=60, window_size=8,
-                      save_every=1000, seed=0, **cfg_kw)
+                      save_every=1000, seed=0, grad_accum=1, **cfg_kw)
     scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
                                  dtype=jnp.float32, tokenize=_tokenize,
                                  batch_frames=32, frame_buckets=(64, 128, 256,

@@ -117,7 +117,13 @@ def grpo_surrogate_loss(params, batch: TrainBatch, subsets: SampledSubsets,
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, weight_decay=0.0)
+    """AdamW; ``grad_accum > 1`` wraps in MultiSteps — the per-rank
+    gradient-accumulation of the reference (train_deepspeed.sh
+    --gradient_accumulation_steps 2)."""
+    opt = optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, weight_decay=0.0)
+    if cfg.grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
+    return opt
 
 
 @partial(jax.jit, static_argnames=("sel_cfg", "train_cfg", "optimizer",
