@@ -91,7 +91,7 @@ def test_precompute_and_evaluate_cli(workspace, capsys):
         "--output", str(workspace / "results"),
     ])
     txt = capsys.readouterr().out
-    assert "overall" in txt
+    assert "overall" in txt and "| VideoMME" in txt
     results = [f for f in os.listdir(workspace / "results") if f.endswith(".json")]
     assert results
 

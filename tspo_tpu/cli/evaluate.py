@@ -67,8 +67,20 @@ def main(argv=None):
         with open(agg_path.replace(".json", "_samples.jsonl"), "w") as f:
             for s in res.samples:
                 f.write(json.dumps(s) + "\n")
-    print(json.dumps(res.metrics, indent=2))
+    print(make_table(args.task, res.metrics, len(res.results)))
     print(f"saved -> {agg_path}")
+
+
+def make_table(task: str, metrics: dict, n: int) -> str:
+    """Results table (lmms_eval.utils.make_table equivalent)."""
+    lines = [f"| {task} (n={n}) | acc % |", "|---|---|"]
+    for key, val in metrics.items():
+        if isinstance(val, dict):
+            for sub, v in val.items():
+                lines.append(f"| {key}/{sub} | {v:.2f} |")
+        else:
+            lines.append(f"| {key} | {val:.2f} |")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
