@@ -44,3 +44,50 @@ def test_dryrun_multichip_4():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+def test_trainer_data_parallel_batch(tmp_path):
+    """Batched DP training step over the 8-device mesh (trainer-level
+    counterpart of the dryrun layout)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from tspo_tpu.configs import SelectorConfig, TrainConfig
+    from tspo_tpu.models.tspo_model import build_random_scorer
+    from tspo_tpu.train.trainer import TSPOTrainer
+
+    clip_cfg = CLIPConfig.tiny()
+    sel_cfg = SelectorConfig(dim=clip_cfg.text.projection_dim, num_heads=4,
+                             window_size=8)
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 1.0, (32, 32))
+    for i in range(64):
+        w.write(np.full((32, 32, 3), (i * 4) % 255, np.uint8))
+    w.release()
+
+    def tokenize(problem):
+        ids = np.full((1, 8), 3, np.int32)
+        ids[0, -1] = clip_cfg.text.eos_token_id
+        return ids, np.ones((1, 8), np.int32)
+
+    class Stub:
+        def generate(self, frames, question):
+            return "A" if frames.mean() > 100 else "B"
+
+    scorer = build_random_scorer(seed=0, clip_cfg=clip_cfg, selector_cfg=sel_cfg,
+                                 dtype=jnp.float32, tokenize=tokenize,
+                                 batch_frames=32, frame_buckets=(64, 128))
+    rows = [{"video": "v.mp4",
+             "original_question": "<image>\nQ?\nA. x\nB. y",
+             "solution": "<answer>a</answer>", "type": "general"}] * 8
+    mesh = create_mesh(data=8, model=1)
+    tr = TSPOTrainer(scorer=scorer, backbone=Stub(), dataset=rows,
+                     cfg=TrainConfig(num_generations=2, training_sample_len=8,
+                                     grad_accum=1, seed=0),
+                     sel_cfg=sel_cfg, video_folder=str(tmp_path),
+                     output_dir=str(tmp_path / "out"), mesh=mesh)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(scorer.selector_params)[0]).copy()
+    m = tr.train_step_batch(rows)
+    assert np.isfinite(m["loss"]) and m["batch"] == 8
+    after = np.asarray(jax.tree_util.tree_leaves(tr.scorer.selector_params)[0])
+    assert not np.allclose(before, after)  # params actually updated

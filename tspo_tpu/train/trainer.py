@@ -55,6 +55,7 @@ class TSPOTrainer:
     output_dir: str = "output"
     toy_example: bool = False
     metric_hook: Callable | None = None
+    mesh: object | None = None        # jax Mesh: shard batched steps on 'data'
 
     def __post_init__(self):
         if self.sel_cfg is None:
@@ -176,6 +177,83 @@ class TSPOTrainer:
                                 np.asarray(csc, np.float32), pred * tau,
                                 sample_type)
         return metrics
+
+    # ------------------------------------------------------------------
+    # data-parallel batched step (mesh 'data' axis; dryrun_multichip layout)
+    # ------------------------------------------------------------------
+
+    def train_step_batch(self, rows: Sequence[dict]) -> dict:
+        """One update over B samples of the SAME type: the multi-chip layout
+        where the reference runs one sample per DeepSpeed rank
+        (train_deepspeed.sh per-rank bs=1 x 8 ranks).  With ``mesh`` set, the
+        batch shards over 'data' and the gradient mean rides ICI."""
+        cfg, sel_cfg = self.cfg, self.sel_cfg
+        prepared = [self.prepare_sample(r) for r in rows]
+        types = {p[5] for p in prepared}
+        if len(types) != 1:
+            raise ValueError("train_step_batch needs same-type samples")
+        sample_len = prepared[0][4]
+        tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
+                               cfg.score_tau_final))
+
+        feats = [self.scorer.extract_features(video, problem)
+                 for video, _, problem, _, _, _ in prepared]
+        bucket = bucket_for(max(int(f[0].shape[0]) for f in feats),
+                            self.scorer.frame_buckets)
+        imgs, texts, cscs, valids = [], [], [], []
+        for img, txt, csc in feats:
+            ip, valid = pad_to_bucket(np.asarray(img, np.float32), bucket)
+            cp, _ = pad_to_bucket(np.asarray(csc, np.float32), bucket)
+            imgs.append(ip)
+            cscs.append(cp)
+            valids.append(valid)
+            texts.append(np.asarray(txt, np.float32).reshape(1, -1))
+        batch = TrainBatch(frame_feat=jnp.asarray(np.stack(imgs)),
+                           text_feat=jnp.asarray(np.stack(texts)),
+                           clip_scores=jnp.asarray(np.stack(cscs)),
+                           valid=jnp.asarray(np.stack(valids)))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sh = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            batch = TrainBatch(*[jax.device_put(x, data_sh) for x in batch])
+            self.scorer.selector_params = jax.device_put(
+                self.scorer.selector_params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+
+        subsets = sample_subsets(self.scorer.selector_params, batch,
+                                 self._next_rng(), jnp.float32(tau),
+                                 sel_cfg=sel_cfg,
+                                 num_generations=cfg.num_generations,
+                                 sample_len=sample_len,
+                                 window_size=cfg.window_size)
+        idx_bg = np.asarray(subsets.indices)                # [B, G, K]
+
+        rewards = np.zeros((len(rows), cfg.num_generations), np.float32)
+        for b, (row, (video, mask, _, question, _, stype)) in enumerate(
+                zip(rows, prepared)):
+            completions = [self.backbone.generate(video[idx], question)
+                           for idx in idx_bg[b]]
+            per_func = np.zeros((cfg.num_generations, len(self.reward_funcs)),
+                                np.float32)
+            for j, name in enumerate(self.reward_funcs):
+                per_func[:, j] = REWARD_REGISTRY[name](
+                    completions=completions,
+                    solution=[row.get("solution", "")] * cfg.num_generations,
+                    sel_idxs=list(idx_bg[b]), total_mask=mask)
+            rewards[b] = compose_rewards(per_func, stype)
+
+        params, self.opt_state, dev_metrics = selector_update_step(
+            self.scorer.selector_params, self.opt_state, batch, subsets,
+            jnp.asarray(rewards), jnp.float32(tau), sel_cfg=sel_cfg,
+            train_cfg=cfg, optimizer=self.optimizer,
+            window_size=cfg.window_size)
+        self.scorer.selector_params = params
+        return {"step": self.step, "loss": float(dev_metrics["loss"]),
+                "grad_norm": float(dev_metrics["grad_norm"]),
+                "reward": float(rewards.mean()),
+                "reward_std": float(rewards.std()),
+                "batch": len(rows), "score_tau": tau}
 
     # ------------------------------------------------------------------
     # loop
