@@ -1,16 +1,21 @@
 """Benchmark: frames scored per second per chip (BASELINE.json metric).
 
-Measures the TSPO scoring hot path end-to-end on device — fused uint8
+Measures the TSPO scoring hot path end-to-end on device via the framework's
+single-dispatch fused program (tspo_model.fused_score_program): uint8
 preprocess (resize/crop/normalize) -> CLIP-ViT-L/14 vision tower (bf16) ->
-selector -> top-k — the pipeline of SURVEY.md §3.3 (mp_tools precompute),
-which dominates both training feature extraction and evaluation phase 1.
+text tower -> selector -> top-k.  This is the pipeline of SURVEY.md §3.3
+(mp_tools precompute), which dominates both training feature extraction and
+evaluation phase 1.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference scores frames with a per-frame PIL preprocessing
 loop + HF torch CLIP on one GPU (gen_id_tspo.py:68-73).  No throughput number
 is published (BASELINE.md), so we use a documented estimate of 250 frames/s
-per GPU for that pipeline; BASELINE.json's target is >=5x => vs_baseline >= 5.
+per GPU for that pipeline; BASELINE.json's target is >=5x.
+
+Timing uses host-fetch synchronization each iteration — block_until_ready can
+return early on tunneled PJRT backends and inflate results.
 """
 
 import json
@@ -24,10 +29,9 @@ def main():
     import jax.numpy as jnp
 
     from tspo_tpu.configs import CLIPConfig, SelectorConfig
-    from tspo_tpu.models.clip import (encode_images, encode_text, cosine_scores,
-                                      init_clip_params, preprocess_frames)
-    from tspo_tpu.models.selector import init_selector_params, score_frames
-    from tspo_tpu.ops.selection import topk_select
+    from tspo_tpu.models.clip import init_clip_params
+    from tspo_tpu.models.selector import init_selector_params
+    from tspo_tpu.models.tspo_model import fused_score_program
 
     clip_cfg = CLIPConfig()
     sel_cfg = SelectorConfig()
@@ -35,50 +39,29 @@ def main():
     clip_params = init_clip_params(k1, clip_cfg, jnp.bfloat16)
     sel_params = init_selector_params(k2, sel_cfg)
 
-    CHUNK = 256          # frames per device batch
-    BUCKET = 2048        # selector bucket (one long video)
+    CHUNK = 256          # frames per lax.map step inside the program
+    BUCKET = 2048        # one long video's candidate bucket
     H, W = 480, 640      # typical 1-fps decode resolution
 
-    @jax.jit
-    def encode_chunk(clip_params, frames_u8):
-        pixels = preprocess_frames(frames_u8, clip_cfg.vision.image_size)
-        return encode_images(clip_params, pixels, clip_cfg.vision)
-
-    encode_text_j = jax.jit(
-        lambda p, i: encode_text(p, i, cfg=clip_cfg.text))
-
-    @jax.jit
-    def score_and_select(sel_params, img, txt, valid):
-        csc = cosine_scores(img, txt)
-        logits, _ = score_frames(sel_params, img.astype(jnp.float32), txt, csc,
-                                 cfg=sel_cfg, valid=valid)
-        idx, _ = topk_select(jnp.where(valid, logits, -1e30), 64)
-        return idx, logits
-
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (CHUNK, H, W, 3), dtype=np.uint8))
+    frames = jnp.asarray(rng.integers(0, 256, (BUCKET, H, W, 3), dtype=np.uint8))
     ids = jnp.asarray(rng.integers(1, 49000, (1, 77)), jnp.int32)
     ids = ids.at[0, -1].set(clip_cfg.text.eos_token_id)
     valid = jnp.ones(BUCKET, bool)
 
-    # Warmup / compile
-    txt = encode_text_j(clip_params, ids)
-    feat = encode_chunk(clip_params, frames)
-    img_bucket = jnp.tile(feat, (BUCKET // CHUNK, 1))
-    jax.block_until_ready(score_and_select(sel_params, img_bucket, txt, valid))
+    def run():
+        idx, count, logits = fused_score_program(
+            clip_params, sel_params, frames, ids, valid, jnp.float32(0.025),
+            vision_cfg=clip_cfg.vision, text_cfg=clip_cfg.text,
+            selector_cfg=sel_cfg, chunk=CHUNK, window_size=12, sample_num=64,
+            dtype=jnp.bfloat16)
+        return np.asarray(idx)      # host fetch = true sync
 
-    # Timed: one "video" = BUCKET frames -> 8 encode chunks + text + selector.
-    # Each iteration fetches the selected indices to host: a true round-trip
-    # sync (block_until_ready can return early on tunneled PJRT backends) and
-    # exactly what the precompute pipeline consumes.
+    run()                           # warmup / compile
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        txt = encode_text_j(clip_params, ids)
-        chunks = [encode_chunk(clip_params, frames) for _ in range(BUCKET // CHUNK)]
-        img_bucket = jnp.concatenate(chunks, axis=0)
-        idx, logits = score_and_select(sel_params, img_bucket, txt, valid)
-        np.asarray(idx)
+        run()
     dt = time.perf_counter() - t0
 
     frames_per_sec = n_iters * BUCKET / dt

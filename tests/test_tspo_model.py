@@ -136,3 +136,11 @@ def test_host_preprocess_mode_close_to_device(scorer):
     cos = np.sum(f_dev * f_host, -1) / (
         np.linalg.norm(f_dev, axis=-1) * np.linalg.norm(f_host, axis=-1))
     assert np.all(cos > 0.995), cos.min()
+
+
+def test_fused_scoring_matches_chunked(scorer):
+    frames = _frames(70, seed=11)
+    idx_c, logits_c = scorer(frames, "q", sample_num=16)
+    idx_f, logits_f = scorer.score_video_fused(frames, "q", sample_num=16)
+    np.testing.assert_allclose(logits_f, logits_c, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(idx_f, idx_c)
