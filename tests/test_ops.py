@@ -199,3 +199,19 @@ def test_bucket_for():
     assert bucket_for(64) == 64
     assert bucket_for(65) == 128
     assert bucket_for(9000) == 16384
+
+
+def test_gumbel_topk_sampling_statistics():
+    """Stochastic selection follows the softmax distribution: the highest-
+    logit frame should be selected most often across seeds (utils.py:69-80
+    samples WITH Gumbel noise even though log-probs are noise-free)."""
+    logits = jnp.asarray(np.linspace(-2, 2, 32), jnp.float32)
+    counts = np.zeros(32)
+    for seed in range(200):
+        idx, _, _ = gumbel_topk(jax.random.PRNGKey(seed), logits, 4)
+        counts[np.asarray(idx)] += 1
+    # uniform selection would give 200*4/32 = 25 per frame; the Gumbel noise
+    # (std ~1.28) keeps it diffuse but clearly preference-ordered
+    assert counts[-1] > 70
+    assert counts[0] < 15
+    assert counts[-8:].sum() > 3 * counts[:8].sum()
