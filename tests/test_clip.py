@@ -131,3 +131,19 @@ def test_bf16_image_path_close_to_fp32(torch_clip, jax_params):
     cos = np.sum(f32 * f16, -1) / (np.linalg.norm(f32, axis=-1) *
                                    np.linalg.norm(f16, axis=-1))
     assert np.all(cos > 0.999)
+
+
+def test_quantized_vision_close_to_fp(torch_clip, jax_params):
+    """int8 tower tracks the float tower at cosine >= 0.995 (tiny config)."""
+    from tspo_tpu.models.clip import (encode_images_quantized,
+                                      quantize_vision_params)
+    rng = np.random.default_rng(7)
+    pixels = jnp.asarray(rng.normal(size=(5, 3, CFG.vision.image_size,
+                                          CFG.vision.image_size)), jnp.float32)
+    want = np.asarray(encode_images(jax_params, pixels, CFG.vision))
+    qv = quantize_vision_params(jax_params["vision"])
+    got = np.asarray(encode_images_quantized(qv, pixels, CFG.vision)
+                     ).astype(np.float32)
+    cos = np.sum(want * got, -1) / (np.linalg.norm(want, axis=-1) *
+                                    np.linalg.norm(got, axis=-1))
+    assert np.all(cos > 0.995), cos.min()

@@ -144,3 +144,17 @@ def test_fused_scoring_matches_chunked(scorer):
     idx_f, logits_f = scorer.score_video_fused(frames, "q", sample_num=16)
     np.testing.assert_allclose(logits_f, logits_c, rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(idx_f, idx_c)
+
+
+def test_quantized_scorer_selects_same_frames(scorer):
+    frames = _frames(70, seed=13)
+    idx_fp, logits_fp = scorer(frames, "q", sample_num=16)
+    q = TSPOScorer(**{k: v for k, v in scorer.__dict__.items()}).quantize()
+    idx_q, logits_q = q(frames, "q", sample_num=16)
+    # int8 may flip near-ties; demand high overlap and close logits
+    overlap = len(set(map(int, idx_fp)) & set(map(int, idx_q))) / 16
+    assert overlap >= 0.8, (idx_fp, idx_q)
+    np.testing.assert_allclose(logits_q, logits_fp, rtol=0.2, atol=2.0)
+    # fused path works quantized too
+    idx_f, _ = q.score_video_fused(frames, "q", sample_num=16)
+    np.testing.assert_array_equal(idx_f, idx_q)
