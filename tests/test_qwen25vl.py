@@ -209,3 +209,32 @@ def test_generate_end_to_end(torch_model, jax_model, video_inputs):
             max_new_tokens=4, do_sample=False,
             eos_token_id=-7, pad_token_id=0).numpy()[0, ids.shape[1]:]
     assert got_toks == want.tolist()
+
+
+def test_loglikelihood_matches_torch(torch_model, jax_model, video_inputs):
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    jax_model.second_per_grid_t = 2.0
+    lp, greedy = jax_model.loglikelihood(video_inputs, "What?", "ab")
+    assert isinstance(greedy, bool)
+
+    c = CFG
+    v = c.vision
+    patches, grid = preprocess_video(video_inputs, v, min_pixels=1,
+                                     max_pixels=jax_model.max_pixels)
+    n_vid = int(np.prod(grid) // v.merge_unit)
+    pre_ids, vid_ids, post_ids = jax_model.build_prompt_ids("What?", n_vid)
+    cont_ids = list(jax_model.encode("ab"))
+    ids = torch.tensor(pre_ids + vid_ids + post_ids + cont_ids)[None]
+    with torch.no_grad():
+        logits = torch_model(
+            input_ids=ids,
+            pixel_values_videos=torch.from_numpy(patches.astype(np.float32)),
+            video_grid_thw=torch.tensor([list(grid)]),
+            second_per_grid_ts=torch.tensor([2.0])).logits[0]
+    n = len(cont_ids)
+    logp = torch.log_softmax(logits[-n - 1:-1], dim=-1)
+    want = float(logp[torch.arange(n), torch.tensor(cont_ids)].sum())
+    # summed logprobs inherit the fp32 accumulation noise seen in the
+    # logits-parity test (~1e-2/position)
+    assert abs(lp - want) < 0.1

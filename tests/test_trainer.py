@@ -189,3 +189,24 @@ def test_needle_specific_sample(train_setup, tmp_path):
     m = tr.train_step(row)
     assert "rewards/temporal_reward" in m
     assert 0.0 <= m["rewards/temporal_reward"] <= 1.0
+
+
+def test_trainer_resume(train_setup, tmp_path):
+    """Checkpoint -> new trainer -> resume: params, opt state, and step
+    restored; training continues without error."""
+    import jax
+    root, dataset = train_setup
+    tr = _make_trainer(root, dataset, tmp_path / "r1")
+    tr.train(max_steps=3)
+    saved_step = tr.step
+    leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.scorer.selector_params)[0]).copy()
+
+    tr2 = _make_trainer(root, dataset, tmp_path / "r1")  # fresh random init
+    restored = tr2.resume_from()
+    assert restored == saved_step
+    leaf_after = np.asarray(
+        jax.tree_util.tree_leaves(tr2.scorer.selector_params)[0])
+    np.testing.assert_allclose(leaf_after, leaf_before, atol=1e-7)
+    m = tr2.train_step(dataset[0])
+    assert np.isfinite(m["loss"])

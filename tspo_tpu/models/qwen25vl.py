@@ -380,6 +380,41 @@ class Qwen25VLModel:
         toks = toks[toks != c.lm.eos_token_id]
         return self.decode(toks.tolist())
 
+    def loglikelihood(self, frames: np.ndarray, question: str,
+                      continuation: str):
+        """(logprob, is_greedy) of ``continuation`` after the video prompt —
+        the lmms-eval loglikelihood request type for the qwen adapter."""
+        from .qwen2 import lm_logits, qwen2_forward
+        c = self.cfg
+        feats, grid = self.encode_video(frames)
+        n_vid = feats.shape[0]
+        pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
+        cont_ids = list(self.encode(continuation))
+        ids = np.asarray(pre_ids + vid_ids + post_ids + cont_ids)
+
+        lm = self.params["lm"]
+        emb = embed_tokens(lm, jnp.asarray(ids))
+        p = len(pre_ids)
+        emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
+        pos3, _ = rope_index_for_video(
+            len(pre_ids), grid, len(post_ids) + len(cont_ids),
+            c.vision.spatial_merge_size, c.vision.tokens_per_second,
+            self.second_per_grid_t)
+        cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
+                                 c.lm.rope_theta, c.mrope_section)
+        S = len(ids)
+        cache = KVCache.create(c.lm, 1, S, emb.dtype)
+        h, _ = qwen2_forward(lm, emb[None], cache, jnp.arange(S),
+                             jnp.ones((1, S), bool), c.lm,
+                             rope_cos_sin=(cos, sin))
+        n = len(cont_ids)
+        logits = lm_logits(lm, h[0, -n - 1:-1], c.lm)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        targets = jnp.asarray(cont_ids)
+        token_lp = lp[jnp.arange(n), targets]
+        greedy = jnp.argmax(logits, axis=-1) == targets
+        return float(token_lp.sum()), bool(jnp.all(greedy))
+
     # -- checkpoint interop -------------------------------------------------
 
     @classmethod

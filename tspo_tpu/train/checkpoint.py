@@ -45,7 +45,10 @@ def save_train_state(directory: str, step: int, selector_params, opt_state=None,
     os.makedirs(directory, exist_ok=True)
     payload = _flatten(selector_params, "params/")
     if opt_state is not None:
-        payload.update(_flatten(opt_state, "opt/"))
+        # optimizer state is a pytree of optax namedtuples — persist leaves
+        # in traversal order; restore via restore_opt_state(template, leaves)
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            payload[f"opt/{i:04d}"] = np.asarray(leaf)
     path = os.path.join(directory, f"checkpoint-{step}.npz")
     np.savez(path + ".tmp.npz", **payload)
     os.replace(path + ".tmp.npz", path)
@@ -77,7 +80,10 @@ def prune_checkpoints(directory: str, keep: int):
 
 
 def load_train_state(directory: str, step: int | None = None):
-    """Returns (step, selector_params, opt_state_or_None)."""
+    """Returns (step, selector_params, opt_leaves_or_None).
+
+    ``opt_leaves`` is the flat leaf list; rebuild the optax state with
+    :func:`restore_opt_state` against a freshly-initialized template."""
     steps = list_checkpoints(directory)
     if not steps:
         raise FileNotFoundError(f"no checkpoints in {directory}")
@@ -86,9 +92,17 @@ def load_train_state(directory: str, step: int | None = None):
         flat = {k: z[k] for k in z.files}
     params = _unflatten({k[len("params/"):]: v for k, v in flat.items()
                          if k.startswith("params/")})
-    opt_flat = {k[len("opt/"):]: v for k, v in flat.items() if k.startswith("opt/")}
-    opt = _unflatten(opt_flat) if opt_flat else None
-    return step, params, opt
+    opt_keys = sorted(k for k in flat if k.startswith("opt/"))
+    opt_leaves = [flat[k] for k in opt_keys] if opt_keys else None
+    return step, params, opt_leaves
+
+
+def restore_opt_state(template_opt_state, opt_leaves):
+    """Rebuild an optax state pytree from persisted leaves."""
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    import jax.numpy as jnp
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in opt_leaves])
 
 
 def export_merged(directory: str, clip_params, selector_params, clip_cfg=None,

@@ -286,6 +286,20 @@ class TSPOTrainer:
                          self.scorer.selector_params, self.opt_state)
         prune_checkpoints(self.output_dir, self.cfg.save_total_limit)
 
+    def resume_from(self, directory: str | None = None,
+                    step: int | None = None) -> int:
+        """Restore selector params + optimizer state + step from the latest
+        (or given) checkpoint; returns the restored step."""
+        from .checkpoint import load_train_state, restore_opt_state
+        step, params, opt_leaves = load_train_state(
+            directory or self.output_dir, step)
+        self.scorer.selector_params = jax.tree_util.tree_map(
+            jnp.asarray, params)
+        if opt_leaves is not None:
+            self.opt_state = restore_opt_state(self.opt_state, opt_leaves)
+        self.step = step
+        return step
+
     def export_merged(self, directory: str):
         """Standalone TSPO-0.4B export (merge_weights.py equivalent)."""
         from .checkpoint import export_merged
