@@ -43,7 +43,7 @@ def main():
                    "vision": quantize_vision_params(clip_params["vision"])}
     sel_params = init_selector_params(k2, sel_cfg)
 
-    CHUNK = 256          # frames per lax.map step inside the program
+    CHUNK = 1024         # frames per lax.map step (swept: 1024 optimal)
     BUCKET = 2048        # one long video's candidate bucket
     H, W = 480, 640      # typical 1-fps decode resolution
 

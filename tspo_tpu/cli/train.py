@@ -12,7 +12,7 @@ Toy example (single chip, stub-friendly):
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 
 
 def build_parser():

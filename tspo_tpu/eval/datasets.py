@@ -13,7 +13,7 @@ import ast
 import csv
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 SUPPORTED_BENCHMARKS = ("LongVideoBench", "MLVU", "VideoMME", "LVBench")
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.flash_attention import flash_attention
-from ..utils.hf_port import state_dict_of, stack_layers
+from ..utils.hf_port import state_dict_of
 from .clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 from .qwen2 import (KVCache, Qwen2Config, embed_tokens, greedy_decode,
                     mrope_cos_sin, qwen2_params_from_torch,
