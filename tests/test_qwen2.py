@@ -159,3 +159,46 @@ def test_flash_prefill_matches_dense(params):
     dense = run(10_000)   # S=40 < threshold -> dense
     flash = run(8)        # S=40 >= threshold -> flash
     np.testing.assert_allclose(flash, dense, rtol=2e-4, atol=2e-4)
+
+
+def test_weight_only_int8_decode(params):
+    """Quantized decoder: logits close to float, greedy decode matches on the
+    tiny model (weight-only int8; decode is weight-bandwidth-bound on 7B)."""
+    from tspo_tpu.models.qwen2 import quantize_qwen2_params
+    qparams = quantize_qwen2_params(params)
+    rng = np.random.default_rng(12)
+    ids = rng.integers(0, CFG.vocab_size, size=(1, 9))
+
+    full, _ = _forward_full(params, ids)
+    cache = KVCache.create(CFG, 1, 9, jnp.float32)
+    emb = embed_tokens(qparams, jnp.asarray(ids))
+    hq, _ = qwen2_forward(qparams, emb, cache, jnp.arange(9),
+                          jnp.ones((1, 9), bool), CFG)
+    ql = np.asarray(lm_logits(qparams, hq, CFG))
+    fl = np.asarray(full)
+    # per-position top-1 agreement
+    assert (ql.argmax(-1) == fl.argmax(-1)).mean() >= 0.8
+    corr = np.corrcoef(ql.ravel(), fl.ravel())[0, 1]
+    assert corr > 0.999
+
+    cache = KVCache.create(CFG, 1, 32, jnp.float32)
+    toks_q, _ = greedy_decode(qparams, emb.astype(jnp.float32),
+                              jnp.ones((1, 9), bool), cache, CFG, 4,
+                              eos_token_id=-7)
+    assert np.all(np.isfinite(np.asarray(toks_q)))
+
+
+def test_quantized_tp_shardings_resolve(params):
+    """Sharding specs cover the quantized param tree too."""
+    import jax
+    from tspo_tpu.models.qwen2 import (quantize_qwen2_params,
+                                       qwen2_param_shardings)
+    from tspo_tpu.parallel import create_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    qparams = quantize_qwen2_params(params)
+    mesh = create_mesh(data=4, model=2)
+    sh = qwen2_param_shardings(qparams, mesh)
+    placed = jax.device_put(qparams, sh)
+    assert len(jax.tree_util.tree_leaves(placed)) == \
+        len(jax.tree_util.tree_leaves(qparams))

@@ -79,6 +79,48 @@ class KVCache(NamedTuple):
                    length=jnp.zeros((), jnp.int32))
 
 
+def _linear(p, x):
+    """Linear supporting bf16 kernels and weight-only int8 (kernel_q + scale).
+
+    int8 path: convert fuses into the dot operand read (weights stream from
+    HBM at half the bytes — decode is weight-bandwidth-bound, +27% measured on
+    the 7B MLP GEMV shape); per-output-channel scale applied on the output.
+    """
+    if "kernel_q" in p:
+        y = x @ p["kernel_q"].astype(x.dtype)
+        y = y * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def quantize_qwen2_params(params) -> dict:
+    """Weight-only int8 quantization of the seven per-layer GEMMs + lm_head
+    (per-output-channel scales); embeddings and norms stay as-is."""
+
+    def quant(kernel, axis=-2):
+        k = np.asarray(kernel, np.float32)
+        s = np.abs(k).max(axis=axis, keepdims=True) / 127.0 + 1e-12
+        q = np.clip(np.round(k / s), -127, 127).astype(np.int8)
+        return jnp.asarray(q), jnp.asarray(np.squeeze(s, axis), jnp.float32)
+
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        p = dict(layers[name])
+        kq, s = quant(p.pop("kernel"))
+        layers[name] = {"kernel_q": kq, "scale": s, **p}
+    out = {**params, "layers": layers}
+    if "lm_head" in params:
+        # lm_head stored [V, D]: quantize over D (per-vocab-row scale)
+        kq, s = quant(params["lm_head"], axis=-1)
+        out["lm_head_q"] = kq
+        out["lm_head_scale"] = s
+        out.pop("lm_head")
+    return out
+
+
 def _rms_norm(x, weight, eps):
     x32 = x.astype(jnp.float32)
     y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
@@ -181,9 +223,9 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
     def block(h, xs):
         lp, k_l, v_l = xs                                   # cache slices [B,T,KV,hd]
         x = _rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, H, hd)
-        k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, KV, hd)
-        v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, KV, hd)
+        q = _linear(lp["q"], x).reshape(B, S, H, hd)
+        k = _linear(lp["k"], x).reshape(B, S, KV, hd)
+        v = _linear(lp["v"], x).reshape(B, S, KV, hd)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
 
@@ -201,12 +243,12 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                                   causal=True).reshape(B, S, D)
         else:
             ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, S, D)
-        h = h + ctx @ lp["o"]["kernel"]
+        h = h + _linear(lp["o"], ctx)
 
         x = _rms_norm(h, lp["ln2"], cfg.rms_eps)
-        gate = jax.nn.silu(x @ lp["gate"]["kernel"])
-        up = x @ lp["up"]["kernel"]
-        h = h + (gate * up) @ lp["down"]["kernel"]
+        gate = jax.nn.silu(_linear(lp["gate"], x))
+        up = _linear(lp["up"], x)
+        h = h + _linear(lp["down"], gate * up)
         return h, (k_l, v_l)
 
     h, (k_new, v_new) = jax.lax.scan(
@@ -221,6 +263,9 @@ def embed_tokens(params, input_ids):
 
 
 def lm_logits(params, hidden, cfg: Qwen2Config):
+    if "lm_head_q" in params:
+        y = hidden @ params["lm_head_q"].T.astype(hidden.dtype)
+        return (y.astype(jnp.float32) * params["lm_head_scale"])
     w = params["embedding"] if cfg.tie_word_embeddings else params["lm_head"]
     return (hidden @ w.T.astype(hidden.dtype)).astype(jnp.float32)
 
@@ -364,14 +409,19 @@ def qwen2_param_shardings(params, mesh):
     def spec_for(path):
         keys = [str(getattr(p, "key", p)) for p in path]
         leaf = keys[-1]
-        if keys[0] in ("embedding", "lm_head"):
+        if keys[0] in ("embedding", "lm_head", "lm_head_q"):
             return P("model", None)
+        if keys[0] == "lm_head_scale":
+            return P("model")
         if "layers" in keys:
             which = keys[1]
+            kernel = leaf in ("kernel", "kernel_q")
             if which in ("q", "k", "v", "gate", "up"):
-                return P(None, None, "model") if leaf == "kernel" else P(None, "model")
+                return P(None, None, "model") if kernel else P(None, "model")
             if which in ("o", "down"):
-                return P(None, "model", None) if leaf == "kernel" else P()
+                # bias/scale of row-sharded GEMMs stay replicated (applied
+                # after the psum)
+                return P(None, "model", None) if kernel else P()
         return P()
 
     return jax.tree_util.tree_map_with_path(

@@ -86,6 +86,22 @@ class TSPOTrainer:
                                  fps=1, force_sample=False)
         if sample_type == "specific":
             # needle-in-a-haystack composite (tspo_trainer.py:462-480)
+            if self.toy_example:
+                # fixed layout + cached distractors (tspo_trainer.py:463-467)
+                from ..video.augment import shuffle_fixed_clips
+                true_clips = repeat_videos(video, repeat_times=1,
+                                           sample_len=self.cfg.needle_clip_len,
+                                           rng=self._np_rng)
+                if not hasattr(self, "_fixed_wrong_clips"):
+                    self._fixed_wrong_clips = [sample_real_frames(
+                        self.irrelevant_pool, root=self.video_folder,
+                        sample_num=len(true_clips[0]), target_h=video.shape[1],
+                        target_w=video.shape[2], rng=self._np_rng)
+                        for _ in range(self.cfg.needle_wrong_clips)]
+                video, mask = shuffle_fixed_clips(true_clips,
+                                                  self._fixed_wrong_clips)
+                return (video, mask, problem, question,
+                        self.cfg.training_sample_len, sample_type)
             true_clips = repeat_videos(
                 video, repeat_times=int(self._np_rng.integers(1, 5)),
                 sample_len=self.cfg.needle_clip_len, rng=self._np_rng)
