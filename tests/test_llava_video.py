@@ -239,3 +239,16 @@ def test_loglikelihood_matches_torch(torch_siglip, torch_stack, jax_model):
         logp = torch.log_softmax(logits[-n - 1:-1], dim=-1)
         want = float(logp[torch.arange(n), torch.tensor(cont_ids)].sum())
     assert abs(lp - want) < 5e-3
+
+
+def test_quantized_lm_generates(jax_model):
+    from tspo_tpu.models.llava_video import LLaVAVideoModel
+    frames = np.random.default_rng(8).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    base = jax_model.generate(frames, "Q?", max_new_tokens=3)
+    q = LLaVAVideoModel(params=jax_model.params, cfg=CFG,
+                        encode=jax_model.encode, decode=jax_model.decode,
+                        batch_frames=4).quantize_lm()
+    out = q.generate(frames, "Q?", max_new_tokens=3)
+    assert len(out.split()) == len(base.split())  # generates; tokens may
+    # differ slightly under int8 on random weights

@@ -235,6 +235,14 @@ class LLaVAVideoModel:
 
     # -- checkpoint interop -------------------------------------------------
 
+    def quantize_lm(self) -> "LLaVAVideoModel":
+        """Weight-only int8 for the Qwen2 decoder (decode is weight-bandwidth
+        bound; see models/qwen2.py::quantize_qwen2_params)."""
+        from .qwen2 import quantize_qwen2_params
+        self.params = {**self.params,
+                       "lm": quantize_qwen2_params(self.params["lm"])}
+        return self
+
     @classmethod
     def from_torch_checkpoint(cls, model_or_sd, cfg: LLaVAVideoConfig,
                               dtype=jnp.bfloat16, **kw) -> "LLaVAVideoModel":

@@ -415,6 +415,13 @@ class Qwen25VLModel:
         greedy = jnp.argmax(logits, axis=-1) == targets
         return float(token_lp.sum()), bool(jnp.all(greedy))
 
+    def quantize_lm(self) -> "Qwen25VLModel":
+        """Weight-only int8 for the decoder (see qwen2.quantize_qwen2_params)."""
+        from .qwen2 import quantize_qwen2_params
+        self.params = {**self.params,
+                       "lm": quantize_qwen2_params(self.params["lm"])}
+        return self
+
     # -- checkpoint interop -------------------------------------------------
 
     @classmethod
