@@ -158,3 +158,9 @@ def test_quantized_scorer_selects_same_frames(scorer):
     # fused path works quantized too
     idx_f, _ = q.score_video_fused(frames, "q", sample_num=16)
     np.testing.assert_array_equal(idx_f, idx_q)
+
+
+def test_quantized_scorer_refuses_save(tmp_path, scorer):
+    q = TSPOScorer(**{k: v for k, v in scorer.__dict__.items()}).quantize()
+    with pytest.raises(ValueError):
+        q.save(str(tmp_path / "bad"))

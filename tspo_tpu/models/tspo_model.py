@@ -277,7 +277,14 @@ class TSPOScorer:
     # -- checkpoint interop -------------------------------------------------
 
     def save(self, directory: str):
-        """Save merged checkpoint: one npz of flattened params + config json."""
+        """Save merged checkpoint: one npz of flattened params + config json.
+
+        Checkpoints are always float: quantization is a load-time transform
+        (``load(...).quantize()``), so a quantized scorer refuses to save
+        rather than persist int8 tensors that the loader would miscast."""
+        if self.quantized:
+            raise ValueError("save the float checkpoint before quantize(); "
+                             "re-quantize after load")
         os.makedirs(directory, exist_ok=True)
         flat = {}
         for tree, name in ((self.clip_params, "clip"), (self.selector_params, "selector")):
