@@ -25,6 +25,8 @@ def build_parser():
     p.add_argument("--backbone", default="stub",
                    choices=["stub", "llava_video", "qwen2_5_vl"])
     p.add_argument("--backbone-path", default=None)
+    p.add_argument("--quantize-backbone", action="store_true",
+                   help="weight-only int8 decoder (bandwidth-bound decode)")
     p.add_argument("--max-frames-num", type=int, default=64)
     p.add_argument("--uniform", action="store_true",
                    help="uniform-sampling baseline (is_uniform=True)")
@@ -44,6 +46,8 @@ def main(argv=None):
 
     docs = load_json(args.frame_idx_json)
     backbone = load_backbone(args.backbone, args.backbone_path)
+    if args.quantize_backbone and hasattr(backbone, "quantize_lm"):
+        backbone.quantize_lm()
     t0 = time.time()
     done = []
     res = evaluate_task(

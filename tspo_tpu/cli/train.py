@@ -25,6 +25,8 @@ def build_parser():
     p.add_argument("--backbone", default="stub",
                    choices=["stub", "llava_video", "qwen2_5_vl"])
     p.add_argument("--backbone-path", default=None)
+    p.add_argument("--quantize-backbone", action="store_true",
+                   help="weight-only int8 decoder (bandwidth-bound decode)")
     p.add_argument("--output-dir", default="output")
     p.add_argument("--reward-funcs", nargs="+", default=["accuracy", "temporal"])
     p.add_argument("--num-generations", type=int, default=8)
@@ -64,6 +66,8 @@ def main(argv=None):
 
     scorer = load_scorer(args.clip_path, seed=args.seed, tiny=args.tiny)
     backbone = load_backbone(args.backbone, args.backbone_path)
+    if args.quantize_backbone and hasattr(backbone, "quantize_lm"):
+        backbone.quantize_lm()
     trainer = TSPOTrainer(
         scorer=scorer, backbone=backbone, dataset=dataset, cfg=cfg,
         video_folder=args.video_folder, irrelevant_pool=dataset,
