@@ -26,6 +26,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from tspo_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from tspo_tpu.configs import CLIPConfig, SelectorConfig

@@ -252,3 +252,18 @@ def test_quantized_lm_generates(jax_model):
     out = q.generate(frames, "Q?", max_new_tokens=3)
     assert len(out.split()) == len(base.split())  # generates; tokens may
     # differ slightly under int8 on random weights
+
+
+def test_quantized_siglip_close_to_float(torch_siglip):
+    from tspo_tpu.models.siglip import (quantize_siglip_params, siglip_encode,
+                                        siglip_params_from_torch)
+    v = CFG.vision
+    params = siglip_params_from_torch(torch_siglip, v, dtype=jnp.float32)
+    pixels = jnp.asarray(np.random.default_rng(9).normal(
+        size=(3, 3, v.image_size, v.image_size)), jnp.float32)
+    a = np.asarray(siglip_encode(params, pixels, v))
+    b = np.asarray(siglip_encode(quantize_siglip_params(params), pixels, v)
+                   ).astype(np.float32)
+    # patch features are near-zero-mean; compare normalized error
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 0.05, err

@@ -8,6 +8,20 @@ import os
 import numpy as np
 
 
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache — full-size tower compiles take
+    minutes on remote-compile backends; cached reruns skip them."""
+    import jax
+    path = path or os.path.join(os.path.expanduser("~"), ".cache",
+                                "tspo_tpu_xla")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def load_scorer(model_path: str | None, *, dtype=None, batch_frames: int = 256,
                 seed: int = 0, tiny: bool = False):
     """TSPOScorer from a merged checkpoint directory (npz format or a torch

@@ -32,6 +32,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from ..video.reader import load_video
     from .common import load_backbone, load_scorer

@@ -40,6 +40,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     from ..eval.datasets import load_json
     from ..eval.harness import evaluate_task
     from .common import load_backbone

@@ -37,6 +37,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     from ..configs import PrecomputeConfig
     from ..eval.datasets import VideoQuestionDataset, load_json
     from ..eval.precompute import FrameIndexPrecompute

@@ -47,6 +47,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
     from ..configs import TrainConfig
     from ..train.trainer import TSPOTrainer
     from .common import load_backbone, load_jsonl, load_scorer

@@ -243,6 +243,13 @@ class LLaVAVideoModel:
                        "lm": quantize_qwen2_params(self.params["lm"])}
         return self
 
+    def quantize_vision(self) -> "LLaVAVideoModel":
+        """int8 SigLIP tower (siglip.quantize_siglip_params)."""
+        from .siglip import quantize_siglip_params
+        self.params = {**self.params,
+                       "vision": quantize_siglip_params(self.params["vision"])}
+        return self
+
     @classmethod
     def from_torch_checkpoint(cls, model_or_sd, cfg: LLaVAVideoConfig,
                               dtype=jnp.bfloat16, **kw) -> "LLaVAVideoModel":

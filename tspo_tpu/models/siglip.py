@@ -60,16 +60,50 @@ def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
 
 
+def _lin(p, x):
+    """Linear on bf16 kernels or weight-only/activation int8 (kernel_q+scale,
+    same scheme as models/clip.py quantized tower)."""
+    if "kernel_q" in p:
+        x32 = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(x32)) / 127.0 + 1e-12
+        xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, p["kernel_q"],
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * p["scale"]) +
+                p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return x @ p["kernel"] + p["bias"]
+
+
+def quantize_siglip_params(params) -> dict:
+    """Per-output-channel int8 weights for the six GEMMs per layer (the tower
+    shares the CLIP layer structure; feature cosine >= 0.995 tested)."""
+
+    def quant(p):
+        k = np.asarray(p["kernel"], np.float32)
+        s = np.abs(k).max(axis=-2, keepdims=True) / 127.0 + 1e-12
+        q = np.clip(np.round(k / s), -127, 127).astype(np.int8)
+        return {"kernel_q": jnp.asarray(q),
+                "scale": jnp.asarray(np.squeeze(s, -2), jnp.float32),
+                "bias": p["bias"]}
+
+    lp = params["layers"]
+    qlayers = {"ln1": lp["ln1"], "ln2": lp["ln2"],
+               "attn": {n: quant(lp["attn"][n]) for n in ("q", "k", "v", "o")},
+               "mlp": {n: quant(lp["mlp"][n]) for n in ("fc1", "fc2")}}
+    return {**params, "layers": qlayers}
+
+
 def _mha(x, lp, heads):
     B, S, W = x.shape
     hd = W // heads
-    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, heads, hd)
-    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, heads, hd)
-    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, heads, hd)
+    q = _lin(lp["q"], x).reshape(B, S, heads, hd)
+    k = _lin(lp["k"], x).reshape(B, S, heads, hd)
+    v = _lin(lp["v"], x).reshape(B, S, heads, hd)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     attn = jax.nn.softmax(scores * (1.0 / np.sqrt(hd)), axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, W)
-    return ctx @ lp["o"]["kernel"] + lp["o"]["bias"]
+    return _lin(lp["o"], ctx)
 
 
 def siglip_encode(params: Mapping, pixel_values: jnp.ndarray,
@@ -89,8 +123,8 @@ def siglip_encode(params: Mapping, pixel_values: jnp.ndarray,
         h = r + _mha(h, lp["attn"], cfg.heads)
         r = h
         h = _layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-        h = _gelu_tanh(h @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
-        h = h @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+        h = _gelu_tanh(_lin(lp["mlp"]["fc1"], h))
+        h = _lin(lp["mlp"]["fc2"], h)
         return r + h, None
 
     x, _ = jax.lax.scan(block, x, params["layers"])
