@@ -143,3 +143,23 @@ def test_torch_linear_layout():
          "bias": jnp.asarray(lin.bias.detach().numpy())}
     got = np.asarray(x.numpy() @ np.asarray(p["kernel"]) + np.asarray(p["bias"]))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_large_bucket_scoring(params):
+    """Precompute-scale bucket (T=8192, window 12): the banded attention stays
+    O(T*w) — this would be a 64k x 64k mask in the reference formulation."""
+    T = 8192
+    rng = np.random.default_rng(21)
+    frame = jnp.asarray(rng.normal(size=(T, 768)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(1, 768)), jnp.float32)
+    cs = jnp.asarray(rng.normal(scale=0.1, size=T), jnp.float32)
+    valid = jnp.arange(T) < 7000
+    logits, _ = score_frames(params, frame, text, cs, cfg=CFG, valid=valid,
+                             window_size=12)
+    out = np.asarray(logits)
+    assert np.all(np.isfinite(out[:7000]))
+    # prefix result equals an unpadded run on the true length
+    ref, _ = score_frames(params, frame[:7000], text, cs[:7000], cfg=CFG,
+                          window_size=12)
+    np.testing.assert_allclose(out[:7000], np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)

@@ -210,3 +210,24 @@ def test_trainer_resume(train_setup, tmp_path):
     np.testing.assert_allclose(leaf_after, leaf_before, atol=1e-7)
     m = tr2.train_step(dataset[0])
     assert np.isfinite(m["loss"])
+
+
+def test_reference_toy_jsonl_schema():
+    """The reference's shipped toy_example/example1.jsonl parses through our
+    training plumbing (question/problem extraction, reward solution format)."""
+    import json
+    import os
+    path = "/root/reference/toy_example/example1.jsonl"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    assert len(rows) >= 9
+    for row in rows:
+        assert row["type"] in ("general", "specific")
+        problem = extract_problem(row["original_question"])
+        assert problem and "<image>" not in problem and "\nA." not in problem
+        q = clean_question(row["original_question"])
+        assert "Please respond" not in q
+        # the accuracy reward resolves the shipped solution format
+        r = accuracy_reward(["A"], [row["solution"]])
+        assert r == [1.0]
