@@ -91,3 +91,42 @@ def test_trainer_data_parallel_batch(tmp_path):
     assert np.isfinite(m["loss"]) and m["batch"] == 8
     after = np.asarray(jax.tree_util.tree_leaves(tr.scorer.selector_params)[0])
     assert not np.allclose(before, after)  # params actually updated
+
+
+def test_fused_scoring_program_tp_sharded():
+    """The flagship fused scoring program runs with a TP-sharded CLIP tower
+    and matches the replicated result."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tspo_tpu.configs import SelectorConfig
+    from tspo_tpu.models.clip import init_clip_params
+    from tspo_tpu.models.selector import init_selector_params
+    from tspo_tpu.models.tspo_model import fused_score_program
+    from functools import partial
+
+    clip_cfg = CLIPConfig.tiny()
+    sel_cfg = SelectorConfig(dim=clip_cfg.text.projection_dim, num_heads=4,
+                             window_size=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cp = init_clip_params(k1, clip_cfg)
+    sp = init_selector_params(k2, sel_cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(1, 500, (1, 8)), jnp.int32)
+    ids = ids.at[0, -1].set(clip_cfg.text.eos_token_id)
+    valid = jnp.arange(64) < 50
+
+    run = partial(fused_score_program, vision_cfg=clip_cfg.vision,
+                  text_cfg=clip_cfg.text, selector_cfg=sel_cfg, chunk=32,
+                  window_size=8, sample_num=16, dtype=jnp.float32)
+    idx_ref, _, logits_ref = run(cp, sp, frames, ids, valid, jnp.float32(0.025))
+
+    mesh = create_mesh(data=4, model=2)
+    cp_sh = jax.device_put(cp, clip_param_shardings(cp, mesh))
+    repl = NamedSharding(mesh, P())
+    with mesh:
+        idx_tp, _, logits_tp = run(cp_sh, jax.device_put(sp, repl), frames,
+                                   ids, valid, jnp.float32(0.025))
+    np.testing.assert_allclose(np.asarray(logits_tp)[:50],
+                               np.asarray(logits_ref)[:50], rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(idx_tp), np.asarray(idx_ref))
