@@ -267,3 +267,13 @@ def test_quantized_siglip_close_to_float(torch_siglip):
     # patch features are near-zero-mean; compare normalized error
     err = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert err < 0.05, err
+
+
+def test_generate_batch_matches_sequential(jax_model):
+    """Batched G-rollout decode == per-subset sequential generate."""
+    rng = np.random.default_rng(10)
+    subsets = [rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+               for _ in range(3)]
+    seq = [jax_model.generate(f, "Q?", max_new_tokens=3) for f in subsets]
+    bat = jax_model.generate_batch(subsets, "Q?", max_new_tokens=3)
+    assert bat == seq

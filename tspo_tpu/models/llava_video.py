@@ -207,6 +207,29 @@ class LLaVAVideoModel:
         toks = toks[toks != eos]
         return self.decode(toks.tolist())
 
+    def generate_batch(self, frames_list, question: str,
+                       max_new_tokens: int | None = None) -> list:
+        """Batched greedy generation over G frame subsets of equal size —
+        the TSPO rollout (tspo_trainer.py:508-537 loops generate() G times;
+        one batched decode amortizes the weight reads that dominate)."""
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        max_new = max_new_tokens or self.max_new_tokens
+        prompt = build_qwen15_prompt(question)
+        input_ids = tokenize_with_image(prompt, self.encode)
+        embeds = jnp.concatenate([
+            self.splice_embeddings(input_ids, self.encode_video(f))
+            for f in frames_list], axis=0)                    # [G, S, D]
+        G, S, _ = embeds.shape
+        max_len = min(self.cfg.max_context, S + max_new + 8)
+        cache = KVCache.create(self.cfg.lm, G, max_len, embeds.dtype)
+        valid = jnp.ones((G, S), bool)
+        toks, _ = greedy_decode(self.params["lm"], embeds, valid, cache,
+                                self.cfg.lm, max_new)
+        toks = np.asarray(toks).reshape(G, -1)
+        eos = self.cfg.lm.eos_token_id
+        return [self.decode(row[row != eos].tolist()) for row in toks]
+
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str, prompt: str | None = None):
         """(logprob, is_greedy) of ``continuation`` given the video prompt —

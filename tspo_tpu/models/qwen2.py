@@ -310,15 +310,19 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
 
     # The cache was written at [0, S); decode appends at S, S+1, ...
     # but rope positions follow pos0 + i (decode positions are 1D: equal
-    # t/h/w make mrope collapse to standard rope).
+    # t/h/w make mrope collapse to standard rope).  Supports B > 1 (batched
+    # G-generation rollouts — the reference loops generate() G times,
+    # tspo_trainer.py:508-537; batching amortizes the weight reads that
+    # dominate decode) as long as valid prompt lengths are equal across rows
+    # (the rollout case: same question, same frame budget).
     def cond(state):
         i, tok, cache, out, done = state
-        return (i < max_new_tokens) & ~done
+        return (i < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
         i, tok, cache, out, done = state
-        out = out.at[i].set(jnp.where(done, eos, tok[0]))
-        done = done | (tok[0] == eos)
+        out = out.at[:, i].set(jnp.where(done, eos, tok))
+        done = done | (tok == eos)
         emb = embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
         pos = (pos0 + i)[None]
         av = (jnp.arange(T)[None, :] < cache.length + 1) & \
@@ -328,10 +332,12 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
         nxt = jnp.argmax(lm_logits(params, h[:, -1], cfg), axis=-1)
         return i + 1, nxt, cache, out, done
 
-    out = jnp.full((max_new_tokens,), eos, jnp.int32)
+    out = jnp.full((B, max_new_tokens), eos, jnp.int32)
     state = (jnp.int32(0), first_tok.astype(jnp.int32), cache, out,
-             jnp.asarray(False))
+             jnp.zeros((B,), bool))
     i, tok, cache, out, done = jax.lax.while_loop(cond, body, state)
+    if B == 1:
+        return out[0], i
     return out, i
 
 

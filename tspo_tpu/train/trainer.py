@@ -150,8 +150,13 @@ class TSPOTrainer:
                                  sample_len=sample_len,
                                  window_size=cfg.window_size)
         idx_g = np.asarray(subsets.indices[0])                  # [G, K]
-        completions = [self.backbone.generate(video[idx], question)
-                       for idx in idx_g]
+        if hasattr(self.backbone, "generate_batch"):
+            # one batched decode for all G rollouts (equal prompt lengths)
+            completions = self.backbone.generate_batch(
+                [video[idx] for idx in idx_g], question)
+        else:
+            completions = [self.backbone.generate(video[idx], question)
+                           for idx in idx_g]
 
         # rewards -> [G, n_funcs] (tspo_trainer.py:557-573)
         solutions = [row.get("solution", "")] * cfg.num_generations
