@@ -266,3 +266,22 @@ def test_videomme_aggregate():
     assert out["long"] == 50.0
     assert out["overall"] == pytest.approx(200 / 3)
     assert out["categories"]["c1"] == 50.0
+
+
+def test_harness_live_scoring(precompute_run, scorer):
+    """Single-phase live scoring: no frame_idx in docs, the temporal agent
+    selects frames on the fly (llava_vid_tspo.py load_video_sampled path)."""
+    pre, ds, results, _ = precompute_run
+    docs = [{"question_id": f"q{i}", "question": f"What is shown {i}?",
+             "options": ["A. red", "B. green"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": f"v{i}.mp4"} for i in range(2)]
+    backbone = StubBackbone()
+    res = evaluate_task("VideoMME", docs, backbone,
+                        video_root=str(ds.video_root), max_frames_num=8,
+                        scorer=scorer, on_error="raise")
+    assert len(res.results) == 2
+    # selected frames are absolute candidate indices, sorted
+    fi = res.samples[0]["frame_idx"]
+    assert len(fi) == 8 and fi == sorted(fi)
+    assert backbone.calls[0][0][0] == 8

@@ -64,11 +64,18 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   is_uniform: bool = False, limit: int | None = None,
                   shard: tuple = (0, 1), log_samples: bool = True,
                   seed: int = 1234, progress: Callable | None = None,
-                  on_error: str = "skip", response_cache=None) -> EvalResult:
+                  on_error: str = "skip", response_cache=None,
+                  scorer=None, live_method: str = "topk",
+                  live_max_candidates: int = 50000) -> EvalResult:
     """Run one benchmark slice.  ``is_uniform=True`` reproduces the baseline
     (no TSPO) rows of the results table.  ``response_cache`` (eval/caching.py)
     skips regeneration on resume — responses are deterministic (greedy,
-    frozen backbone)."""
+    frozen backbone).
+
+    ``scorer`` (a TSPOScorer) enables *live scoring*: docs without a
+    precomputed ``frame_idx`` get 1-fps candidates scored by the temporal
+    agent on the fly — the single-phase path of the reference adapter
+    (llava_vid_tspo.py:335-360 ``load_video_sampled``)."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
     id_key = DOC_ID_KEY[task_name]
@@ -92,11 +99,24 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 continue
             try:
                 path = task.resolve_video(doc, video_root)
-                if is_uniform or "frame_idx" not in doc:
+                if is_uniform:
                     frames, frame_idx = load_frames_uniform(path, max_frames_num)
-                else:
+                elif "frame_idx" in doc:
                     frames, frame_idx = load_frames_by_index(path, doc,
                                                              max_frames_num)
+                elif scorer is not None:
+                    # live scoring: decode all 1-fps candidates; the consumer
+                    # runs the temporal agent on device
+                    from ..eval.precompute import candidate_schedule
+                    from ..video.reader import load_video
+                    cand_idx = candidate_schedule(path, live_max_candidates)
+                    cands, _, _ = load_video(path,
+                                             max_frames_num=live_max_candidates,
+                                             fps=1, min_frames_num=0)
+                    q.put((doc, "candidates", (cands, cand_idx)))
+                    continue
+                else:
+                    frames, frame_idx = load_frames_uniform(path, max_frames_num)
                 q.put((doc, "frames", (frames, frame_idx)))
             except Exception as e:
                 q.put((doc, "error", e))
@@ -117,6 +137,18 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
             elif kind == "error":
                 raise payload
             else:
+                if kind == "candidates":
+                    cands, cand_idx = payload
+                    if len(cands) > max_frames_num:
+                        # the CLIP query is the bare question (gen_id_tspo.py:62-65)
+                        sel, _ = scorer(cands, doc.get("question", ""),
+                                        sample_num=max_frames_num,
+                                        method=live_method)
+                        frames = cands[np.asarray(sel)]
+                        frame_idx = [int(cand_idx[i]) for i in sel]
+                    else:
+                        frames, frame_idx = cands, [int(i) for i in cand_idx]
+                    payload = (frames, frame_idx)
                 frames, frame_idx = payload
                 prompt = task.doc_to_text(doc)
                 response = backbone.generate(frames, prompt)
