@@ -30,6 +30,11 @@ def build_parser():
     p.add_argument("--max-frames-num", type=int, default=64)
     p.add_argument("--uniform", action="store_true",
                    help="uniform-sampling baseline (is_uniform=True)")
+    p.add_argument("--live-model-path", default=None,
+                   help="TSPO scorer for single-phase live frame selection "
+                        "(docs without frame_idx)")
+    p.add_argument("--live-method", default="topk",
+                   choices=["topk", "bin-max", "aks"])
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
@@ -48,6 +53,10 @@ def main(argv=None):
 
     docs = load_json(args.frame_idx_json)
     backbone = load_backbone(args.backbone, args.backbone_path)
+    scorer = None
+    if args.live_model_path:
+        from .common import load_scorer
+        scorer = load_scorer(args.live_model_path)
     if args.quantize_backbone and hasattr(backbone, "quantize_lm"):
         backbone.quantize_lm()
     t0 = time.time()
@@ -56,7 +65,8 @@ def main(argv=None):
         args.task, docs, backbone, video_root=args.video_root,
         max_frames_num=args.max_frames_num, is_uniform=args.uniform,
         limit=args.limit, shard=(args.rank, args.world),
-        log_samples=args.log_samples,
+        log_samples=args.log_samples, scorer=scorer,
+        live_method=args.live_method,
         progress=lambda qid: done.append(qid) or (
             len(done) % 25 == 0 and print(f"{len(done)} done")))
 
