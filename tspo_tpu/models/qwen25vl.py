@@ -322,9 +322,9 @@ class Qwen25VLModel:
     decode: Callable | None = None
     max_new_tokens: int = 256
     max_pixels: int = 235200        # TSPO eval budget (TSPO_qwen25_vl.sh:25)
-    second_per_grid_t: float = 1.0  # 1-fps frames, temporal patch 2 -> 2.0?
-                                    # HF uses temporal_patch_size/fps; TSPO
-                                    # passes sampled frames at nominal 1 fps.
+    second_per_grid_t: float = 2.0  # temporal_patch_size / fps with the
+                                    # nominal 1-fps frames TSPO feeds
+                                    # (qwen_vl_utils video metadata convention)
 
     def encode_video(self, frames: np.ndarray):
         v = self.cfg.vision
