@@ -176,3 +176,33 @@ def test_gen_wrong_and_resize():
     video = np.random.default_rng(1).integers(0, 255, (3, 24, 36, 3), np.uint8)
     assert resize_video(video, 48, 64).shape == (3, 48, 64, 3)
     assert resize_short(video, 12).shape == (3, 12, 18, 3)
+
+
+@pytest.mark.parametrize("codec,ext", [("MJPG", "avi"), ("XVID", "avi")])
+def test_native_decoder_other_codecs(tmp_path, codec, ext):
+    """Native decoder handles non-mp4v containers/codecs frame-exactly."""
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    path = str(tmp_path / f"v.{ext}")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), 25.0, (64, 48))
+    assert w.isOpened()
+    for i in range(120):
+        w.write(np.full((48, 64, 3), min(i * 2, 255), np.uint8))
+    w.release()
+    idx = np.array([0, 30, 60, 119])
+    a = native.gather(path, idx)
+    cap = cv2.VideoCapture(path)
+    ref = {}
+    i = 0
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if i in set(idx.tolist()):
+            ref[i] = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    b = np.stack([ref[int(j)] for j in idx])
+    # codecs are lossy; frame identity shows as near-equal means
+    np.testing.assert_allclose(a.reshape(4, -1).mean(1),
+                               b.reshape(4, -1).mean(1), atol=3.0)
