@@ -42,6 +42,8 @@ def build_parser():
                    help="tiny test config (CPU smoke runs)")
     p.add_argument("--export-merged", default=None,
                    help="directory for the merged TSPO-0.4B export after training")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --output-dir")
     return p
 
 
@@ -75,6 +77,9 @@ def main(argv=None):
         video_folder=args.video_folder, irrelevant_pool=dataset,
         reward_funcs=tuple(args.reward_funcs), output_dir=args.output_dir,
         toy_example=bool(args.toy_jsonl_path))
+    if args.resume:
+        step = trainer.resume_from()
+        print(f"resumed from step {step}")
     history = trainer.train(max_steps=args.max_steps)
     if args.export_merged:
         trainer.export_merged(args.export_merged)
