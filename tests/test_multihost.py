@@ -1,0 +1,61 @@
+"""Two-process multi-host test: jax.distributed over a local coordinator
+(CPU-simulated DCN) exercising parallel/multihost.py — the layer that replaces
+the reference's torchrun/accelerate NCCL process group (SURVEY.md §2.5)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    rank = int(sys.argv[1])
+    jax.distributed.initialize({addr!r}, num_processes=2, process_id=rank,
+                               local_device_ids=[0, 1])
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from tspo_tpu.parallel.multihost import (barrier, gather_host_objects,
+                                             process_shard)
+    assert jax.process_count() == 2
+    assert process_shard(10) == (rank, 2)
+    out = gather_host_objects({{"rank": rank, "metrics": {{"acc": rank * 0.5}}}})
+    if rank == 0:
+        assert out is not None and [o["rank"] for o in out] == [0, 1]
+        print("GATHER_OK")
+    else:
+        assert out is None
+    barrier("t")
+    mesh = Mesh(np.array(jax.devices()).reshape(4), ("data",))
+    x = jax.device_put(jnp.ones(4), NamedSharding(mesh, P("data")))
+    total = jax.jit(lambda v: v.sum(), out_shardings=NamedSharding(mesh, P()))(x)
+    assert float(total) == 4.0
+    print(f"RANK{{rank}}_DONE")
+""")
+
+
+def test_two_process_multihost(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import socket
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo, addr=f"localhost:{port}"))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True) for r in range(2)]
+    outs = [p.communicate(timeout=110)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "GATHER_OK" in outs[0]
+    assert "RANK0_DONE" in outs[0] and "RANK1_DONE" in outs[1]
