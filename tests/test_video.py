@@ -206,3 +206,12 @@ def test_native_decoder_other_codecs(tmp_path, codec, ext):
     # codecs are lossy; frame identity shows as near-equal means
     np.testing.assert_allclose(a.reshape(4, -1).mean(1),
                                b.reshape(4, -1).mean(1), atol=3.0)
+
+
+def test_truncated_video_degrades_gracefully(tmp_path, video_path):
+    """A corrupt (truncated) file must not crash decode paths."""
+    data = open(video_path, "rb").read()
+    bad = str(tmp_path / "trunc.mp4")
+    open(bad, "wb").write(data[: len(data) // 3])
+    frames, ts, vt = load_video(bad, max_frames_num=16)
+    assert frames.shape[0] == 16  # decoded prefix or zero-frame fallback

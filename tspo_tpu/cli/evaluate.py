@@ -52,6 +52,9 @@ def main(argv=None):
     from .common import load_backbone
 
     docs = load_json(args.frame_idx_json)
+    if args.world == 1:
+        from ..parallel.multihost import process_shard
+        args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
     scorer = None
     if args.live_model_path:
@@ -69,6 +72,21 @@ def main(argv=None):
         live_method=args.live_method,
         progress=lambda qid: done.append(qid) or (
             len(done) % 25 == 0 and print(f"{len(done)} done")))
+
+    # multi-host: gather per-rank results to host 0 and aggregate globally
+    try:
+        from ..parallel.multihost import gather_host_objects
+        from ..eval.harness import EvalResult, merge_shards
+        gathered = gather_host_objects(
+            {"results": res.results, "samples": res.samples})
+        if gathered is None:
+            return  # non-zero host: host 0 writes the merged output
+        if len(gathered) > 1:
+            res = merge_shards(args.task, [
+                EvalResult(results=g["results"], metrics={},
+                           samples=g["samples"]) for g in gathered])
+    except Exception:
+        pass
 
     os.makedirs(args.output, exist_ok=True)
     stamp = time.strftime("%Y%m%d_%H%M%S")

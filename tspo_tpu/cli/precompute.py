@@ -47,6 +47,9 @@ def main(argv=None):
 
     scorer = load_scorer(args.model_path, tiny=args.tiny)
     ds = VideoQuestionDataset.from_tsv(args.data, args.tsv, args.video_root)
+    if args.world == 1:
+        from ..parallel.multihost import process_shard
+        args.rank, args.world = process_shard(len(ds))
     pre = FrameIndexPrecompute(
         scorer, FeatureCache(args.cache_root),
         PrecomputeConfig(sample_num=args.sample_num,
