@@ -1,0 +1,103 @@
+"""Scoring-service tests: live HTTP round trips against a tiny scorer."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tspo_tpu.configs import CLIPConfig, SelectorConfig
+from tspo_tpu.models.tspo_model import build_random_scorer
+from tspo_tpu.serve.server import ScoringService, create_server
+
+cv2 = pytest.importorskip("cv2")
+
+CLIP_CFG = CLIPConfig.tiny()
+SEL_CFG = SelectorConfig(dim=CLIP_CFG.text.projection_dim, num_heads=4)
+
+
+def _tokenize(problem: str):
+    ids = np.full((1, 8), 3, np.int32)
+    ids[0, -1] = CLIP_CFG.text.eos_token_id
+    return ids, np.ones((1, 8), np.int32)
+
+
+class StubBackbone:
+    def generate(self, frames, question, max_new_tokens=None):
+        return "A"
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    path = str(root / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(120):
+        w.write(np.full((48, 48, 3), (i * 4) % 255, np.uint8))
+    w.release()
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                                 dtype=jnp.float32, tokenize=_tokenize,
+                                 batch_frames=32, frame_buckets=(64, 128))
+    service = ScoringService(scorer=scorer, backbone=StubBackbone(),
+                             max_candidates=256)
+    srv = create_server(service, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", path
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_score_endpoint(server):
+    base, video = server
+    status, out = _post(base + "/v1/score",
+                        {"video_path": video, "question": "what?",
+                         "sample_num": 8, "return_scores": True})
+    assert status == 200
+    assert len(out["frame_indices"]) == 8
+    assert out["frame_indices"] == sorted(out["frame_indices"])
+    assert out["num_candidates"] == 60  # 120 frames at 2fps -> 60 candidates
+    assert len(out["scores"]) == 60
+
+
+def test_answer_endpoint(server):
+    base, video = server
+    status, out = _post(base + "/v1/answer",
+                        {"video_path": video, "question": "what?",
+                         "sample_num": 8})
+    assert status == 200
+    assert out["answer"] == "A"
+    assert len(out["frame_indices"]) == 8
+
+
+def test_bad_request(server):
+    base, _ = server
+    try:
+        _post(base + "/v1/score", {"question": "no video"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_missing_video_is_handled(server):
+    base, _ = server
+    try:
+        _post(base + "/v1/score", {"video_path": "/nope.mp4", "question": "?"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500

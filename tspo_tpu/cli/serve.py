@@ -1,0 +1,52 @@
+"""Serving CLI: hold the TSPO scorer (and optionally a backbone) hot and
+answer scoring/QA requests over HTTP.
+
+  python -m tspo_tpu.cli.serve --model-path ckpt/TSPO-0.4B --port 8000 \
+      [--backbone llava_video --backbone-path ckpt/LLaVA-Video-7B-Qwen2]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TSPO scoring service")
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--backbone", default=None,
+                   choices=[None, "stub", "llava_video", "qwen2_5_vl"])
+    p.add_argument("--backbone-path", default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 vision tower")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-candidates", type=int, default=50000)
+    p.add_argument("--tiny", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
+    from ..serve.server import ScoringService, create_server
+    from .common import load_backbone, load_scorer
+
+    scorer = load_scorer(args.model_path, tiny=args.tiny)
+    if args.quantize:
+        scorer.quantize()
+    backbone = (load_backbone(args.backbone, args.backbone_path)
+                if args.backbone else None)
+    service = ScoringService(scorer=scorer, backbone=backbone,
+                             max_candidates=args.max_candidates)
+    server = create_server(service, args.host, args.port)
+    print(f"tspo scoring service on {args.host}:{args.port} "
+          f"(backbone: {args.backbone or 'none'})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Minimal production scoring service.
+
+The reference ships gradio/sglang serving only in vendored-unused LLaVA code
+(SURVEY C44); TSPO itself has no serving story.  This is a deliberately
+dependency-free (stdlib http.server) JSON service holding the scorer (and
+optionally a backbone) hot on the chip:
+
+  POST /v1/score   {"video_path": ..., "question": ..., "sample_num": 64,
+                    "method": "topk"}    -> {"frame_indices": [...], ...}
+  POST /v1/answer  {same + "max_new_tokens"} -> {"answer": ..., ...}
+  GET  /healthz                          -> {"ok": true}
+
+Device work serializes behind a lock (single chip); decode runs outside the
+lock so concurrent requests overlap host IO with device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..video.reader import load_video
+
+
+@dataclass
+class ScoringService:
+    scorer: object
+    backbone: object | None = None
+    max_candidates: int = 50000
+    default_sample_num: int = 64
+    default_window: int = 12
+
+    def __post_init__(self):
+        self._device_lock = threading.Lock()
+        self.stats = {"requests": 0, "frames_scored": 0}
+
+    def _decode(self, video_path: str):
+        frames, _, _ = load_video(video_path, max_frames_num=self.max_candidates,
+                                  fps=1, min_frames_num=0)
+        if frames.sum() == 0:
+            raise IOError(f"could not decode {video_path}")
+        return frames
+
+    def score(self, *, video_path: str, question: str, sample_num: int | None = None,
+              method: str = "topk", window_size: int | None = None,
+              return_scores: bool = False) -> dict:
+        t0 = time.perf_counter()
+        frames = self._decode(video_path)          # outside the device lock
+        sample_num = sample_num or self.default_sample_num
+        with self._device_lock:
+            if method == "topk" and hasattr(self.scorer, "score_video_fused"):
+                idx, logits = self.scorer.score_video_fused(
+                    frames, question, sample_num=sample_num,
+                    window_size=window_size or self.default_window)
+            else:
+                idx, logits = self.scorer(
+                    frames, question, sample_num=sample_num,
+                    window_size=window_size or self.default_window,
+                    method=method)
+        self.stats["requests"] += 1
+        self.stats["frames_scored"] += len(frames)
+        out = {"frame_indices": [int(i) for i in idx],
+               "num_candidates": int(len(frames)),
+               "latency_s": round(time.perf_counter() - t0, 4)}
+        if return_scores:
+            out["scores"] = [float(x) for x in np.asarray(logits)]
+        return out
+
+    def answer(self, *, video_path: str, question: str, sample_num=None,
+               method: str = "topk", window_size=None,
+               max_new_tokens: int | None = None) -> dict:
+        if self.backbone is None:
+            raise ValueError("no backbone loaded")
+        t0 = time.perf_counter()
+        frames = self._decode(video_path)
+        sample_num = sample_num or self.default_sample_num
+        with self._device_lock:
+            idx, _ = self.scorer(frames, question, sample_num=sample_num,
+                                 window_size=window_size or self.default_window,
+                                 method=method)
+            kwargs = {}
+            if max_new_tokens:
+                kwargs["max_new_tokens"] = max_new_tokens
+            try:
+                answer = self.backbone.generate(frames[np.asarray(idx)],
+                                                question, **kwargs)
+            except TypeError:      # adapters without max_new_tokens kwarg
+                answer = self.backbone.generate(frames[np.asarray(idx)], question)
+        self.stats["requests"] += 1
+        self.stats["frames_scored"] += len(frames)
+        return {"answer": answer,
+                "frame_indices": [int(i) for i in idx],
+                "num_candidates": int(len(frames)),
+                "latency_s": round(time.perf_counter() - t0, 4)}
+
+
+def make_handler(service: ScoringService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, **service.stats})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/v1/score":
+                    self._send(200, service.score(**req))
+                elif self.path == "/v1/answer":
+                    self._send(200, service.answer(**req))
+                else:
+                    self._send(404, {"error": "not found"})
+            except (TypeError, ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def create_server(service: ScoringService, host: str = "0.0.0.0",
+                  port: int = 8000) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(service))
