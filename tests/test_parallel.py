@@ -130,3 +130,33 @@ def test_fused_scoring_program_tp_sharded():
     np.testing.assert_allclose(np.asarray(logits_tp)[:50],
                                np.asarray(logits_ref)[:50], rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(idx_tp), np.asarray(idx_ref))
+
+
+def test_qwen25vl_visual_tp_matches_replicated():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tspo_tpu.models.qwen25vl import (Qwen25VLConfig, Qwen25VLModel,
+                                          _vision_layout, _vision_rope,
+                                          preprocess_video,
+                                          qwen25vl_vision_forward,
+                                          qwen25vl_visual_shardings)
+
+    cfg = Qwen25VLConfig.tiny()
+    v = cfg.vision
+    model = Qwen25VLModel.random_init(0, cfg, dtype=jnp.float32)
+    frames = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3),
+                                               dtype=np.uint8)
+    patches, grid = preprocess_video(frames, v, min_pixels=1, max_pixels=10**8)
+    pos_hw, window_cells = _vision_layout(*grid, v.spatial_merge_size,
+                                          v.merger_window)
+    cos, sin = _vision_rope(pos_hw, v.head_dim)
+    args = (jnp.asarray(patches), jnp.asarray(cos), jnp.asarray(sin),
+            jnp.asarray(window_cells))
+
+    want = np.asarray(qwen25vl_vision_forward(model.params["visual"], *args, v))
+    mesh = create_mesh(data=4, model=2)
+    vp = jax.device_put(model.params["visual"],
+                        qwen25vl_visual_shardings(model.params["visual"], mesh))
+    with mesh:
+        got = np.asarray(qwen25vl_vision_forward(vp, *args, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -511,6 +511,26 @@ class Qwen25VLModel:
                    cfg=cfg, **kw)
 
 
+def qwen25vl_visual_shardings(visual_params, mesh):
+    """TP specs for the vision tower.  The fused qkv kernel [L, D, 3D] cannot
+    be column-sharded without splitting across the q|k|v boundary, so every
+    projection row-shards the contraction dim (each device computes a partial
+    product; XLA inserts one psum per GEMM).  Norms/merger stay replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(path):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        leaf = keys[-1]
+        if "layers" in keys and keys[1] in ("qkv", "proj", "gate", "up", "down"):
+            if leaf == "kernel":
+                return P(None, "model", None)
+            return P()  # biases applied after the psum
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path)), visual_params)
+
+
 def load_qwen25vl_adapter(model_path: str, dtype=jnp.bfloat16, **kw):
     """CLI factory: HF checkpoint dir -> Qwen25VLModel with HF tokenizer."""
     import glob
