@@ -160,3 +160,29 @@ def test_qwen25vl_visual_tp_matches_replicated():
     with mesh:
         got = np.asarray(qwen25vl_vision_forward(vp, *args, v))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_llava_video_full_model_tp():
+    """Full LLaVA-Video backbone (SigLIP TP + Qwen2 TP) generates identically
+    under mesh sharding."""
+    import jax.numpy as jnp
+    from tspo_tpu.models.llava_video import (LLaVAVideoConfig, LLaVAVideoModel,
+                                             llava_video_param_shardings)
+
+    cfg = LLaVAVideoConfig.tiny()
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]
+    dec = lambda toks: " ".join(map(str, toks))
+    model = LLaVAVideoModel.random_init(0, cfg, dtype=jnp.float32, encode=enc,
+                                        decode=dec, batch_frames=4)
+    frames = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3),
+                                               dtype=np.uint8)
+    want = model.generate(frames, "Q?", max_new_tokens=3)
+
+    mesh = create_mesh(data=4, model=2)
+    sharded = LLaVAVideoModel(
+        params=jax.device_put(model.params,
+                              llava_video_param_shardings(model.params, mesh)),
+        cfg=cfg, encode=enc, decode=dec, batch_frames=4)
+    with mesh:
+        got = sharded.generate(frames, "Q?", max_new_tokens=3)
+    assert got == want

@@ -322,11 +322,14 @@ class LLaVAVideoModel:
 
 
 def llava_video_param_shardings(params, mesh):
-    """TP shardings: Qwen2 rules for the LM; vision/projector replicated (the
-    tower is small relative to the LM and frame-batch data parallelism covers
-    it)."""
+    """TP shardings: Qwen2 rules for the LM, Megatron column/row rules for
+    the SigLIP tower (its layer structure matches the CLIP tower, so the same
+    spec function applies); projector/newline replicated."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import clip_param_shardings
     repl = jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()),
-        {k: v for k, v in params.items() if k != "lm"})
-    return {"lm": qwen2_param_shardings(params["lm"], mesh), **repl}
+        {k: v for k, v in params.items() if k not in ("lm", "vision")})
+    return {"lm": qwen2_param_shardings(params["lm"], mesh),
+            "vision": clip_param_shardings(params["vision"], mesh), **repl}
