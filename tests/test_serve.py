@@ -101,3 +101,13 @@ def test_missing_video_is_handled(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 500
+
+
+def test_warmup(server):
+    # warmup compiles without touching request stats semantics
+    from tspo_tpu.serve.server import ScoringService
+    scorer = build_random_scorer(seed=1, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                                 dtype=jnp.float32, tokenize=_tokenize,
+                                 batch_frames=16, frame_buckets=(64,))
+    svc = ScoringService(scorer=scorer).warmup(hw=(48, 48))
+    assert svc.stats["requests"] == 0

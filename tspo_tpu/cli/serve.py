@@ -21,6 +21,8 @@ def build_parser():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-candidates", type=int, default=50000)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the compile warmup before serving")
     p.add_argument("--tiny", action="store_true")
     return p
 
@@ -39,6 +41,9 @@ def main(argv=None):
                 if args.backbone else None)
     service = ScoringService(scorer=scorer, backbone=backbone,
                              max_candidates=args.max_candidates)
+    if not args.no_warmup:
+        print("warming up (compiling scoring programs)...")
+        service.warmup()
     server = create_server(service, args.host, args.port)
     print(f"tspo scoring service on {args.host}:{args.port} "
           f"(backbone: {args.backbone or 'none'})")

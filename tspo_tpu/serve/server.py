@@ -39,6 +39,18 @@ class ScoringService:
         self._device_lock = threading.Lock()
         self.stats = {"requests": 0, "frames_scored": 0}
 
+    def warmup(self, hw=(480, 640)):
+        """Compile the scoring programs before serving traffic (first-call
+        latency is compile-dominated)."""
+        frames = np.zeros((self.scorer.batch_frames, *hw, 3), np.uint8)
+        with self._device_lock:
+            if hasattr(self.scorer, "score_video_fused"):
+                self.scorer.score_video_fused(frames, "warmup",
+                                              sample_num=min(16, len(frames)))
+            else:
+                self.scorer(frames, "warmup", sample_num=min(16, len(frames)))
+        return self
+
     def _decode(self, video_path: str):
         frames, _, _ = load_video(video_path, max_frames_num=self.max_candidates,
                                   fps=1, min_frames_num=0)
