@@ -285,3 +285,19 @@ def test_harness_live_scoring(precompute_run, scorer):
     fi = res.samples[0]["frame_idx"]
     assert len(fi) == 8 and fi == sorted(fi)
     assert backbone.calls[0][0][0] == 8
+
+
+def test_aks_method_with_dataset_params(bench_dir, scorer, tmp_path):
+    """AKS precompute with per-dataset thresholds runs end-to-end."""
+    from tspo_tpu.eval.precompute import AKS_PARAMS
+    assert AKS_PARAMS["VideoMME"] == {"t1": 0.8, "all_depth": 5}
+    ds = VideoQuestionDataset.from_tsv("TinyBench", str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    pre = FrameIndexPrecompute(scorer, FeatureCache(str(tmp_path / "c")),
+                               PrecomputeConfig(sample_num=8, max_frames=256,
+                                                method="aks"),
+                               work_dir=str(tmp_path / "w"), name="AKS")
+    results = pre.run(ds)
+    assert set(results) == {"q0", "q1", "q2"}
+    for ids in results.values():
+        assert 0 < len(ids) <= 8 and ids == sorted(ids)

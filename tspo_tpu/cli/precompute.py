@@ -23,6 +23,9 @@ def build_parser():
     p.add_argument("--work-dir", default="work_dir")
     p.add_argument("--cache-root", default="feature_cache")
     p.add_argument("--sample-num", type=int, default=64)
+    p.add_argument("--method", default="topk",
+                   choices=["topk", "bin-max", "aks"],
+                   help="selection method (VideoMME auto-switches to bin-max)")
     p.add_argument("--window-size", type=int, default=12)
     p.add_argument("--max-frames", type=int, default=50000)
     p.add_argument("--rank", type=int, default=0)
@@ -54,7 +57,7 @@ def main(argv=None):
         scorer, FeatureCache(args.cache_root),
         PrecomputeConfig(sample_num=args.sample_num,
                          window_size=args.window_size,
-                         max_frames=args.max_frames),
+                         max_frames=args.max_frames, method=args.method),
         work_dir=args.work_dir, name=args.name)
     done = []
     results = pre.run(ds, shard=(args.rank, args.world), rerun=args.rerun,

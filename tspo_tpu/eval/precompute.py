@@ -34,6 +34,12 @@ def select_method_for(dataset: str, cfg: PrecomputeConfig) -> str:
     return "bin-max" if dataset == "VideoMME" else cfg.method
 
 
+# AKS thresholds per benchmark (model/utils.py:131-133 comments:
+# "t1 videomme: 0.8; LVB: 0.2", "all_depth videomme: 5; LVB: 3")
+AKS_PARAMS = {"VideoMME": {"t1": 0.8, "all_depth": 5},
+              "LongVideoBench": {"t1": 0.2, "all_depth": 3}}
+
+
 def candidate_schedule(video_path: str, max_frames: int):
     """Absolute frame indices of the 1-fps candidates (gen_id_tspo load_video:
     min_frames_num is NOT applied in the precompute variant)."""
@@ -99,10 +105,13 @@ class FrameIndexPrecompute:
         """Absolute selected frame ids as floats (gen_id_tspo.py:81-92)."""
         img, txt, csc, sampled_idx = self.features_for(struct, dataset)
         sampled_idx = np.asarray(sampled_idx, np.int64)
+        method = select_method_for(dataset, self.cfg)
+        extra = AKS_PARAMS.get(dataset, {}) if method == "aks" else {}
         if len(img) > self.cfg.sample_num:
             ts_ids, _ = self.scorer.temporal_sampling(
-                img, txt, csc, method=select_method_for(dataset, self.cfg),
-                window_size=self.cfg.window_size, sample_num=self.cfg.sample_num)
+                img, txt, csc, method=method,
+                window_size=self.cfg.window_size,
+                sample_num=self.cfg.sample_num, **extra)
             abs_ids = sampled_idx[np.asarray(ts_ids)]
         else:
             abs_ids = sampled_idx
@@ -168,11 +177,13 @@ class FrameIndexPrecompute:
                                 sampled_idx=sampled_idx)
             sampled_idx = np.asarray(sampled_idx, np.int64)
             if len(img) > self.cfg.sample_num:
+                method = select_method_for(dataset.name, self.cfg)
+                extra = (AKS_PARAMS.get(dataset.name, {})
+                         if method == "aks" else {})
                 ts_ids, _ = self.scorer.temporal_sampling(
-                    img, txt, csc,
-                    method=select_method_for(dataset.name, self.cfg),
+                    img, txt, csc, method=method,
                     window_size=self.cfg.window_size,
-                    sample_num=self.cfg.sample_num)
+                    sample_num=self.cfg.sample_num, **extra)
                 abs_ids = sampled_idx[np.asarray(ts_ids)]
             else:
                 abs_ids = sampled_idx

@@ -216,7 +216,7 @@ class TSPOScorer:
         return np.asarray(logits)[:T]
 
     def select(self, logits: np.ndarray, sample_num: int,
-               method: str = "topk") -> np.ndarray:
+               method: str = "topk", **method_kwargs) -> np.ndarray:
         """Dispatch matching reference ``inference_ts`` (llava_qwen.py:146-176).
 
         Small-video degenerate cases resolve host-side: topk with
@@ -233,14 +233,17 @@ class TSPOScorer:
             idx, count = bin_max_select(jnp.asarray(logits), sample_num)
             return np.asarray(idx)[: int(count)]
         if method == "aks":
-            return np.asarray(aks_select(np.asarray(logits), sample_num))
+            # method_kwargs: t1 / all_depth (per-dataset, utils.py:131-133)
+            return np.asarray(aks_select(np.asarray(logits), sample_num,
+                                         **method_kwargs))
         raise ValueError(f"unknown selection method: {method}")
 
     def temporal_sampling(self, image_feat, text_feat, clip_sc, *,
-                          method="topk", window_size=None, sample_num=64):
+                          method="topk", window_size=None, sample_num=64,
+                          **method_kwargs):
         logits = self.score(image_feat, text_feat, clip_sc,
                             window_size=window_size)
-        return self.select(logits, sample_num, method), logits
+        return self.select(logits, sample_num, method, **method_kwargs), logits
 
     def __call__(self, frames: np.ndarray, problem, *, sample_num=64,
                  window_size=12, method="topk"):
