@@ -186,3 +186,42 @@ def test_llava_video_full_model_tp():
     with mesh:
         got = sharded.generate(frames, "Q?", max_new_tokens=3)
     assert got == want
+
+
+def test_fused_scoring_quantized_tp():
+    """quantized int8 tower + TP sharding + fused program compose."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tspo_tpu.configs import SelectorConfig
+    from tspo_tpu.models.clip import init_clip_params, quantize_vision_params
+    from tspo_tpu.models.selector import init_selector_params
+    from tspo_tpu.models.tspo_model import fused_score_program
+
+    clip_cfg = CLIPConfig.tiny()
+    sel_cfg = SelectorConfig(dim=clip_cfg.text.projection_dim, num_heads=4,
+                             window_size=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    cp = init_clip_params(k1, clip_cfg)
+    cpq = {**cp, "vision": quantize_vision_params(cp["vision"])}
+    sp = init_selector_params(k2, sel_cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(1, 500, (1, 8)), jnp.int32)
+    ids = ids.at[0, -1].set(clip_cfg.text.eos_token_id)
+    valid = jnp.ones(64, bool)
+    run = partial(fused_score_program, vision_cfg=clip_cfg.vision,
+                  text_cfg=clip_cfg.text, selector_cfg=sel_cfg, chunk=32,
+                  window_size=8, sample_num=16, dtype=jnp.float32,
+                  quantized=True)
+    idx_ref, _, logits_ref = run(cpq, sp, frames, ids, valid, jnp.float32(0.025))
+
+    mesh = create_mesh(data=8, model=1)  # int8 kernels: replicate-on-model
+    repl = NamedSharding(mesh, P())
+    with mesh:
+        idx_tp, _, logits_tp = run(jax.device_put(cpq, repl),
+                                   jax.device_put(sp, repl), frames, ids,
+                                   valid, jnp.float32(0.025))
+    np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(logits_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx_tp), np.asarray(idx_ref))
