@@ -109,3 +109,48 @@ def test_demo_cli(workspace, capsys):
     assert "selected 8 frames" in txt
     assert "answer: A" in txt
     assert os.path.exists(sheet)
+
+
+def test_load_scorer_from_torch_merged_dir(tmp_path):
+    """Reference-format merged checkpoint directory (safetensors) loads with
+    config inferred from tensor shapes (no config.json needed)."""
+    torch = pytest.importorskip("torch")
+    safetensors = pytest.importorskip("safetensors.torch")
+    import transformers
+    from tspo_tpu.cli.common import load_scorer
+    from tspo_tpu.models.clip import clip_config_from_state_dict
+
+    # "real-geometry-mini" CLIP: 64-dim heads so the inference rule holds
+    hf_cfg = transformers.CLIPConfig(
+        text_config=dict(vocab_size=512, hidden_size=128, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         max_position_embeddings=16, projection_dim=96,
+                         eos_token_id=511, hidden_act="quick_gelu"),
+        vision_config=dict(hidden_size=128, intermediate_size=512,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           patch_size=8, image_size=32, projection_dim=96,
+                           hidden_act="quick_gelu"),
+        projection_dim=96)
+    torch.manual_seed(0)
+    clip = transformers.CLIPModel(hf_cfg)
+    sd = dict(clip.state_dict())
+    for name in ("temporal.Self_q", "temporal.Self_k", "temporal.Self_v",
+                 "temporal.ffn_o", "mlp.0", "mlp.2"):
+        sd[f"selector.{name}.weight"] = torch.randn(96, 96) * 0.02
+        sd[f"selector.{name}.bias"] = torch.zeros(96)
+    ckpt = tmp_path / "TSPO-mini"
+    ckpt.mkdir()
+    safetensors.save_file({k: v.contiguous() for k, v in sd.items()},
+                          str(ckpt / "model.safetensors"))
+
+    inferred = clip_config_from_state_dict(
+        {k: v.numpy() for k, v in sd.items() if not k.startswith("selector.")})
+    assert inferred.text.width == 128 and inferred.vision.layers == 2
+    assert inferred.vision.image_size == 32 and inferred.text.eos_token_id == 511
+
+    import jax.numpy as jnp
+    scorer = load_scorer(str(ckpt), dtype=jnp.float32, batch_frames=16)
+    frames = np.random.default_rng(0).integers(0, 256, (20, 32, 32, 3),
+                                               dtype=np.uint8)
+    idx, logits = scorer(frames, "what?", sample_num=8)
+    assert len(idx) == 8 and np.all(np.isfinite(logits))

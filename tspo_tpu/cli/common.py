@@ -55,7 +55,11 @@ def load_scorer(model_path: str | None, *, dtype=None, batch_frames: int = 256,
 
 def _scorer_from_torch_dir(path: str, dtype, tokenize, batch_frames):
     """Load a reference-format merged TSPO-0.4B HF directory (safetensors or
-    pytorch_model.bin) — merge_weights.py output."""
+    pytorch_model.bin) — merge_weights.py output.  The CLIP geometry is
+    inferred from tensor shapes (64-dim-head CLIP family rule), so no
+    parsable config.json is required."""
+    from ..configs import SelectorConfig
+    from ..models.clip import clip_config_from_state_dict
     from ..models.tspo_model import TSPOScorer
     sd = {}
     st_files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
@@ -69,8 +73,13 @@ def _scorer_from_torch_dir(path: str, dtype, tokenize, batch_frames):
         import torch
         sd = torch.load(os.path.join(path, "pytorch_model.bin"),
                         map_location="cpu", weights_only=True)
-    return TSPOScorer.from_torch_merged(sd, dtype=dtype, tokenize=tokenize,
-                                        batch_frames=batch_frames)
+    clip_cfg = clip_config_from_state_dict(
+        {k: v for k, v in sd.items() if not k.startswith("selector.")})
+    sel_dim = clip_cfg.text.projection_dim
+    return TSPOScorer.from_torch_merged(
+        sd, clip_cfg=clip_cfg,
+        selector_cfg=SelectorConfig(dim=sel_dim), dtype=dtype,
+        tokenize=tokenize, batch_frames=batch_frames)
 
 
 def make_clip_tokenizer(model_path: str):

@@ -333,6 +333,35 @@ def _encoder_params(sd, prefix, n_layers):
     }
 
 
+def clip_config_from_state_dict(sd) -> CLIPConfig:
+    """Infer the CLIPConfig from checkpoint tensor shapes — lets merged
+    TSPO-0.4B directories load without a parsable config.json."""
+    sd = {k: v for k, v in sd.items()}
+    t_vocab, t_width = sd["text_model.embeddings.token_embedding.weight"].shape
+    t_pos = sd["text_model.embeddings.position_embedding.weight"].shape[0]
+    t_proj = sd["text_projection.weight"].shape[0]
+    t_layers = 1 + max(int(k.split(".")[3]) for k in sd
+                       if k.startswith("text_model.encoder.layers."))
+    v_width = sd["vision_model.embeddings.class_embedding"].shape[0]
+    patch = sd["vision_model.embeddings.patch_embedding.weight"]
+    v_patch = patch.shape[-1]
+    v_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
+    v_grid = int(round((v_pos - 1) ** 0.5))
+    v_proj = sd["visual_projection.weight"].shape[0]
+    v_layers = 1 + max(int(k.split(".")[3]) for k in sd
+                       if k.startswith("vision_model.encoder.layers."))
+    # heads: keep defaults scaled by width (64-dim heads, the CLIP family rule)
+    return CLIPConfig(
+        text=CLIPTextConfig(vocab_size=t_vocab, width=t_width, layers=t_layers,
+                            heads=max(t_width // 64, 1), max_positions=t_pos,
+                            projection_dim=t_proj, eos_token_id=t_vocab - 1),
+        vision=CLIPVisionConfig(width=v_width, layers=v_layers,
+                                heads=max(v_width // 64, 1), patch_size=v_patch,
+                                image_size=v_grid * v_patch,
+                                projection_dim=v_proj),
+    )
+
+
 def clip_params_from_torch(model_or_sd, cfg: CLIPConfig = CLIPConfig(),
                            dtype=jnp.float32) -> dict:
     """Port an HF ``CLIPModel`` checkpoint to our pytree layout.
