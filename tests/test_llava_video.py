@@ -277,3 +277,16 @@ def test_generate_batch_matches_sequential(jax_model):
     seq = [jax_model.generate(f, "Q?", max_new_tokens=3) for f in subsets]
     bat = jax_model.generate_batch(subsets, "Q?", max_new_tokens=3)
     assert bat == seq
+
+
+def test_llava_config_from_hf_dict():
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig
+    hf = {"vocab_size": 512, "hidden_size": 64, "intermediate_size": 128,
+          "num_hidden_layers": 2, "num_attention_heads": 4,
+          "num_key_value_heads": 2, "head_dim": 16, "rope_theta": 10000.0,
+          "rms_norm_eps": 1e-6, "mm_spatial_pool_stride": 2,
+          "mm_newline_position": "grid", "mm_spatial_pool_mode": "average"}
+    cfg = LLaVAVideoConfig.from_hf_config(hf)
+    assert cfg.lm.hidden_size == 64 and cfg.lm.num_kv_heads == 2
+    assert cfg.mm_newline_position == "grid" and cfg.pool_stride == 2
+    assert cfg.vision.num_patches == 729  # production SigLIP geometry

@@ -238,3 +238,16 @@ def test_loglikelihood_matches_torch(torch_model, jax_model, video_inputs):
     # summed logprobs inherit the fp32 accumulation noise seen in the
     # logits-parity test (~1e-2/position)
     assert abs(lp - want) < 0.1
+
+
+def test_config_from_hf_dict(torch_model):
+    """Qwen25VLConfig.from_hf_config round-trips the HF config."""
+    from tspo_tpu.models.qwen25vl import Qwen25VLConfig
+    hf = torch_model.config.to_dict()
+    cfg = Qwen25VLConfig.from_hf_config(hf)
+    assert cfg.lm.hidden_size == CFG.lm.hidden_size
+    assert cfg.lm.num_kv_heads == CFG.lm.num_kv_heads
+    assert cfg.vision.depth == CFG.vision.depth
+    assert cfg.vision.fullatt_block_indexes == CFG.vision.fullatt_block_indexes
+    assert cfg.mrope_section == CFG.mrope_section
+    assert cfg.video_token_id == CFG.video_token_id

@@ -125,7 +125,11 @@ def load_backbone(kind: str, model_path: str | None = None, **kw):
         from ..models.llava_video import LLaVAVideoModel, LLaVAVideoConfig
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(model_path)
-        cfg = LLaVAVideoConfig()
+        cfg_path = os.path.join(model_path, "config.json")
+        if os.path.exists(cfg_path):
+            cfg = LLaVAVideoConfig.from_hf_config(json.load(open(cfg_path)))
+        else:
+            cfg = LLaVAVideoConfig()
         model = _load_llava_dir(model_path, cfg, **kw)
         model.encode = lambda s: tok(s).input_ids
         model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)

@@ -59,6 +59,27 @@ class LLaVAVideoConfig:
         return cls(lm=Qwen2Config.tiny(), vision=SigLIPConfig.tiny(),
                    max_context=512)
 
+    @classmethod
+    def from_hf_config(cls, hf: dict) -> "LLaVAVideoConfig":
+        """Build from a LlavaQwen config.json (Qwen2 fields at top level plus
+        mm_* fields; the SigLIP tower geometry is fixed by the checkpoint
+        family — so400m-384 with the final layer dropped)."""
+        lm = Qwen2Config(
+            vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf["num_key_value_heads"],
+            head_dim=hf.get("head_dim",
+                            hf["hidden_size"] // hf["num_attention_heads"]),
+            rope_theta=hf.get("rope_theta", 1_000_000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-6),
+            max_position_embeddings=hf.get("max_position_embeddings", 32768),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False))
+        return cls(lm=lm, vision=SigLIPConfig(),
+                   pool_stride=hf.get("mm_spatial_pool_stride", 2),
+                   mm_newline_position=hf.get("mm_newline_position", "grid"))
+
 
 def build_qwen15_prompt(question: str,
                         trailer: str = "\nPlease answer with the option's "

@@ -95,6 +95,44 @@ class Qwen25VLConfig:
                    vision_end_token_id=lm.vocab_size - 2,
                    max_context=2048)
 
+    @classmethod
+    def from_hf_config(cls, hf: dict) -> "Qwen25VLConfig":
+        """Build from an HF Qwen2_5_VL config.json dict (handles both the
+        nested text_config layout and older flat layouts)."""
+        t = hf.get("text_config", hf)
+        v = hf["vision_config"]
+        rope = t.get("rope_scaling") or hf.get("rope_scaling") or {}
+        lm = Qwen2Config(
+            vocab_size=t["vocab_size"], hidden_size=t["hidden_size"],
+            intermediate_size=t["intermediate_size"],
+            num_layers=t["num_hidden_layers"],
+            num_heads=t["num_attention_heads"],
+            num_kv_heads=t["num_key_value_heads"],
+            head_dim=t.get("head_dim",
+                           t["hidden_size"] // t["num_attention_heads"]),
+            rope_theta=t.get("rope_theta", 1_000_000.0),
+            rms_eps=t.get("rms_norm_eps", 1e-6),
+            max_position_embeddings=t.get("max_position_embeddings", 32768),
+            tie_word_embeddings=t.get("tie_word_embeddings",
+                                      hf.get("tie_word_embeddings", False)),
+            eos_token_id=hf.get("eos_token_id", 151645))
+        vision = Qwen25VLVisionConfig(
+            depth=v["depth"], hidden=v.get("hidden_size", 1280),
+            intermediate=v["intermediate_size"], heads=v["num_heads"],
+            patch_size=v["patch_size"],
+            temporal_patch_size=v["temporal_patch_size"],
+            spatial_merge_size=v["spatial_merge_size"],
+            window_size=v["window_size"],
+            fullatt_block_indexes=tuple(v["fullatt_block_indexes"]),
+            out_hidden=v["out_hidden_size"],
+            tokens_per_second=v.get("tokens_per_second", 2.0))
+        return cls(vision=vision, lm=lm,
+                   mrope_section=tuple(rope.get("mrope_section", (16, 24, 24))),
+                   image_token_id=hf.get("image_token_id", 151655),
+                   video_token_id=hf.get("video_token_id", 151656),
+                   vision_start_token_id=hf.get("vision_start_token_id", 151652),
+                   vision_end_token_id=hf.get("vision_end_token_id", 151653))
+
 
 # ---------------------------------------------------------------------------
 # Host-side preprocessing (smart_resize + 3D patchify, HF processor parity)
@@ -549,8 +587,13 @@ def load_qwen25vl_adapter(model_path: str, dtype=jnp.bfloat16, **kw):
         for fname in sorted(glob.glob(os.path.join(model_path, "pytorch_model*.bin"))):
             sd.update(torch.load(fname, map_location="cpu", weights_only=True))
     tok = AutoTokenizer.from_pretrained(model_path)
-    model = Qwen25VLModel.from_torch_checkpoint(sd, Qwen25VLConfig(), dtype,
-                                               **kw)
+    cfg_path = os.path.join(model_path, "config.json")
+    if os.path.exists(cfg_path):
+        import json
+        cfg = Qwen25VLConfig.from_hf_config(json.load(open(cfg_path)))
+    else:
+        cfg = Qwen25VLConfig()
+    model = Qwen25VLModel.from_torch_checkpoint(sd, cfg, dtype, **kw)
     model.encode = lambda s: tok(s).input_ids
     model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)
     return model
