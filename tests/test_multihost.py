@@ -59,3 +59,54 @@ def test_two_process_multihost(tmp_path):
     assert all(p.returncode == 0 for p in procs), outs
     assert "GATHER_OK" in outs[0]
     assert "RANK0_DONE" in outs[0] and "RANK1_DONE" in outs[1]
+
+
+def test_two_process_distributed_precompute(tmp_path):
+    """Two precompute CLI processes under one coordinator auto-shard the
+    question list and produce complementary supp.pkl shards."""
+    import numpy as np
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cv2 = pytest.importorskip("cv2")
+    # fixtures
+    (tmp_path / "videos").mkdir()
+    for i in range(4):
+        w = cv2.VideoWriter(str(tmp_path / "videos" / f"v{i}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+        for j in range(80):
+            w.write(np.full((48, 48, 3), (j * 3 + i * 20) % 255, np.uint8))
+        w.release()
+    with open(tmp_path / "B.tsv", "w") as f:
+        f.write("index\ttask_name\tvideo_name\tquestion_id\tquestion\t"
+                "answer_number\tcandidates\tanswer\n")
+        for i in range(4):
+            f.write(f"{i}\tB\tv{i}.mp4\tq{i}\tWhat {i}?\t0\t['x','y']\tA\n")
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for r in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tspo_tpu.cli.precompute",
+             "--data", "B", "--tsv", str(tmp_path / "B.tsv"),
+             "--video-root", str(tmp_path / "videos"), "--tiny",
+             "--sample-num", "8", "--max-frames", "128",
+             "--work-dir", str(tmp_path / f"w{r}"),
+             "--cache-root", str(tmp_path / f"c{r}"),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=repo, text=True))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    import pickle
+    shards = [pickle.load(open(tmp_path / f"w{r}" / "TSPO_B_supp.pkl", "rb"))
+              for r in range(2)]
+    all_q = set(shards[0]) | set(shards[1])
+    assert all_q == {"q0", "q1", "q2", "q3"}
+    assert set(shards[0]).isdisjoint(shards[1])  # actually sharded

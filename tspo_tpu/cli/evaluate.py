@@ -36,6 +36,11 @@ def build_parser():
     p.add_argument("--live-method", default="topk",
                    choices=["topk", "bin-max", "aks"])
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--output", default="eval_results")
@@ -47,6 +52,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from .common import enable_compilation_cache
     enable_compilation_cache()
+    if args.coordinator:
+        from ..parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from ..eval.datasets import load_json
     from ..eval.harness import evaluate_task
     from .common import load_backbone

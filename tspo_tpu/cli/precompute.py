@@ -28,6 +28,11 @@ def build_parser():
                    help="selection method (VideoMME auto-switches to bin-max)")
     p.add_argument("--window-size", type=int, default=12)
     p.add_argument("--max-frames", type=int, default=50000)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--rerun", action="store_true")
@@ -42,6 +47,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from .common import enable_compilation_cache
     enable_compilation_cache()
+    if args.coordinator:
+        from ..parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from ..configs import PrecomputeConfig
     from ..eval.datasets import VideoQuestionDataset, load_json
     from ..eval.precompute import FrameIndexPrecompute

@@ -19,12 +19,15 @@ import numpy as np
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None):
-    """Idempotent jax.distributed init; no-op in single-process runs."""
-    if jax.process_count() > 1:
+    """Idempotent jax.distributed init.  Must run before any backend use —
+    so no jax.devices()/process_count() probing here."""
+    if coordinator_address is None:
         return
-    if coordinator_address is not None:
+    try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def process_shard(n_items: int) -> tuple:
