@@ -35,6 +35,12 @@ def build_parser():
                         "(docs without frame_idx)")
     p.add_argument("--live-method", default="topk",
                    choices=["topk", "bin-max", "aks"])
+    p.add_argument("--pre-prompt", default=None,
+                   help="override the task's lmms_eval_specific_kwargs "
+                        "pre_prompt (yaml default otherwise)")
+    p.add_argument("--post-prompt", default=None,
+                   help="override the task's lmms_eval_specific_kwargs "
+                        "post_prompt (yaml default otherwise)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--coordinator", default=None,
                    help="jax.distributed coordinator address host:port "
@@ -78,6 +84,10 @@ def main(argv=None):
         limit=args.limit, shard=(args.rank, args.world),
         log_samples=args.log_samples, scorer=scorer,
         live_method=args.live_method,
+        specific_kwargs={k: v for k, v in
+                         (("pre_prompt", args.pre_prompt),
+                          ("post_prompt", args.post_prompt)) if v is not None}
+        or None,
         progress=lambda qid: done.append(qid) or (
             len(done) % 25 == 0 and print(f"{len(done)} done")))
 

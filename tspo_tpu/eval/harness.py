@@ -66,7 +66,8 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   seed: int = 1234, progress: Callable | None = None,
                   on_error: str = "skip", response_cache=None,
                   scorer=None, live_method: str = "topk",
-                  live_max_candidates: int = 50000) -> EvalResult:
+                  live_max_candidates: int = 50000,
+                  specific_kwargs: dict | None = None) -> EvalResult:
     """Run one benchmark slice.  ``is_uniform=True`` reproduces the baseline
     (no TSPO) rows of the results table.  ``response_cache`` (eval/caching.py)
     skips regeneration on resume — responses are deterministic (greedy,
@@ -150,7 +151,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                         frames, frame_idx = cands, [int(i) for i in cand_idx]
                     payload = (frames, frame_idx)
                 frames, frame_idx = payload
-                prompt = task.doc_to_text(doc)
+                prompt = task.doc_to_text(doc, specific_kwargs)
                 response = backbone.generate(frames, prompt)
                 if response_cache is not None:
                     response_cache.put(doc.get(id_key), response)

@@ -104,23 +104,49 @@ def aggregate_videomme(results: list) -> dict:
 # Per-benchmark doc handling for phase-2
 # ---------------------------------------------------------------------------
 
-def _lvb_doc_to_text(doc, pre_prompt: str = "", post_prompt: str = "") -> str:
+# Per-task lmms_eval_specific_kwargs defaults.  The reference selects the
+# model-name key when it matches exactly, else merges in "default"
+# (api/task.py:793-800); the TSPO adapters are named llava_vid_tspo /
+# qwen2_5_vl_tspo — neither matches a yaml key — so "default" applies.
+LVB_DEFAULT_KWARGS = {
+    # longvideobench_val_v.yaml:24-27
+    "pre_prompt": "",
+    "post_prompt": "Answer with the option's letter from the given choices "
+                   "directly.\n",
+}
+VIDEOMME_DEFAULT_KWARGS = {
+    # videomme.yaml lmms_eval_specific_kwargs.default (NOT the llava_vid key,
+    # which only applies to the exact model name "llava_vid")
+    "pre_prompt": "",
+    "post_prompt": "\nAnswer with the option's letter from the given choices "
+                   "directly.",
+}
+
+
+def _lvb_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
+    """longvideobench_doc_to_text (tasks/longvideobench/utils.py:114-142),
+    non-subtitle branch."""
+    kw = {**LVB_DEFAULT_KWARGS, **(lmms_eval_specific_kwargs or {})}
     cands = doc.get("candidates") or []
     q = doc["question"] + "\n" + "\n".join(
         f"{chr(ord('A') + i)}. {c}" for i, c in enumerate(cands))
-    return f"{pre_prompt}{q}\n{post_prompt}"
+    return f"{kw['pre_prompt']}{q}\n{kw['post_prompt']}"
 
 
-def _mlvu_doc_to_text(doc, **_) -> str:
+def _mlvu_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
+    """mlvu_doc_to_text (tasks/mlvu/utils.py:63-67) — ignores the yaml
+    kwargs entirely; option_prompt is hardcoded empty."""
     return "\n" + doc["question"] + "\nOnly give the best option.\n" + "\nBest option: ("
 
 
-def _videomme_doc_to_text(doc, **_) -> str:
+def _videomme_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
+    """videomme_doc_to_text (tasks/videomme/utils.py:150-158)."""
+    kw = {**VIDEOMME_DEFAULT_KWARGS, **(lmms_eval_specific_kwargs or {})}
     option_prompt = ("Select the best answer to the following multiple-choice "
                      "question based on the video and the subtitles. Respond "
                      "with only the letter (A, B, C, or D) of the correct option.")
     question = doc["question"] + "\n" + "\n".join(doc.get("options", []))
-    return option_prompt + "\n" + question + "\n" + "The best answer is:"
+    return option_prompt + "\n" + question + "\n" + kw["post_prompt"]
 
 
 def _lvb_process(doc, response, rng=None) -> dict:
