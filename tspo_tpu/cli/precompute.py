@@ -72,6 +72,11 @@ def main(argv=None):
                       progress=lambda qid: done.append(qid) or (
                           len(done) % 25 == 0 and print(f"{len(done)} done")))
     print(f"{len(results)} questions scored -> {pre._supp_path(args.data)}")
+    errs = pre.load_errors(args.data)
+    if errs:
+        print(f"{len(errs)} questions FAILED (see "
+              f"{pre._errors_path(args.data)}): "
+              + ", ".join(list(errs)[:5]) + ("..." if len(errs) > 5 else ""))
     if args.anno_json and args.out_json:
         merged = pre.emit_frame_idx_json(args.data, load_json(args.anno_json),
                                          args.out_json)

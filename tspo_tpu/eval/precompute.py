@@ -15,6 +15,7 @@ hosts/chips via ``shard`` (the per-rank slice used by jax.process_index()).
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 import queue
@@ -66,6 +67,9 @@ class FrameIndexPrecompute:
     def _supp_path(self, dataset: str) -> str:
         return os.path.join(self.work_dir, f"{self.name}_{dataset}_supp.pkl")
 
+    def _errors_path(self, dataset: str) -> str:
+        return os.path.join(self.work_dir, f"{self.name}_{dataset}_errors.pkl")
+
     def load_results(self, dataset: str) -> dict:
         path = self._supp_path(dataset)
         if os.path.exists(path):
@@ -73,12 +77,27 @@ class FrameIndexPrecompute:
                 return pickle.load(f)
         return {}
 
-    def _checkpoint(self, dataset: str, results: dict):
+    def load_errors(self, dataset: str) -> dict:
+        """{question_id: error string} of questions that failed permanently
+        (e.g. corrupt video).  Unlike the reference — which either raises with
+        the path (gen_id_tspo.py:36-38) or leaves the question looking
+        "not yet done" forever — failures are recorded and visible, and a
+        resume skips them instead of re-decoding a broken file every run."""
+        path = self._errors_path(dataset)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        return {}
+
+    def _atomic_dump(self, path: str, obj):
         os.makedirs(self.work_dir, exist_ok=True)
-        tmp = self._supp_path(dataset) + ".tmp"
+        tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(results, f)
-        os.replace(tmp, self._supp_path(dataset))
+            pickle.dump(obj, f)
+        os.replace(tmp, path)
+
+    def _checkpoint(self, dataset: str, results: dict):
+        self._atomic_dump(self._supp_path(dataset), results)
 
     # -- per-question scoring ----------------------------------------------
 
@@ -124,10 +143,12 @@ class FrameIndexPrecompute:
         """Score this rank's slice of the question list; returns
         {question_id: [abs frame ids]} merged with prior results."""
         results = {} if rerun else self.load_results(dataset.name)
+        errors = {} if rerun else self.load_errors(dataset.name)
         rank, world = shard
         structs = [s for i, s in enumerate(dataset.iter_structs())
                    if i % world == rank]
-        todo = [s for s in structs if s["question_id"] not in results]
+        todo = [s for s in structs if s["question_id"] not in results
+                and s["question_id"] not in errors]
 
         # Host decode prefetch thread: ffmpeg overlaps with device compute.
         # The producer only touches the cache index and the decoder; all
@@ -160,6 +181,12 @@ class FrameIndexPrecompute:
                 break
             s, kind, payload = item
             if kind == "error":
+                qid = s["question_id"]
+                logging.getLogger(__name__).warning(
+                    "precompute failed for %s (%s): %r", qid,
+                    s.get("video_path"), payload)
+                errors[qid] = repr(payload)
+                self._atomic_dump(self._errors_path(dataset.name), errors)
                 continue
             if kind == "cached":
                 blob = self.cache.load(dataset.name, s["index"])
