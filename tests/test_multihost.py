@@ -110,3 +110,52 @@ def test_two_process_distributed_precompute(tmp_path):
     all_q = set(shards[0]) | set(shards[1])
     assert all_q == {"q0", "q1", "q2", "q3"}
     assert set(shards[0]).isdisjoint(shards[1])  # actually sharded
+
+
+def test_two_process_distributed_training(tmp_path):
+    """Two train CLI processes under one coordinator run batched DP steps
+    with a globally-averaged gradient (train_deepspeed.sh multi-rank layout,
+    VERDICT r1 next-step #5)."""
+    import json
+    import numpy as np
+    cv2 = pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    w = cv2.VideoWriter(str(tmp_path / "v.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 1.0, (32, 32))
+    for i in range(48):
+        w.write(np.full((32, 32, 3), (i * 5) % 255, np.uint8))
+    w.release()
+    with open(tmp_path / "data.jsonl", "w") as f:
+        for t in ("general", "general", "specific", "general"):
+            f.write(json.dumps({
+                "video": "v.mp4",
+                "original_question": "<image>\nQ?\nA. x\nB. y",
+                "solution": "<answer>a</answer>", "type": t}) + "\n")
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for r in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tspo_tpu.cli.train",
+             "--jsonl-path", str(tmp_path / "data.jsonl"),
+             "--video-folder", str(tmp_path), "--backbone", "stub", "--tiny",
+             "--batch-size", "1", "--max-steps", "2",
+             "--num-generations", "2", "--training-sample-len", "8",
+             "--window-size", "4", "--output-dir", str(tmp_path / "out"),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=repo, text=True))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("trained 2 steps" in o for o in outs), outs
+    with open(tmp_path / "out" / "metrics.jsonl") as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 2
+    assert all(np.isfinite(l["loss"]) for l in lines)

@@ -215,3 +215,17 @@ def test_gumbel_topk_sampling_statistics():
     assert counts[-1] > 70
     assert counts[0] < 15
     assert counts[-8:].sum() > 3 * counts[:8].sum()
+
+
+def test_gumbel_topk_k_len_matches_static_k():
+    """gumbel_topk(k_max, k_len=kl) == gumbel_topk(k=kl) in the first kl
+    entries, 0-padded after (the mixed-type-batch contract)."""
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (64,))
+    for kl in (4, 8, 12):
+        idx_static, _, lp_s = gumbel_topk(key, logits, kl)
+        idx_dyn, _, lp_d = gumbel_topk(key, logits, 16,
+                                       k_len=jnp.asarray(kl))
+        assert np.array_equal(np.asarray(idx_dyn[:kl]), np.asarray(idx_static))
+        assert np.all(np.asarray(idx_dyn[kl:]) == 0)
+        assert np.allclose(np.asarray(lp_s), np.asarray(lp_d))

@@ -40,6 +40,19 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CPU smoke runs)")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="samples per step on THIS process; 0 = single-sample "
+                        "loop (reference per-rank bs=1).  >0 uses the batched "
+                        "data-parallel step")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="single-process data-parallel mesh size over local "
+                        "devices (0 = no mesh)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator host:port — multi-host "
+                        "DP training (the train_deepspeed.sh --hostfile "
+                        "equivalent)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--export-merged", default=None,
                    help="directory for the merged TSPO-0.4B export after training")
     p.add_argument("--resume", action="store_true",
@@ -51,6 +64,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from .common import enable_compilation_cache
     enable_compilation_cache()
+    if args.coordinator:
+        from ..parallel.multihost import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
     from ..configs import TrainConfig
     from ..train.trainer import TSPOTrainer
     from .common import load_backbone, load_jsonl, load_scorer
@@ -80,11 +96,67 @@ def main(argv=None):
     if args.resume:
         step = trainer.resume_from()
         print(f"resumed from step {step}")
-    history = trainer.train(max_steps=args.max_steps)
-    if args.export_merged:
+    if args.batch_size > 0:
+        history = _train_batched(trainer, args)
+    else:
+        history = trainer.train(max_steps=args.max_steps)
+    if args.export_merged and _is_rank0():
         trainer.export_merged(args.export_merged)
     print(f"trained {len(history)} steps; "
           f"final reward {history[-1]['reward']:.3f}" if history else "no steps")
+
+
+def _is_rank0() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
+def _train_batched(trainer, args) -> list:
+    """Batched / data-parallel training loop (train_deepspeed.sh layout: B
+    samples per step, gradient mean across the mesh 'data' axis).  Multi-host
+    when --coordinator is set; single-host mesh when --mesh-data > 1."""
+    import json as _json
+    import os
+
+    import jax
+    import numpy as np
+
+    distributed = jax.process_count() > 1
+    mesh = None
+    if distributed:
+        from ..parallel.mesh import create_mesh
+        mesh = create_mesh(data=len(jax.devices()), model=1)
+    elif args.mesh_data > 1:
+        from ..parallel.mesh import create_mesh
+        trainer.mesh = create_mesh(data=args.mesh_data, model=1,
+                                   devices=jax.devices()[:args.mesh_data])
+
+    rng = np.random.default_rng(trainer.cfg.seed)
+    order = rng.permutation(len(trainer.dataset))  # same order on every rank
+    rank, world = jax.process_index(), jax.process_count()
+    os.makedirs(trainer.output_dir, exist_ok=True)
+    history = []
+    B = args.batch_size
+    stride = B * world
+    for step in range(args.max_steps):
+        base = (step * stride) % len(order)
+        picks = [int(order[(base + rank * B + j) % len(order)])
+                 for j in range(B)]
+        rows = [trainer.dataset[i] for i in picks]
+        if distributed:
+            metrics = trainer.train_step_batch_global(rows, mesh)
+        else:
+            metrics = trainer.train_step_batch(rows)
+        history.append(metrics)
+        if _is_rank0():
+            with open(trainer.metrics_path, "a") as f:
+                f.write(_json.dumps(metrics) + "\n")
+        trainer.step += 1
+        if trainer.step % trainer.cfg.save_every == 0 and _is_rank0():
+            trainer.save_checkpoint()
+    if _is_rank0():
+        trainer.save_checkpoint()
+    return history
 
 
 if __name__ == "__main__":

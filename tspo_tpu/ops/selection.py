@@ -103,7 +103,8 @@ def bin_max_select(scores: jnp.ndarray, k: int, valid: jnp.ndarray | None = None
 
 
 def gumbel_topk(rng: jax.Array, logits: jnp.ndarray, k: int,
-                valid: jnp.ndarray | None = None, tau: float = 1.0):
+                valid: jnp.ndarray | None = None, tau: float = 1.0,
+                k_len: jnp.ndarray | None = None):
     """Gumbel-softmax straight-through top-k frame sampling.
 
     Matches reference ``model/utils.py:69-80``:
@@ -114,6 +115,12 @@ def gumbel_topk(rng: jax.Array, logits: jnp.ndarray, k: int,
     Returns (indices[k] ascending, st_probs[T], log_probs[T]).  Gradients of
     ``log_probs`` at the selected indices drive the REINFORCE update
     (tspo_trainer.py:540-545,594-607).
+
+    ``k_len`` (optional traced scalar <= k) selects only the top ``k_len``
+    frames: the result equals gumbel_topk with k=k_len — the first k_len
+    entries are the chosen indices ascending, the tail is 0-padded.  This is
+    how mixed "general"/"specific" batches (different per-sample K,
+    tspo_trainer.py per-type sample_len) share one compiled program.
     """
     T = logits.shape[0]
     if valid is None:
@@ -121,9 +128,16 @@ def gumbel_topk(rng: jax.Array, logits: jnp.ndarray, k: int,
     masked = jnp.where(valid, logits, _NEG)
     g = jax.random.gumbel(rng, (T,), dtype=logits.dtype)
     y = jax.nn.softmax(jnp.where(valid, (masked + g) / tau, _NEG))
-    _, idx = jax.lax.top_k(y, k)
-    idx = jnp.sort(idx).astype(jnp.int32)
-    one_hot = jnp.zeros_like(y).at[idx].set(1.0)
+    _, idxv = jax.lax.top_k(y, k)                       # by value, descending
+    if k_len is None:
+        idx = jnp.sort(idxv).astype(jnp.int32)
+        one_hot = jnp.zeros_like(y).at[idx].set(1.0)
+    else:
+        keep = jnp.arange(k) < k_len
+        # sentinels >= T sort to the tail; kept indices end up ascending first
+        idx = jnp.sort(jnp.where(keep, idxv, T + jnp.arange(k)))
+        idx = jnp.where(keep, idx, 0).astype(jnp.int32)
+        one_hot = jnp.zeros_like(y).at[idxv].set(keep.astype(y.dtype))
     st_probs = one_hot - jax.lax.stop_gradient(y) + y
     log_probs = jax.nn.log_softmax(masked)
     return idx, st_probs, log_probs

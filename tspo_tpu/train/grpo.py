@@ -44,9 +44,15 @@ class TrainBatch(NamedTuple):
 
 
 class SampledSubsets(NamedTuple):
-    """G sampled frame subsets per batch element: indices [B, G, K]."""
+    """G sampled frame subsets per batch element: indices [B, G, K].
+
+    ``k_len`` [B] (optional): per-sample subset size for mixed-type batches —
+    "general" samples select training_sample_len//2 frames while "specific"
+    select training_sample_len (tspo_trainer.py:456-480); rows with
+    k_len[b] < K carry 0-padding past k_len[b]."""
 
     indices: jnp.ndarray
+    k_len: jnp.ndarray | None = None
 
 
 def anneal_tau(step, max_steps, tau0: float, tau_final: float):
@@ -59,30 +65,34 @@ def anneal_tau(step, max_steps, tau0: float, tau_final: float):
                                    "window_size"))
 def sample_subsets(params, batch: TrainBatch, rng, tau, *,
                    sel_cfg: SelectorConfig, num_generations: int,
-                   sample_len: int, window_size: int) -> SampledSubsets:
+                   sample_len: int, window_size: int,
+                   k_len: jnp.ndarray | None = None) -> SampledSubsets:
     """Rollout phase: per sample, G stochastic Gumbel-top-k frame subsets.
 
     Mirrors the no-grad G-loop of the reference (tspo_trainer.py:508-537) but
-    vmapped over batch and generations on device.
+    vmapped over batch and generations on device.  ``k_len`` [B] enables
+    mixed-type batches (per-sample subset size <= sample_len).
     """
     B = batch.frame_feat.shape[0]
 
-    def per_sample(feat, text, csc, valid, key):
+    def per_sample(feat, text, csc, valid, key, kl):
         logits, _ = score_frames(params, feat, text, csc, cfg=sel_cfg,
                                  window_size=window_size, score_tau=tau,
                                  valid=valid)
         keys = jax.random.split(key, num_generations)
 
         def per_gen(k):
-            idx, _, _ = gumbel_topk(k, logits, sample_len, valid)
+            idx, _, _ = gumbel_topk(k, logits, sample_len, valid, k_len=kl)
             return idx
 
         return jax.vmap(per_gen)(keys)                       # [G, K]
 
     keys = jax.random.split(rng, B)
+    kl = (jnp.full((B,), sample_len, jnp.int32) if k_len is None
+          else k_len.astype(jnp.int32))
     idx = jax.vmap(per_sample)(batch.frame_feat, batch.text_feat,
-                               batch.clip_scores, batch.valid, keys)
-    return SampledSubsets(indices=idx)
+                               batch.clip_scores, batch.valid, keys, kl)
+    return SampledSubsets(indices=idx, k_len=kl)
 
 
 def grpo_surrogate_loss(params, batch: TrainBatch, subsets: SampledSubsets,
@@ -95,7 +105,12 @@ def grpo_surrogate_loss(params, batch: TrainBatch, subsets: SampledSubsets,
     d(lp)/dθ — plain REINFORCE with a group baseline.
     """
 
-    def per_sample(feat, text, csc, valid, idx_g, rew_g):
+    K = subsets.indices.shape[-1]
+    B = batch.frame_feat.shape[0]
+    k_len = (jnp.full((B,), K, jnp.int32) if subsets.k_len is None
+             else subsets.k_len)
+
+    def per_sample(feat, text, csc, valid, idx_g, rew_g, kl):
         logits, _ = score_frames(params, feat, text, csc, cfg=sel_cfg,
                                  window_size=window_size, score_tau=tau,
                                  valid=valid)
@@ -107,12 +122,14 @@ def grpo_surrogate_loss(params, batch: TrainBatch, subsets: SampledSubsets,
         adv = (rew_g - mean) / (std + adv_eps)             # [G]
 
         lps = lp[idx_g]                                    # [G, K]
-        ratio = jnp.exp(lps - jax.lax.stop_gradient(lps)).mean(axis=-1)
+        keep = (jnp.arange(K) < kl)[None, :]               # mask k_len padding
+        ratio = jnp.exp(lps - jax.lax.stop_gradient(lps))
+        ratio = jnp.where(keep, ratio, 0.0).sum(axis=-1) / kl
         return -(ratio * adv).mean()
 
     losses = jax.vmap(per_sample)(batch.frame_feat, batch.text_feat,
                                   batch.clip_scores, batch.valid,
-                                  subsets.indices, rewards)
+                                  subsets.indices, rewards, k_len)
     return losses.mean()
 
 

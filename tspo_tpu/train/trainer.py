@@ -36,8 +36,8 @@ from ..ops.masking import bucket_for, pad_to_bucket
 from ..video.augment import repeat_videos, sample_real_frames, shuffle_clips
 from ..video.reader import load_video
 from .checkpoint import prune_checkpoints, save_train_state
-from .grpo import (TrainBatch, anneal_tau, make_optimizer, sample_subsets,
-                   selector_update_step)
+from .grpo import (SampledSubsets, TrainBatch, anneal_tau, make_optimizer,
+                   sample_subsets, selector_update_step)
 from .rewards import (REWARD_REGISTRY, clean_question, compose_rewards,
                       extract_problem)
 
@@ -203,20 +203,14 @@ class TSPOTrainer:
     # data-parallel batched step (mesh 'data' axis; dryrun_multichip layout)
     # ------------------------------------------------------------------
 
-    def train_step_batch(self, rows: Sequence[dict]) -> dict:
-        """One update over B samples of the SAME type: the multi-chip layout
-        where the reference runs one sample per DeepSpeed rank
-        (train_deepspeed.sh per-rank bs=1 x 8 ranks).  With ``mesh`` set, the
-        batch shards over 'data' and the gradient mean rides ICI."""
-        cfg, sel_cfg = self.cfg, self.sel_cfg
-        prepared = [self.prepare_sample(r) for r in rows]
-        types = {p[5] for p in prepared}
-        if len(types) != 1:
-            raise ValueError("train_step_batch needs same-type samples")
-        sample_len = prepared[0][4]
-        tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
-                               cfg.score_tau_final))
+    def _prepare_batch_arrays(self, prepared):
+        """Stack prepared samples into padded numpy batch arrays.
 
+        Returns (TrainBatch of np arrays, k_lens [B], K_max).  Mixed
+        general/specific types are allowed: per-sample subset sizes ride
+        ``k_lens`` (the reference mixes types freely across its bs=1 ranks,
+        train_deepspeed.sh:14-16)."""
+        k_lens = np.asarray([p[4] for p in prepared], np.int32)
         feats = [self.scorer.extract_features(video, problem)
                  for video, _, problem, _, _, _ in prepared]
         bucket = bucket_for(max(int(f[0].shape[0]) for f in feats),
@@ -229,15 +223,48 @@ class TSPOTrainer:
             cscs.append(cp)
             valids.append(valid)
             texts.append(np.asarray(txt, np.float32).reshape(1, -1))
-        batch = TrainBatch(frame_feat=jnp.asarray(np.stack(imgs)),
-                           text_feat=jnp.asarray(np.stack(texts)),
-                           clip_scores=jnp.asarray(np.stack(cscs)),
-                           valid=jnp.asarray(np.stack(valids)))
+        batch = TrainBatch(frame_feat=np.stack(imgs), text_feat=np.stack(texts),
+                           clip_scores=np.stack(cscs), valid=np.stack(valids))
+        return batch, k_lens, int(k_lens.max())
+
+    def _rollout_rewards(self, rows, prepared, idx_bg, k_lens) -> np.ndarray:
+        """Frozen-backbone rollouts + reward fan-out for this host's rows.
+        idx_bg [B, G, K] (0-padded past k_lens[b]); returns rewards [B, G]."""
+        cfg = self.cfg
+        rewards = np.zeros((len(rows), cfg.num_generations), np.float32)
+        for b, (row, (video, mask, _, question, _, stype)) in enumerate(
+                zip(rows, prepared)):
+            idx_g = [idx[:k_lens[b]] for idx in idx_bg[b]]
+            completions = [self.backbone.generate(video[idx], question)
+                           for idx in idx_g]
+            per_func = np.zeros((cfg.num_generations, len(self.reward_funcs)),
+                                np.float32)
+            for j, name in enumerate(self.reward_funcs):
+                per_func[:, j] = REWARD_REGISTRY[name](
+                    completions=completions,
+                    solution=[row.get("solution", "")] * cfg.num_generations,
+                    sel_idxs=idx_g, total_mask=mask)
+            rewards[b] = compose_rewards(per_func, stype)
+        return rewards
+
+    def train_step_batch(self, rows: Sequence[dict]) -> dict:
+        """One update over B samples (types may mix): the multi-chip layout
+        where the reference runs one sample per DeepSpeed rank
+        (train_deepspeed.sh per-rank bs=1 x 8 ranks).  With ``mesh`` set, the
+        batch shards over 'data' and the gradient mean rides ICI."""
+        cfg, sel_cfg = self.cfg, self.sel_cfg
+        prepared = [self.prepare_sample(r) for r in rows]
+        tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
+                               cfg.score_tau_final))
+        np_batch, k_lens, k_max = self._prepare_batch_arrays(prepared)
+        batch = TrainBatch(*[jnp.asarray(x) for x in np_batch])
+        k_len = jnp.asarray(k_lens)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             data_sh = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
             batch = TrainBatch(*[jax.device_put(x, data_sh) for x in batch])
+            k_len = jax.device_put(k_len, data_sh)
             self.scorer.selector_params = jax.device_put(
                 self.scorer.selector_params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
@@ -246,23 +273,10 @@ class TSPOTrainer:
                                  self._next_rng(), jnp.float32(tau),
                                  sel_cfg=sel_cfg,
                                  num_generations=cfg.num_generations,
-                                 sample_len=sample_len,
-                                 window_size=cfg.window_size)
+                                 sample_len=k_max,
+                                 window_size=cfg.window_size, k_len=k_len)
         idx_bg = np.asarray(subsets.indices)                # [B, G, K]
-
-        rewards = np.zeros((len(rows), cfg.num_generations), np.float32)
-        for b, (row, (video, mask, _, question, _, stype)) in enumerate(
-                zip(rows, prepared)):
-            completions = [self.backbone.generate(video[idx], question)
-                           for idx in idx_bg[b]]
-            per_func = np.zeros((cfg.num_generations, len(self.reward_funcs)),
-                                np.float32)
-            for j, name in enumerate(self.reward_funcs):
-                per_func[:, j] = REWARD_REGISTRY[name](
-                    completions=completions,
-                    solution=[row.get("solution", "")] * cfg.num_generations,
-                    sel_idxs=list(idx_bg[b]), total_mask=mask)
-            rewards[b] = compose_rewards(per_func, stype)
+        rewards = self._rollout_rewards(rows, prepared, idx_bg, k_lens)
 
         params, self.opt_state, dev_metrics = selector_update_step(
             self.scorer.selector_params, self.opt_state, batch, subsets,
@@ -275,6 +289,77 @@ class TSPOTrainer:
                 "reward": float(rewards.mean()),
                 "reward_std": float(rewards.std()),
                 "batch": len(rows), "score_tau": tau}
+
+    def train_step_batch_global(self, rows_local: Sequence[dict],
+                                global_mesh) -> dict:
+        """Multi-host data-parallel step: each process prepares, rolls out and
+        rewards ITS OWN rows locally; batch/subset/reward arrays assemble into
+        global arrays sharded on the mesh 'data' axis, and one jitted
+        ``selector_update_step`` computes the globally-averaged gradient (the
+        XLA all-reduce replacing the reference's DeepSpeed/NCCL backward,
+        SURVEY.md §2.5 DP row).  All processes must call this in lockstep."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cfg, sel_cfg = self.cfg, self.sel_cfg
+        data_sh = NamedSharding(global_mesh, P("data"))
+        repl = NamedSharding(global_mesh, P())
+
+        prepared = [self.prepare_sample(r) for r in rows_local]
+        tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
+                               cfg.score_tau_final))
+        np_batch, k_lens, _ = self._prepare_batch_arrays(prepared)
+        # K and the frame bucket must agree across processes: both are fixed
+        # by config (training_sample_len, frame_buckets upper bucket).
+        k_max = int(self.cfg.training_sample_len)
+        bucket = self.scorer.frame_buckets[-1]
+        pad_t = bucket - np_batch.frame_feat.shape[1]
+        if pad_t:
+            np_batch = TrainBatch(
+                frame_feat=np.pad(np_batch.frame_feat,
+                                  ((0, 0), (0, pad_t), (0, 0))),
+                text_feat=np_batch.text_feat,
+                clip_scores=np.pad(np_batch.clip_scores, ((0, 0), (0, pad_t))),
+                valid=np.pad(np_batch.valid, ((0, 0), (0, pad_t))))
+
+        def globalize(local_np, sharding=data_sh):
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(local_np))
+
+        batch = TrainBatch(*[globalize(x) for x in np_batch])
+        k_len = globalize(k_lens)
+        self.scorer.selector_params = jax.device_put(
+            self.scorer.selector_params, repl)
+        self.opt_state = jax.device_put(self.opt_state, repl)
+
+        # local subset sampling with a per-process key (decorrelated ranks).
+        # Params may already be global replicated arrays (not fully
+        # addressable) — np.asarray of a fully-replicated array gives the
+        # host-local copy this process samples with.
+        local_params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), self.scorer.selector_params)
+        local_subsets = sample_subsets(
+            local_params,
+            TrainBatch(*[jnp.asarray(x) for x in np_batch]),
+            jax.random.fold_in(self._next_rng(), jax.process_index()),
+            jnp.float32(tau), sel_cfg=sel_cfg,
+            num_generations=cfg.num_generations, sample_len=k_max,
+            window_size=cfg.window_size, k_len=jnp.asarray(k_lens))
+        idx_bg = np.asarray(local_subsets.indices)
+        rewards_local = self._rollout_rewards(rows_local, prepared, idx_bg,
+                                              k_lens)
+
+        subsets = SampledSubsets(indices=globalize(idx_bg),
+                                 k_len=globalize(np.asarray(k_lens, np.int32)))
+        rewards = globalize(rewards_local)
+        params, self.opt_state, dev_metrics = selector_update_step(
+            self.scorer.selector_params, self.opt_state, batch, subsets,
+            rewards, jnp.float32(tau), sel_cfg=sel_cfg, train_cfg=cfg,
+            optimizer=self.optimizer, window_size=cfg.window_size)
+        self.scorer.selector_params = params
+        return {"step": self.step, "loss": float(dev_metrics["loss"]),
+                "grad_norm": float(dev_metrics["grad_norm"]),
+                "reward": float(dev_metrics["reward_mean"]),
+                "reward_std": float(dev_metrics["reward_std"]),
+                "batch_local": len(rows_local), "score_tau": tau}
 
     # ------------------------------------------------------------------
     # loop
