@@ -147,3 +147,25 @@ def test_quantized_vision_close_to_fp(torch_clip, jax_params):
     cos = np.sum(want * got, -1) / (np.linalg.norm(want, axis=-1) *
                                     np.linalg.norm(got, axis=-1))
     assert np.all(cos > 0.995), cos.min()
+
+
+def test_vit_attention_pallas_matches_xla():
+    """Fused lane-sliced attention kernel (interpret mode) == XLA einsum at
+    the real CLIP-L vision geometry (S=257, hd=64)."""
+    import jax
+    from tspo_tpu.ops.vit_attention import vit_attention
+    B, S, H, HD = 3, 257, 16, 64
+    W = H * HD
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, W), jnp.float32) for kk in ks)
+    ref = vit_attention(q, k, v, H, impl="xla")
+    out = vit_attention(q, k, v, H, impl="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_vit_attention_rejects_bad_width():
+    from tspo_tpu.ops.vit_attention import vit_attention
+    q = jnp.zeros((1, 8, 100))
+    with pytest.raises(ValueError):
+        vit_attention(q, q, q, 16)

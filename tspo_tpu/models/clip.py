@@ -50,31 +50,40 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _mha(x, lp, heads, mask=None):
+def _mha(x, lp, heads, mask=None, attn_impl: str = "xla"):
     """Standard multi-head attention; [B, S, W] -> [B, S, W].
 
-    ``mask`` is an additive fp32 bias [B, 1, S, S] (or broadcastable)."""
+    ``mask`` is an additive fp32 bias [B, 1, S, S] (or broadcastable).
+    ``attn_impl``: maskless callers (the vision tower) may pick
+    "pallas"/"auto" to route through ops/vit_attention.py — the fused
+    TPU kernel that skips the HBM score materialization (+16% tower
+    throughput measured, bench.py)."""
     B, S, W = x.shape
-    hd = W // heads
-    q = (x @ lp["q"]["kernel"] + lp["q"]["bias"]).reshape(B, S, heads, hd)
-    k = (x @ lp["k"]["kernel"] + lp["k"]["bias"]).reshape(B, S, heads, hd)
-    v = (x @ lp["v"]["kernel"] + lp["v"]["bias"]).reshape(B, S, heads, hd)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (1.0 / np.sqrt(hd))
-    scores = scores.astype(jnp.float32)
-    if mask is not None:
-        scores = scores + mask
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, W)
+    q = x @ lp["q"]["kernel"] + lp["q"]["bias"]
+    k = x @ lp["k"]["kernel"] + lp["k"]["bias"]
+    v = x @ lp["v"]["kernel"] + lp["v"]["bias"]
+    if mask is None:
+        from ..ops.vit_attention import vit_attention
+        ctx = vit_attention(q, k, v, heads, impl=attn_impl)
+    else:
+        hd = W // heads
+        qh = q.reshape(B, S, heads, hd)
+        kh = k.reshape(B, S, heads, hd)
+        vh = v.reshape(B, S, heads, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (1.0 / np.sqrt(hd))
+        scores = scores.astype(jnp.float32) + mask
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, S, W)
     return ctx @ lp["o"]["kernel"] + lp["o"]["bias"]
 
 
-def _encoder(x, layers_params, heads, eps, mask=None):
+def _encoder(x, layers_params, heads, eps, mask=None, attn_impl: str = "xla"):
     """lax.scan over weight-stacked transformer layers (pre-LN, QuickGELU)."""
 
     def block(h, lp):
         r = h
         h = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
-        h = r + _mha(h, lp["attn"], heads, mask)
+        h = r + _mha(h, lp["attn"], heads, mask, attn_impl)
         r = h
         h = _layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
         h = _quick_gelu(h @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
@@ -90,10 +99,13 @@ def _encoder(x, layers_params, heads, eps, mask=None):
 # ---------------------------------------------------------------------------
 
 def encode_images(params: Mapping, pixel_values: jnp.ndarray,
-                  cfg: CLIPVisionConfig = CLIPVisionConfig()) -> jnp.ndarray:
+                  cfg: CLIPVisionConfig = CLIPVisionConfig(),
+                  attn_impl: str = "auto") -> jnp.ndarray:
     """[B, 3, H, W] preprocessed pixels -> [B, projection_dim] image features.
 
     Patchify-as-GEMM: unfold into [B, grid^2, 3*P*P] and hit the MXU once.
+    ``attn_impl``: "auto" routes attention through the fused Pallas kernel on
+    TPU (ops/vit_attention.py), XLA einsum elsewhere.
     """
     vp = params["vision"]
     B = pixel_values.shape[0]
@@ -105,7 +117,8 @@ def encode_images(params: Mapping, pixel_values: jnp.ndarray,
     cls = jnp.broadcast_to(vp["class_embedding"], (B, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"]
     x = _layer_norm(x, vp["pre_ln"]["scale"], vp["pre_ln"]["bias"], cfg.layer_norm_eps)
-    x = _encoder(x, vp["layers"], cfg.heads, cfg.layer_norm_eps)
+    x = _encoder(x, vp["layers"], cfg.heads, cfg.layer_norm_eps,
+                 attn_impl=attn_impl)
     pooled = x[:, 0]                                                      # class token
     pooled = _layer_norm(pooled, vp["post_ln"]["scale"], vp["post_ln"]["bias"],
                          cfg.layer_norm_eps)
