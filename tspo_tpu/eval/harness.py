@@ -67,7 +67,8 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   on_error: str = "skip", response_cache=None,
                   scorer=None, live_method: str = "topk",
                   live_max_candidates: int = 50000,
-                  specific_kwargs: dict | None = None) -> EvalResult:
+                  specific_kwargs: dict | None = None,
+                  request_type: str | None = None) -> EvalResult:
     """Run one benchmark slice.  ``is_uniform=True`` reproduces the baseline
     (no TSPO) rows of the results table.  ``response_cache`` (eval/caching.py)
     skips regeneration on resume — responses are deterministic (greedy,
@@ -152,7 +153,15 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                     payload = (frames, frame_idx)
                 frames, frame_idx = payload
                 prompt = task.doc_to_text(doc, specific_kwargs)
-                response = backbone.generate(frames, prompt)
+                if (request_type or task.output_type) == "loglikelihood":
+                    # request-type dispatch (evaluator.py:501): score each
+                    # choice's continuation logprob, answer = argmax letter
+                    choices = task.doc_to_choices(doc)
+                    lls = [backbone.loglikelihood(frames, prompt, c)[0]
+                           for c in choices]
+                    response = chr(ord("A") + int(np.argmax(lls)))
+                else:
+                    response = backbone.generate(frames, prompt)
                 if response_cache is not None:
                     response_cache.put(doc.get(id_key), response)
         except Exception as e:

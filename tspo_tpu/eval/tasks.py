@@ -181,6 +181,18 @@ def _lvbench_process(doc, response, rng=None) -> dict:
             "answer": doc.get("answer")}
 
 
+def default_doc_to_choices(doc) -> list:
+    """Continuation strings for loglikelihood-style multiple choice
+    (evaluator.py:501 request-type dispatch; api/task.py construct_requests).
+    LVB docs carry ``candidates`` (bare texts); VideoMME/MLVU docs carry
+    ``options`` ("A. text" strings)."""
+    if doc.get("candidates"):
+        return [str(c) for c in doc["candidates"]]
+    if doc.get("options"):
+        return [str(o) for o in doc["options"]]
+    raise KeyError("doc has neither 'candidates' nor 'options'")
+
+
 @dataclass(frozen=True)
 class BenchmarkTask:
     name: str
@@ -188,6 +200,10 @@ class BenchmarkTask:
     process_response: Callable
     aggregate: Callable
     video_path_keys: tuple = ("video_path",)
+    # lmms-eval output_type: "generate_until" (all 4 TSPO tasks) or
+    # "loglikelihood" (choice scored by continuation logprob, argmax wins)
+    output_type: str = "generate_until"
+    doc_to_choices: Callable = default_doc_to_choices
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os
@@ -215,6 +231,27 @@ TASK_REGISTRY = {
         process_response=_lvbench_process, aggregate=aggregate_accuracy,
         video_path_keys=("video_path", "key")),
 }
+
+
+def _register_subtitle_variants():
+    """Subtitle variants (videomme_w_subtitle / longvideobench_val_i):
+    pass subtitle_root (+ video_root, frame_num for VideoMME) through
+    lmms_eval_specific_kwargs — e.g. ``tspo-evaluate --task
+    VideoMME-subtitles --subtitle-root <dir>``."""
+    from .subtitles import (lvb_doc_to_text_interleaved,
+                            videomme_doc_to_text_subtitle)
+    TASK_REGISTRY["VideoMME-subtitles"] = BenchmarkTask(
+        name="VideoMME-subtitles", doc_to_text=videomme_doc_to_text_subtitle,
+        process_response=_videomme_process, aggregate=aggregate_videomme,
+        video_path_keys=("videoID", "video_path"))
+    TASK_REGISTRY["LongVideoBench-interleaved"] = BenchmarkTask(
+        name="LongVideoBench-interleaved",
+        doc_to_text=lvb_doc_to_text_interleaved,
+        process_response=_lvb_process, aggregate=aggregate_accuracy,
+        video_path_keys=("video_path",))
+
+
+_register_subtitle_variants()
 
 
 def get_task(name: str) -> BenchmarkTask:
