@@ -35,6 +35,9 @@ def build_parser():
                         "(docs without frame_idx)")
     p.add_argument("--live-method", default="topk",
                    choices=["topk", "bin-max", "aks"])
+    p.add_argument("--subtitle-root", default=None,
+                   help="directory of .srt (VideoMME-subtitles) or per-doc "
+                        "subtitle jsons (LongVideoBench-interleaved)")
     p.add_argument("--pre-prompt", default=None,
                    help="override the task's lmms_eval_specific_kwargs "
                         "pre_prompt (yaml default otherwise)")
@@ -86,7 +89,13 @@ def main(argv=None):
         live_method=args.live_method,
         specific_kwargs={k: v for k, v in
                          (("pre_prompt", args.pre_prompt),
-                          ("post_prompt", args.post_prompt)) if v is not None}
+                          ("post_prompt", args.post_prompt),
+                          ("subtitle_root", args.subtitle_root),
+                          ("video_root",
+                           args.video_root if args.subtitle_root else None),
+                          ("frame_num",
+                           args.max_frames_num if args.subtitle_root else None))
+                         if v is not None}
         or None,
         progress=lambda qid: done.append(qid) or (
             len(done) % 25 == 0 and print(f"{len(done)} done")))

@@ -19,7 +19,9 @@ SUPPORTED_BENCHMARKS = ("LongVideoBench", "MLVU", "VideoMME", "LVBench")
 
 # question-record id key per benchmark (change_score_tch.py:34-38)
 DOC_ID_KEY = {"VideoMME": "question_id", "MLVU": "question_id",
-              "LongVideoBench": "id", "LVBench": "question_id"}
+              "LongVideoBench": "id", "LVBench": "question_id",
+              "VideoMME-subtitles": "question_id",
+              "LongVideoBench-interleaved": "id"}
 
 # phase-2 json base names (change_score_tch.py:22)
 JSON_NAME = {"VideoMME": "videomme", "LongVideoBench": "lvb_val", "MLVU": "mlvu",
