@@ -57,6 +57,9 @@ def build_parser():
                    help="directory for the merged TSPO-0.4B export after training")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output-dir")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also emit TensorBoard event files to "
+                        "<output-dir>/tb (utils/tensorboard.py, TF-free)")
     return p
 
 
@@ -100,6 +103,12 @@ def main(argv=None):
         history = _train_batched(trainer, args)
     else:
         history = trainer.train(max_steps=args.max_steps)
+    if args.tensorboard and _is_rank0():
+        import os
+        from ..utils.tensorboard import metrics_jsonl_to_tensorboard
+        tb_path = metrics_jsonl_to_tensorboard(
+            trainer.metrics_path, os.path.join(args.output_dir, "tb"))
+        print(f"tensorboard events -> {tb_path}")
     if args.export_merged and _is_rank0():
         trainer.export_merged(args.export_merged)
     print(f"trained {len(history)} steps; "
