@@ -1,0 +1,165 @@
+"""Microbenchmark ViT-attention variants at the CLIP-L/14 scoring shape.
+
+Attribution (bench.py roofline): the attention-free tower runs 1169 f/s and
+the full tower 755 f/s, so attention costs ~470us/frame for ~6.5 GFLOP/frame
+(~14 TFLOP/s effective — far under MXU rates).  Candidate causes at
+[B, 257, 1024], 16 heads of hd=64:
+  - `kh.T` inside the kernel forces a per-head relayout (transpose) in VMEM;
+  - 64-lane head slices are half-tile accesses (lane tile = 128);
+  - softmax VPU cost (max/exp/sum/div over 257x257 f32 per head).
+
+Variants measured here (all parity-checked against the XLA einsum oracle):
+  xla        einsum attention (scores materialized by XLA)
+  lane       current production kernel (ops/vit_attention.py)
+  lane_nt    lane kernel, dot_general contracting last dims (no kh.T)
+  grid_h2    grid over (B, W//128): 128-lane two-head blocks, no kh.T
+  lane_nomax softmax without max-subtraction (attribution only)
+  lane_nosm  softmax replaced by scale (attribution only — NOT correct attn)
+
+Timing: host-fetch sync each iter (block_until_ready lies on tunneled PJRT).
+Run detached: nohup python scripts/bench_vit_attention_variants.py &
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+
+def _softmax_f32(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _lane_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale,
+                 transpose=True, maxsub=True, softmax=True):
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0][:, sl]
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        if transpose:
+            s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
+        else:
+            s = lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if not softmax:
+            p = (s * 0.001).astype(q_ref.dtype)
+        elif maxsub:
+            p = _softmax_f32(s).astype(q_ref.dtype)
+        else:
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+        o_ref[0, :, sl] = lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _grid_h2_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim, scale):
+    # block = [1, S, 128] = two heads; no transposes, contraction via dims.
+    for i in range(128 // head_dim):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        qh = q_ref[0][:, sl]
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        s = lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+        p = _softmax_f32(s).astype(q_ref.dtype)
+        o_ref[0, :, sl] = lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def make_variant(name, B, S, W, heads):
+    hd = W // heads
+    scale = 1.0 / np.sqrt(hd)
+    if name == "xla":
+        def f(q, k, v):
+            qh = q.reshape(B, S, heads, hd)
+            kh = k.reshape(B, S, heads, hd)
+            vh = v.reshape(B, S, heads, hd)
+            sc = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+            a = jax.nn.softmax(sc.astype(jnp.float32), -1).astype(q.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", a, vh).reshape(B, S, W)
+        return f
+    if name == "grid_h2":
+        kern = partial(_grid_h2_kernel, head_dim=hd, scale=scale)
+        return lambda q, k, v: pl.pallas_call(
+            kern, grid=(B, W // 128),
+            in_specs=[pl.BlockSpec((1, S, 128), lambda b, h: (b, 0, h))] * 3,
+            out_specs=pl.BlockSpec((1, S, 128), lambda b, h: (b, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
+    opts = {
+        "lane": dict(),
+        "lane_nt": dict(transpose=False),
+        "lane_nomax": dict(transpose=False, maxsub=False),
+        "lane_nosm": dict(transpose=False, softmax=False),
+    }[name]
+    kern = partial(_lane_kernel, heads=heads, head_dim=hd, scale=scale, **opts)
+    return lambda q, k, v: pl.pallas_call(
+        kern, grid=(B,),
+        in_specs=[pl.BlockSpec((1, S, W), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
+
+
+def main():
+    from tspo_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+    B, S, W, heads = 256, 257, 1024, 16
+    LAYERS = 8                        # amortize dispatch like the real tower
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
+
+    oracle = None
+    results = {}
+    attn_flops = 4.0 * B * S * S * W * LAYERS
+    for name in ["xla", "lane", "lane_nt", "grid_h2", "lane_nomax",
+                 "lane_nosm"]:
+        f = make_variant(name, B, S, W, heads)
+
+        @jax.jit
+        def chained(q, k, v, f=f):
+            def step(x, _):
+                return f(x, k, v), None
+            out, _ = lax.scan(step, q, None, length=LAYERS)
+            return out
+
+        try:
+            out = np.asarray(chained(q, k, v))  # compile+warm
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"variant": name, "error": str(e)[:300]}))
+            continue
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = np.asarray(chained(q, k, v))
+        dt = (time.perf_counter() - t0) / iters
+        us_per_frame_layer = dt / (B * LAYERS) * 1e6
+        row = {"variant": name, "ms_per_call": round(dt * 1e3, 2),
+               "us_per_frame_layer": round(us_per_frame_layer, 2),
+               "eff_tflops": round(attn_flops / dt / 1e12, 1)}
+        if name == "xla":
+            oracle = out
+        elif oracle is not None and name not in ("lane_nosm", "lane_nomax"):
+            a = oracle.astype(np.float32).ravel()
+            b = out.astype(np.float32).ravel()
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+            row["cos_vs_xla"] = round(cos, 6)
+        results[name] = row
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
