@@ -64,6 +64,36 @@ def _lane_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _lane_fn_kernel(q_ref, k_ref, v_ref, o_ref, *, frames, heads, head_dim,
+                    scale, softmax=True):
+    # F frames per program: amortizes per-program pipeline overhead over
+    # F*heads matmul pairs.
+    for f in range(frames):
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qh = q_ref[f][:, sl]
+            kh = k_ref[f][:, sl]
+            vh = v_ref[f][:, sl]
+            s = lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+            p = (_softmax_f32(s) if softmax else s * 0.001).astype(q_ref.dtype)
+            o_ref[f, :, sl] = lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _fullwidth_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # ATTRIBUTION ONLY (wrong math: sums QK over all heads): same total FLOPs
+    # as per-head attention but in 2 big matmuls — measures the cost of
+    # slicing the head loop vs one fused contraction.
+    s = lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+    p = _softmax_f32(s).astype(q_ref.dtype)
+    o_ref[0] = lax.dot_general(p, v_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(o_ref.dtype)
+
+
 def _grid_h2_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim, scale):
     # block = [1, S, 128] = two heads; no transposes, contraction via dims.
     for i in range(128 // head_dim):
@@ -91,6 +121,23 @@ def make_variant(name, B, S, W, heads):
             a = jax.nn.softmax(sc.astype(jnp.float32), -1).astype(q.dtype)
             return jnp.einsum("bhqk,bkhd->bqhd", a, vh).reshape(B, S, W)
         return f
+    if name.startswith("lane_f"):
+        nosm = name.endswith("_nosm")
+        F = int(name.split("_f")[1].split("_")[0])
+        kern = partial(_lane_fn_kernel, frames=F, heads=heads, head_dim=hd,
+                       scale=scale, softmax=not nosm)
+        return lambda q, k, v: pl.pallas_call(
+            kern, grid=(B // F,),
+            in_specs=[pl.BlockSpec((F, S, W), lambda b: (b, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((F, S, W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
+    if name == "fullwidth":
+        kern = partial(_fullwidth_kernel, scale=scale)
+        return lambda q, k, v: pl.pallas_call(
+            kern, grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, W), lambda b: (b, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
     if name == "grid_h2":
         kern = partial(_grid_h2_kernel, head_dim=hd, scale=scale)
         return lambda q, k, v: pl.pallas_call(
@@ -116,48 +163,54 @@ def main():
     from tspo_tpu.cli.common import enable_compilation_cache
     enable_compilation_cache()
     B, S, W, heads = 256, 257, 1024, 16
-    LAYERS = 8                        # amortize dispatch like the real tower
+    LAYERS = 24                       # amortize dispatch like the real tower
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
+    # tiny copies for the parity fetch (full-tensor fetches of the big shape
+    # crawl through the tunneled PJRT link and would dominate the timing)
+    qs, ks, vs = (x[:8] for x in (q, k, v))
 
     oracle = None
-    results = {}
     attn_flops = 4.0 * B * S * S * W * LAYERS
-    for name in ["xla", "lane", "lane_nt", "grid_h2", "lane_nomax",
-                 "lane_nosm"]:
+    import sys
+    variants = (sys.argv[1:] or
+                ["xla", "lane", "lane_nt", "grid_h2", "lane_nomax",
+                 "lane_nosm"])
+    for name in variants:
         f = make_variant(name, B, S, W, heads)
+        fs = make_variant(name, 8, S, W, heads)
 
         @jax.jit
         def chained(q, k, v, f=f):
             def step(x, _):
                 return f(x, k, v), None
             out, _ = lax.scan(step, q, None, length=LAYERS)
-            return out
+            return out.astype(jnp.float32).mean()   # scalar fetch, full compute
 
         try:
-            out = np.asarray(chained(q, k, v))  # compile+warm
+            small = np.asarray(fs(qs, ks, vs))      # parity probe
+            np.asarray(chained(q, k, v))            # compile + warm
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"variant": name, "error": str(e)[:300]}))
             continue
         t0 = time.perf_counter()
         iters = 10
         for _ in range(iters):
-            out = np.asarray(chained(q, k, v))
+            np.asarray(chained(q, k, v))
         dt = (time.perf_counter() - t0) / iters
-        us_per_frame_layer = dt / (B * LAYERS) * 1e6
+        us_per_frame = dt / B * 1e6
         row = {"variant": name, "ms_per_call": round(dt * 1e3, 2),
-               "us_per_frame_layer": round(us_per_frame_layer, 2),
+               "us_per_frame_24l": round(us_per_frame, 2),
                "eff_tflops": round(attn_flops / dt / 1e12, 1)}
         if name == "xla":
-            oracle = out
+            oracle = small
         elif oracle is not None and name not in ("lane_nosm", "lane_nomax"):
             a = oracle.astype(np.float32).ravel()
-            b = out.astype(np.float32).ravel()
+            b = small.astype(np.float32).ravel()
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
             row["cos_vs_xla"] = round(cos, 6)
-        results[name] = row
         print(json.dumps(row), flush=True)
 
 

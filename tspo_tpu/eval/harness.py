@@ -80,7 +80,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     (llava_vid_tspo.py:335-360 ``load_video_sampled``)."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
-    id_key = DOC_ID_KEY[task_name]
+    id_key = DOC_ID_KEY.get(task_name, "question_id")
     rank, world = shard
 
     picked = [d for i, d in enumerate(docs[:limit] if limit else docs)

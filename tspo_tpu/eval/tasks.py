@@ -254,5 +254,54 @@ def _register_subtitle_variants():
 _register_subtitle_variants()
 
 
+def make_judged_task(name: str, judge, doc_to_text: Callable | None = None,
+                     question_key: str = "question",
+                     answer_key: str = "answer",
+                     video_path_keys: tuple = ("video_path",),
+                     custom_prompt: str | None = None) -> BenchmarkTask:
+    """Build an open-ended task graded by an LLM judge (SURVEY.md C35).
+
+    Many lmms-eval tasks score free-form answers with a model judge instead
+    of letter parsing (lmms_eval/llm_judge used from task process_results).
+    ``judge`` is any eval.llm_judge.JudgeProvider; each response is graded
+    binary against the gold answer and the aggregate is mean judge accuracy
+    (plus a judge_failures count — failed judge calls score 0 but are
+    reported, never silently dropped)."""
+    if doc_to_text is None:
+        def doc_to_text(doc, lmms_eval_specific_kwargs=None):
+            kw = lmms_eval_specific_kwargs or {}
+            return (kw.get("pre_prompt", "") + str(doc[question_key])
+                    + kw.get("post_prompt", ""))
+
+    def process(doc, response, rng=None):
+        res = judge.evaluate_binary(str(doc[question_key]),
+                                    str(doc[answer_key]), response,
+                                    custom_prompt=custom_prompt)
+        return {"question_id": doc.get("question_id", doc.get("id")),
+                "pred_answer": response, "answer": doc.get(answer_key),
+                "judge_score": int(res.parsed or 0),
+                "judge_success": bool(res.success),
+                "judge_raw": res.content}
+
+    def aggregate(results: list) -> dict:
+        if not results:
+            return {"overall": 0.0, "judge_failures": 0}
+        return {"overall": 100.0 * sum(r["judge_score"] for r in results)
+                / len(results),
+                "judge_failures": sum(not r["judge_success"]
+                                      for r in results)}
+
+    return BenchmarkTask(name=name, doc_to_text=doc_to_text,
+                         process_response=process, aggregate=aggregate,
+                         video_path_keys=video_path_keys)
+
+
+def register_judged_task(name: str, judge, **kw) -> BenchmarkTask:
+    """Create + register a judge-graded task under ``name``."""
+    task = make_judged_task(name, judge, **kw)
+    TASK_REGISTRY[name] = task
+    return task
+
+
 def get_task(name: str) -> BenchmarkTask:
     return TASK_REGISTRY[name]
