@@ -94,6 +94,61 @@ def _fullwidth_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
                                ).astype(o_ref.dtype)
 
 
+def _dma_kernel(q_ref, k_ref, v_ref, o_ref):
+    # ATTRIBUTION ONLY: the pure DMA + per-program overhead floor.
+    o_ref[0] = q_ref[0] + k_ref[0].astype(jnp.float32).astype(q_ref.dtype)
+
+
+def _dma_fn_kernel(q_ref, k_ref, v_ref, o_ref):
+    o_ref[...] = q_ref[...] + k_ref[...].astype(jnp.float32).astype(q_ref.dtype)
+
+
+def _gemm_inkernel(x_ref, w_ref, o_ref):
+    # ATTRIBUTION: in-kernel MXU rate with a VMEM-resident weight
+    # (constant index_map): [S, W] @ [W, 3W].
+    o_ref[0] = jnp.dot(x_ref[0], w_ref[...],
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def _bdp2_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *, seq: int,
+                 head_dim: int, scale: float):
+    """Block-diagonal 2-head packing: all matmuls full-width.
+
+    For each pair of heads (A, B): pack K/V into a [2S, 128] block-diagonal
+    scratch (rows 0:S lanes 0:hd = A, rows S:2S lanes hd:2hd = B).  Then
+      scores2 = q2 [S, 128] @ kbd.T-free contraction -> [S, 2S]
+    holds head A scores in cols 0:S and head B in cols S:2S (the zero blocks
+    annihilate the cross terms), with full 128-deep MXU contraction; a
+    mask-segmented softmax (no lane slicing) and one more full-width matmul
+    against the V block-diagonal yields both heads' context at once."""
+    S, hd = seq, head_dim
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * S), 1)
+    is_b = cols >= S                                     # [1, 2S]
+    for p in range(8):
+        lo = p * 2 * hd
+        kbd_ref[...] = jnp.zeros_like(kbd_ref)
+        vbd_ref[...] = jnp.zeros_like(vbd_ref)
+        kbd_ref[0:S, 0:hd] = k_ref[0][:, lo:lo + hd]
+        kbd_ref[S:2 * S, hd:2 * hd] = k_ref[0][:, lo + hd:lo + 2 * hd]
+        vbd_ref[0:S, 0:hd] = v_ref[0][:, lo:lo + hd]
+        vbd_ref[S:2 * S, hd:2 * hd] = v_ref[0][:, lo + hd:lo + 2 * hd]
+        q2 = q_ref[0][:, lo:lo + 2 * hd]                 # [S, 128]
+        s2 = lax.dot_general(q2, kbd_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+        # segmented softmax over column halves via masks (no lane slicing)
+        neg = jnp.float32(-1e30)
+        m_a = jnp.max(jnp.where(is_b, neg, s2), axis=-1, keepdims=True)
+        m_b = jnp.max(jnp.where(is_b, s2, neg), axis=-1, keepdims=True)
+        e = jnp.exp(s2 - jnp.where(is_b, m_b, m_a))
+        d_a = jnp.sum(jnp.where(is_b, 0.0, e), axis=-1, keepdims=True)
+        d_b = jnp.sum(jnp.where(is_b, e, 0.0), axis=-1, keepdims=True)
+        p2 = (e / jnp.where(is_b, d_b, d_a)).astype(q_ref.dtype)
+        o_ref[0, :, lo:lo + 2 * hd] = lax.dot_general(
+            p2, vbd_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _grid_h2_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim, scale):
     # block = [1, S, 128] = two heads; no transposes, contraction via dims.
     for i in range(128 // head_dim):
@@ -138,6 +193,51 @@ def make_variant(name, B, S, W, heads):
             in_specs=[pl.BlockSpec((1, S, W), lambda b: (b, 0, 0))] * 3,
             out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
+    if name.startswith("dma_s"):
+        S2 = int(name[5:])
+        return lambda q, k, v: pl.pallas_call(
+            _dma_kernel, grid=(B,),
+            in_specs=[pl.BlockSpec((1, S2, W), lambda b: (b, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((1, S2, W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S2, W), jnp.bfloat16)
+        )(q[:, :S2], k[:, :S2], v[:, :S2])
+    if name.startswith("dma_f"):
+        F = int(name[5:])
+        return lambda q, k, v: pl.pallas_call(
+            _dma_fn_kernel, grid=(B // F,),
+            in_specs=[pl.BlockSpec((F, S, W), lambda b: (b, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((F, S, W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(q, k, v)
+    if name == "gemm_inkernel":
+        w = jnp.asarray(np.random.default_rng(1).normal(
+            size=(W, 3 * W)) * 0.02, jnp.bfloat16)
+        return lambda q, k, v: pl.pallas_call(
+            _gemm_inkernel, grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
+                      pl.BlockSpec((W, 3 * W), lambda b: (0, 0))],
+            out_specs=pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, 3 * W), jnp.bfloat16))(q, w)
+    if name in ("dma_only", "bdp2", "lane_par"):
+        from jax.experimental.pallas import tpu as pltpu
+        interpret = jax.default_backend() != "tpu"
+        if name == "dma_only":
+            kern, scratch = _dma_kernel, []
+        elif name == "bdp2":
+            kern = partial(_bdp2_kernel, seq=S, head_dim=hd, scale=scale)
+            scratch = [pltpu.VMEM((2 * S, 128), jnp.bfloat16)] * 2
+        else:
+            kern = partial(_lane_kernel, heads=heads, head_dim=hd,
+                           scale=scale, transpose=False)
+            scratch = []
+        return lambda q, k, v: pl.pallas_call(
+            kern, grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, W), lambda b: (b, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret)(q, k, v)
     if name == "grid_h2":
         kern = partial(_grid_h2_kernel, head_dim=hd, scale=scale)
         return lambda q, k, v: pl.pallas_call(
@@ -185,7 +285,13 @@ def main():
         @jax.jit
         def chained(q, k, v, f=f):
             def step(x, _):
-                return f(x, k, v), None
+                y = f(x, k, v)
+                if y.shape != x.shape:               # attribution variants
+                    y = y[..., :x.shape[-1]] * 0.01
+                if y.shape[1] != x.shape[1]:
+                    y = jnp.pad(y, ((0, 0), (0, x.shape[1] - y.shape[1]),
+                                    (0, 0)))
+                return y.astype(x.dtype), None
             out, _ = lax.scan(step, q, None, length=LAYERS)
             return out.astype(jnp.float32).mean()   # scalar fetch, full compute
 
@@ -206,7 +312,8 @@ def main():
                "eff_tflops": round(attn_flops / dt / 1e12, 1)}
         if name == "xla":
             oracle = small
-        elif oracle is not None and name not in ("lane_nosm", "lane_nomax"):
+        elif (oracle is not None and name not in ("lane_nosm", "lane_nomax")
+              and not name.startswith(("dma_", "gemm_"))):
             a = oracle.astype(np.float32).ravel()
             b = small.astype(np.float32).ravel()
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))

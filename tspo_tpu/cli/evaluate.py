@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--output", default="eval_results")
     p.add_argument("--log-samples", action="store_true", default=True)
+    p.add_argument("--wandb-args", default=None,
+                   help="comma-separated wandb.init kwargs, e.g. "
+                        "'project=tspo,name=run1' (reference --wandb_args); "
+                        "without the wandb package, events go to "
+                        "<output>/wandb_offline.jsonl")
     return p
 
 
@@ -128,6 +133,15 @@ def main(argv=None):
         with open(agg_path.replace(".json", "_samples.jsonl"), "w") as f:
             for s in res.samples:
                 f.write(json.dumps(s) + "\n")
+    if args.wandb_args is not None:
+        from ..utils.wandb_logger import WandbLogger, parse_wandb_args
+        wb = WandbLogger(output_dir=args.output,
+                         log_samples=args.log_samples,
+                         **parse_wandb_args(args.wandb_args))
+        wb.post_init({args.task: res.metrics})
+        wb.log_eval_result()
+        wb.log_eval_samples({args.task: res.samples})
+        wb.finish()
     print(make_table(args.task, res.metrics, len(res.results)))
     print(f"saved -> {agg_path}")
 
