@@ -111,3 +111,13 @@ def test_warmup(server):
                                  batch_frames=16, frame_buckets=(64,))
     svc = ScoringService(scorer=scorer).warmup(hw=(48, 48))
     assert svc.stats["requests"] == 0
+
+
+def test_web_ui_index(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        body = r.read().decode()
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+    # the page drives the real endpoints
+    assert "/v1/" in body and "healthz" in body and "TSPO" in body

@@ -127,6 +127,9 @@ def make_handler(service: ScoringService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, **service.stats})
+            elif self.path in ("/", "/index.html"):
+                from .webui import serve_index
+                serve_index(self)       # browser demo page (webui.py, C44)
             else:
                 self._send(404, {"error": "not found"})
 

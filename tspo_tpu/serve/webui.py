@@ -1,0 +1,101 @@
+"""Browser demo page for the scoring/QA service — the serving-UI capability
+the reference gets from gradio (`llava/serve/gradio_web_server.py`, C44).
+
+Gradio is not in this image and pulls a heavy dependency tree; this is a
+single static page (no build step, no external assets — works with zero
+egress) served by the same ThreadingHTTPServer at ``GET /``, talking to the
+existing JSON API (`/v1/score`, `/v1/answer`, `/healthz`).  The page submits
+a server-side video path + question, renders the answer, the selected frame
+indices and latency, and polls service health."""
+
+from __future__ import annotations
+
+INDEX_HTML = """<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>TSPO-TPU demo</title>
+<style>
+  body { font-family: system-ui, sans-serif; max-width: 720px;
+         margin: 2rem auto; padding: 0 1rem; color: #1a1a1a; }
+  h1 { font-size: 1.3rem; }
+  label { display: block; margin-top: .8rem; font-weight: 600; }
+  input, textarea, select { width: 100%; padding: .45rem;
+         font: inherit; box-sizing: border-box; }
+  button { margin-top: 1rem; padding: .5rem 1.4rem; font: inherit;
+         cursor: pointer; }
+  pre { background: #f4f4f4; padding: .8rem; overflow-x: auto;
+        white-space: pre-wrap; }
+  #health { float: right; font-size: .85rem; color: #666; }
+  .answer { font-size: 1.1rem; background: #eef6ee; padding: .8rem;
+        margin-top: 1rem; border-left: 4px solid #4a4; }
+</style>
+</head>
+<body>
+<span id="health">checking...</span>
+<h1>TSPO temporal-agent demo</h1>
+<p>Scores 1-fps candidate frames against the question with the temporal
+agent, then answers from the selected keyframes.</p>
+<label>Video path (on the server)</label>
+<input id="video" placeholder="/data/videos/example.mp4">
+<label>Question</label>
+<textarea id="question" rows="2"
+ placeholder="What happens after the man opens the door?"></textarea>
+<label>Mode</label>
+<select id="mode">
+  <option value="answer">answer (selection + backbone QA)</option>
+  <option value="score">score (frame selection only)</option>
+</select>
+<label>Frame budget</label>
+<input id="sample_num" type="number" value="64" min="1" max="512">
+<button id="go">Run</button>
+<div id="out"></div>
+<script>
+async function health() {
+  try {
+    const r = await fetch('/healthz');
+    const j = await r.json();
+    document.getElementById('health').textContent =
+      j.ok ? `healthy · ${j.requests ?? 0} requests` : 'unhealthy';
+  } catch (e) {
+    document.getElementById('health').textContent = 'unreachable';
+  }
+}
+health(); setInterval(health, 5000);
+
+document.getElementById('go').onclick = async () => {
+  const out = document.getElementById('out');
+  out.innerHTML = '<pre>running…</pre>';
+  const mode = document.getElementById('mode').value;
+  const body = {
+    video_path: document.getElementById('video').value,
+    question: document.getElementById('question').value,
+    sample_num: parseInt(document.getElementById('sample_num').value),
+  };
+  try {
+    const r = await fetch('/v1/' + mode, {
+      method: 'POST', headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify(body)});
+    const j = await r.json();
+    if (!r.ok) { out.innerHTML = '<pre>error: ' + j.error + '</pre>'; return; }
+    let html = '';
+    if (j.answer !== undefined)
+      html += '<div class="answer">' + j.answer + '</div>';
+    html += '<pre>' + JSON.stringify(j, null, 2) + '</pre>';
+    out.innerHTML = html;
+  } catch (e) { out.innerHTML = '<pre>request failed: ' + e + '</pre>'; }
+};
+</script>
+</body>
+</html>
+"""
+
+
+def serve_index(handler) -> None:
+    """Write the demo page on a BaseHTTPRequestHandler."""
+    body = INDEX_HTML.encode()
+    handler.send_response(200)
+    handler.send_header("Content-Type", "text/html; charset=utf-8")
+    handler.send_header("Content-Length", str(len(body)))
+    handler.end_headers()
+    handler.wfile.write(body)
