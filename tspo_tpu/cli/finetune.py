@@ -1,0 +1,149 @@
+"""tspo-finetune — SFT / DPO finetuning of the backbone LM.
+
+CLI over train/finetune.py (the reference's `llava/train/train.py` /
+`train_dpo.py` entry points, minus HF/DeepSpeed ceremony).  Data formats:
+
+  SFT jsonl (llava conversations): {"conversations": [{"from": "human",
+      "value": "..."}, {"from": "gpt", "value": "..."}]}
+  DPO jsonl (train_dpo.py DPODataset schema): {"prompt": "...",
+      "chosen": "...", "rejected": "..."}
+
+Tokenization: --tokenizer-path loads an HF tokenizer when available;
+the default byte-level encoder keeps the CLI runnable with zero assets
+(toy/smoke runs — the loss masking and update paths are identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("tspo-finetune")
+    p.add_argument("--data-jsonl", required=True)
+    p.add_argument("--mode", choices=("sft", "dpo"), default="sft")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny qwen2 config (CPU smoke); default is 7B")
+    p.add_argument("--tokenizer-path", default=None,
+                   help="HF tokenizer dir; default byte-level encoder")
+    p.add_argument("--backbone-path", default=None,
+                   help="torch checkpoint to finetune from (random init "
+                        "otherwise)")
+    p.add_argument("--max-steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--beta", type=float, default=0.1,
+                   help="DPO beta (reference train_dpo.py:165)")
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--output-dir", default="finetune_out")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _byte_encode(text: str) -> list:
+    return [2 + b for b in text.encode("utf-8")]
+
+
+BYTE_SPECIALS = dict(im_start=260, im_end=261, newline=2 + ord("\n"))
+
+
+def _load_tokenizer(path):
+    from ..train.finetune import ChatMLSpecials
+    if path is None:
+        return _byte_encode, ChatMLSpecials(**BYTE_SPECIALS)
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(path)
+    ids = tok.additional_special_tokens_ids[:2]
+    return (lambda t: tok(t, add_special_tokens=False).input_ids,
+            ChatMLSpecials(im_start=ids[0], im_end=ids[1]))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .common import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.qwen2 import (Qwen2Config, embed_tokens, init_qwen2_params,
+                                qwen2_params_from_torch)
+    from ..train.finetune import (IGNORE_INDEX, make_dpo_step, make_sft_step,
+                                  preprocess_chatml)
+
+    cfg = Qwen2Config.tiny() if args.tiny else Qwen2Config.llava_video_7b()
+    encode, specials = _load_tokenizer(args.tokenizer_path)
+    rows = [json.loads(line) for line in open(args.data_jsonl)]
+
+    if args.backbone_path:
+        import torch
+        sd = torch.load(args.backbone_path, map_location="cpu")
+        params = qwen2_params_from_torch(sd, cfg, jnp.float32, prefix="model.")
+    else:
+        params = init_qwen2_params(jax.random.PRNGKey(args.seed), cfg,
+                                   jnp.float32)
+
+    def pack(ids, labels):
+        ids = ids[:args.max_len]
+        labels = labels[:args.max_len]
+        emb = embed_tokens(params, jnp.asarray(ids)[None])
+        return (emb, jnp.asarray(labels, jnp.int32)[None],
+                jnp.ones((1, len(ids)), bool))
+
+    optimizer = optax.adamw(args.lr)
+    opt_state = optimizer.init(params)
+    os.makedirs(args.output_dir, exist_ok=True)
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    mlog = open(metrics_path, "a")
+
+    if args.mode == "sft":
+        step_fn = make_sft_step(optimizer, cfg)
+        batches = []
+        for r in rows:
+            ids, labels = preprocess_chatml(r["conversations"], encode,
+                                            specials)
+            batches.append(pack(ids, labels))
+        for step in range(args.max_steps):
+            emb, lab, val = batches[step % len(batches)]
+            params, opt_state, loss = step_fn(params, opt_state, emb, lab,
+                                              val)
+            mlog.write(json.dumps({"step": step, "loss": float(loss)}) + "\n")
+            if step % 10 == 0:
+                print(f"step {step}: loss {float(loss):.4f}")
+    else:
+        step_fn = make_dpo_step(optimizer, cfg, beta=args.beta)
+        ref_params = params
+
+        def enc_pair(prompt, completion):
+            convs = [{"from": "human", "value": prompt},
+                     {"from": "gpt", "value": completion}]
+            return pack(*preprocess_chatml(convs, encode, specials))
+
+        pairs = [(enc_pair(r["prompt"], r["chosen"]),
+                  enc_pair(r["prompt"], r["rejected"])) for r in rows]
+        for step in range(args.max_steps):
+            chosen, rejected = pairs[step % len(pairs)]
+            params, opt_state, loss, m = step_fn(params, ref_params,
+                                                 opt_state, chosen, rejected)
+            rec = {"step": step, "loss": float(loss),
+                   **{k: float(v) for k, v in m.items()}}
+            mlog.write(json.dumps(rec) + "\n")
+            if step % 10 == 0:
+                print(f"step {step}: loss {float(loss):.4f} "
+                      f"acc {rec['reward_accuracy']:.2f}")
+    mlog.close()
+
+    out = os.path.join(args.output_dir, "params.npz")
+    flat = {"/".join(map(str, [getattr(k, 'key', k) for k in path])):
+            np.asarray(leaf) for path, leaf in
+            jax.tree_util.tree_flatten_with_path(params)[0]}
+    np.savez(out, **flat)
+    print(f"finetuned {args.max_steps} steps ({args.mode}); params -> {out}")
+
+
+if __name__ == "__main__":
+    main()
