@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--output", default="eval_results")
     p.add_argument("--log-samples", action="store_true", default=True)
+    p.add_argument("--judge", default=None,
+                   help="LLM-judge provider for judged tasks like "
+                        "ActivityNet-QA: openai|azure|local|dummy "
+                        "(eval/llm_judge.py; $API_TYPE default)")
     p.add_argument("--wandb-args", default=None,
                    help="comma-separated wandb.init kwargs, e.g. "
                         "'project=tspo,name=run1' (reference --wandb_args); "
@@ -73,6 +77,11 @@ def main(argv=None):
     from ..eval.harness import evaluate_task
     from .common import load_backbone
 
+    if args.task == "ActivityNet-QA":
+        from ..eval.llm_judge import create_provider
+        from ..eval.tasks_activitynet import register_activitynetqa
+        register_activitynetqa(create_provider(args.judge)
+                               if args.judge else None)
     docs = load_json(args.frame_idx_json)
     if args.world == 1:
         from ..parallel.multihost import process_shard
