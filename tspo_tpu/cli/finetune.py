@@ -38,6 +38,12 @@ def build_parser():
     p.add_argument("--beta", type=float, default=0.1,
                    help="DPO beta (reference train_dpo.py:165)")
     p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help=">0 enables LoRA: train only rank-r adapters on the "
+                        "per-layer GEMMs (reference lora_enable/peft path)")
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--merge-lora", action="store_true",
+                   help="fold adapters into base kernels before saving")
     p.add_argument("--output-dir", default="finetune_out")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -94,7 +100,14 @@ def main(argv=None):
         return (emb, jnp.asarray(labels, jnp.int32)[None],
                 jnp.ones((1, len(ids)), bool))
 
-    optimizer = optax.adamw(args.lr)
+    if args.lora_rank > 0:
+        from ..models.qwen2 import add_lora
+        from ..train.finetune import lora_optimizer
+        params = add_lora(params, jax.random.PRNGKey(args.seed + 1),
+                          rank=args.lora_rank, alpha=args.lora_alpha)
+        optimizer = lora_optimizer(args.lr, params)
+    else:
+        optimizer = optax.adamw(args.lr)
     opt_state = optimizer.init(params)
     os.makedirs(args.output_dir, exist_ok=True)
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
@@ -137,6 +150,9 @@ def main(argv=None):
                       f"acc {rec['reward_accuracy']:.2f}")
     mlog.close()
 
+    if args.lora_rank > 0 and args.merge_lora:
+        from ..models.qwen2 import merge_lora
+        params = merge_lora(params)
     out = os.path.join(args.output_dir, "params.npz")
     flat = {"/".join(map(str, [getattr(k, 'key', k) for k in path])):
             np.asarray(leaf) for path, leaf in

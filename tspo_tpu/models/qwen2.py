@@ -80,7 +80,8 @@ class KVCache(NamedTuple):
 
 
 def _linear(p, x):
-    """Linear supporting bf16 kernels and weight-only int8 (kernel_q + scale).
+    """Linear supporting bf16 kernels, weight-only int8 (kernel_q + scale),
+    and LoRA adapters (lora_a/lora_b/lora_scale — see add_lora).
 
     int8 path: convert fuses into the dot operand read (weights stream from
     HBM at half the bytes — decode is weight-bandwidth-bound, +27% measured on
@@ -91,6 +92,9 @@ def _linear(p, x):
         y = y * p["scale"].astype(x.dtype)
     else:
         y = x @ p["kernel"]
+    if "lora_a" in p:
+        y = y + ((x @ p["lora_a"].astype(x.dtype))
+                 @ p["lora_b"].astype(x.dtype)) * p["lora_scale"]
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -119,6 +123,54 @@ def quantize_qwen2_params(params) -> dict:
         out["lm_head_scale"] = s
         out.pop("lm_head")
     return out
+
+
+LORA_DEFAULT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def add_lora(params, rng, rank: int = 16, alpha: float = 32.0,
+             targets=LORA_DEFAULT_TARGETS) -> dict:
+    """Attach LoRA adapters to the per-layer GEMMs (the reference finetunes
+    with peft LoRA over all linear names, train.py:226-240
+    ``find_all_linear_names`` + lora_enable).  A ~ N(0, 1/r) [L, fi, r],
+    B = 0 [L, r, fo] so the initial model is unchanged; y += (x A) B * α/r."""
+    layers = dict(params["layers"])
+    keys = jax.random.split(rng, len(targets))
+    for key, name in zip(keys, targets):
+        p = dict(layers[name])
+        kern = p.get("kernel", p.get("kernel_q"))
+        L, fi, fo = kern.shape
+        p["lora_a"] = (jax.random.normal(key, (L, fi, rank), jnp.float32)
+                       / np.sqrt(rank))
+        p["lora_b"] = jnp.zeros((L, rank, fo), jnp.float32)
+        # [L] (not scalar): every leaf under "layers" is scanned with a
+        # leading layer dim (qwen2_forward's lax.scan xs)
+        p["lora_scale"] = jnp.full((L,), alpha / rank, jnp.float32)
+        layers[name] = p
+    return {**params, "layers": layers}
+
+
+def merge_lora(params) -> dict:
+    """Fold adapters into the base kernels (peft merge_and_unload)."""
+    layers = dict(params["layers"])
+    for name, p in list(layers.items()):
+        if isinstance(p, dict) and "lora_a" in p:
+            p = dict(p)
+            a, b = p.pop("lora_a"), p.pop("lora_b")
+            scale = p.pop("lora_scale")
+            delta = jnp.einsum("lir,lro->lio", a, b) * scale[:, None, None]
+            p["kernel"] = (p["kernel"].astype(jnp.float32)
+                           + delta).astype(p["kernel"].dtype)
+            layers[name] = p
+    return {**params, "layers": layers}
+
+
+def lora_param_mask(params) -> dict:
+    """Pytree bool mask (True = trainable) for optax.masked — only the
+    adapter leaves train; base weights stay frozen."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: any(str(getattr(k, "key", k)).startswith("lora_")
+                               for k in path), params)
 
 
 def _rms_norm(x, weight, eps):

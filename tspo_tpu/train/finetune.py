@@ -164,6 +164,21 @@ def dpo_loss(policy_params, ref_params, chosen, rejected,
 # Update steps
 # ---------------------------------------------------------------------------
 
+def lora_optimizer(learning_rate: float, params):
+    """Optimizer that trains ONLY LoRA adapter leaves (models/qwen2.py
+    add_lora) and hard-freezes everything else.  Note optax.masked alone is
+    wrong here: masked-out updates pass through unchanged (raw gradients
+    would be applied to the frozen base weights)."""
+    import optax
+
+    from ..models.qwen2 import lora_param_mask
+    labels = jax.tree.map(lambda m: "train" if m else "freeze",
+                          lora_param_mask(params))
+    return optax.multi_transform(
+        {"train": optax.adamw(learning_rate), "freeze": optax.set_to_zero()},
+        labels)
+
+
 def make_sft_step(optimizer, cfg: Qwen2Config):
     """jitted (params, opt_state, batch) -> (params, opt_state, loss); with a
     mesh active, replicated params + data-sharded batch make the gradient
