@@ -149,6 +149,65 @@ def _bdp2_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *, seq: int,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, in_sem,
+                       out_sem, *, B, heads, head_dim, scale):
+    """Hand-rolled double buffering: the automatic Mosaic block pipeline only
+    sustains ~190 GB/s at this block shape (see dma_only), so stream frames
+    through VMEM with explicit async copies — issue frame i+1's input DMAs
+    while computing frame i, and retire output DMAs two iterations behind."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def in_dmas(slot, i):
+        return [pltpu.make_async_copy(ref.at[i], buf.at[slot],
+                                      in_sem.at[slot, j])
+                for j, (ref, buf) in enumerate(
+                    ((q_hbm, qb), (k_hbm, kb), (v_hbm, vb)))]
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(ob.at[slot], o_hbm.at[i],
+                                     out_sem.at[slot])
+
+    for d in in_dmas(0, 0):
+        d.start()
+
+    def body(i, _):
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i + 1 < B)
+        def _():
+            for d in in_dmas(nxt, i + 1):
+                d.start()
+
+        for d in in_dmas(slot, i):
+            d.wait()
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()   # ob[slot] free for reuse
+
+        for h in range(heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            qh = qb[slot][:, sl]
+            kh = kb[slot][:, sl]
+            vh = vb[slot][:, sl]
+            s = lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+            p = _softmax_f32(s).astype(qb.dtype)
+            ob[slot, :, sl] = lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(ob.dtype)
+        out_dma(slot, i).start()
+        return 0
+
+    lax.fori_loop(0, B, body, 0)
+
+    @pl.when(B >= 2)
+    def _():
+        out_dma(B % 2, B - 2).wait()
+    out_dma((B - 1) % 2, B - 1).wait()
+
+
 def _grid_h2_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim, scale):
     # block = [1, S, 128] = two heads; no transposes, contraction via dims.
     for i in range(128 // head_dim):
@@ -217,6 +276,19 @@ def make_variant(name, B, S, W, heads):
                       pl.BlockSpec((W, 3 * W), lambda b: (0, 0))],
             out_specs=pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, S, 3 * W), jnp.bfloat16))(q, w)
+    if name == "manual_dma":
+        from jax.experimental.pallas import tpu as pltpu
+        kern = partial(_manual_dma_kernel, B=B, heads=heads, head_dim=hd,
+                       scale=scale)
+        return lambda q, k, v: pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((2, S, W), jnp.bfloat16)] * 4
+            + [pltpu.SemaphoreType.DMA((2, 3)), pltpu.SemaphoreType.DMA((2,))],
+            interpret=jax.default_backend() != "tpu",
+        )(q, k, v)
     if name in ("dma_only", "bdp2", "lane_par"):
         from jax.experimental.pallas import tpu as pltpu
         interpret = jax.default_backend() != "tpu"

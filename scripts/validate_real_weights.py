@@ -1,0 +1,134 @@
+"""Real-weight validation runbook — executable.
+
+This container has zero egress (no HF checkpoints, no benchmark videos), so
+accuracy parity against the reference's published numbers (63.9% LVB / 76.3%
+MLVU with LLaVA-Video-7B+TSPO) cannot be validated here; all numerics are
+pinned by torch-parity tests at tiny configs + byte-level golden artifacts.
+This script IS the missing step: point it at real assets and it runs the
+full parity chain, failing loudly on any mismatch.
+
+Usage (on a machine with the assets):
+  python scripts/validate_real_weights.py \
+      --tspo-checkpoint /path/TSPO-0.4B/pytorch_model.bin \
+      --backbone-dir /path/LLaVA-Video-7B-Qwen2 \
+      --golden-frameidx /path/evaluation/jsons_idx/TSPO_LongVideoBench_frameIdx.json \
+      --lvb-tsv /path/LMUData/LongVideoBench.tsv \
+      --video-root /path/LongVideoBench/videos \
+      --out-dir /tmp/tspo_validation
+
+Stages (each skippable by omitting its inputs):
+  1. scorer-load:    TSPOScorer.from_torch_merged on the reference TSPO-0.4B
+  2. frame-parity:   re-run phase-1 on the benchmark TSV, diff emitted
+                     frame_idx against the golden json (reference criterion:
+                     identical features -> identical indices; ties reported)
+  3. backbone-load:  LLaVAVideoModel.from_torch_checkpoint on the 7B dir
+  4. accuracy:       phase-2 on the emitted indices; compare to 63.9% LVB
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("validate-real-weights")
+    p.add_argument("--tspo-checkpoint")
+    p.add_argument("--backbone-dir")
+    p.add_argument("--golden-frameidx")
+    p.add_argument("--lvb-tsv")
+    p.add_argument("--video-root")
+    p.add_argument("--out-dir", default="/tmp/tspo_validation")
+    p.add_argument("--sample-num", type=int, default=64)
+    p.add_argument("--limit", type=int, default=None,
+                   help="validate a subset first (e.g. 50)")
+    args = p.parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    failures = []
+
+    scorer = None
+    if args.tspo_checkpoint:
+        print("[1/4] loading reference TSPO-0.4B ...")
+        import torch
+
+        from tspo_tpu.models.tspo_model import TSPOScorer
+        sd = torch.load(args.tspo_checkpoint, map_location="cpu")
+        scorer = TSPOScorer.from_torch_merged(sd)
+        print("      ok: scorer loaded")
+    else:
+        print("[1/4] SKIP (no --tspo-checkpoint)")
+
+    emitted = None
+    if scorer is not None and args.lvb_tsv and args.video_root:
+        print("[2/4] phase-1 frame-index parity ...")
+        from tspo_tpu.cli.precompute import main as precompute_main
+        out_json = os.path.join(args.out_dir, "LVB_frameIdx.json")
+        cli = ["--data", "LongVideoBench", "--tsv", args.lvb_tsv,
+               "--video-root", args.video_root,
+               "--work-dir", os.path.join(args.out_dir, "work"),
+               "--cache-root", os.path.join(args.out_dir, "cache"),
+               "--out-json", out_json, "--model-path", args.tspo_checkpoint,
+               "--sample-num", str(args.sample_num)]
+        precompute_main(cli)
+        emitted = json.load(open(out_json))
+        if args.golden_frameidx:
+            golden = json.load(open(args.golden_frameidx))
+            gold = {d["question_id"]: d.get("frame_idx") for d in golden
+                    if "question_id" in d}
+            n = same = diff = 0
+            for d in emitted:
+                qid = d.get("question_id")
+                if qid in gold and d.get("frame_idx") and gold[qid]:
+                    n += 1
+                    if list(map(int, d["frame_idx"])) == \
+                            list(map(int, gold[qid])):
+                        same += 1
+                    else:
+                        diff += 1
+            frac = same / max(n, 1)
+            print(f"      frame_idx parity: {same}/{n} exact ({frac:.1%})")
+            if frac < 0.98:
+                failures.append(
+                    f"frame-index parity {frac:.1%} < 98% — check bf16 "
+                    "cosine accumulation / topk ties (SURVEY §7.3 item 4)")
+    else:
+        print("[2/4] SKIP (needs scorer + --lvb-tsv + --video-root)")
+
+    backbone = None
+    if args.backbone_dir:
+        print("[3/4] loading LLaVA-Video-7B backbone ...")
+        from tspo_tpu.cli.common import load_backbone
+        backbone = load_backbone("llava_video", args.backbone_dir)
+        print("      ok: backbone loaded")
+    else:
+        print("[3/4] SKIP (no --backbone-dir)")
+
+    if backbone is not None and emitted is not None:
+        print("[4/4] phase-2 accuracy ...")
+        from tspo_tpu.eval.harness import evaluate_task
+        res = evaluate_task("LongVideoBench", emitted, backbone,
+                            video_root=args.video_root,
+                            max_frames_num=args.sample_num,
+                            limit=args.limit)
+        acc = res.metrics.get("overall")
+        print(f"      LongVideoBench accuracy: {acc:.2f}% "
+              f"(reference LLaVA-Video-7B+TSPO: 63.9%)")
+        json.dump(res.metrics, open(os.path.join(args.out_dir,
+                                                 "metrics.json"), "w"))
+        if args.limit is None and acc is not None and acc < 62.9:
+            failures.append(f"accuracy {acc:.2f}% more than 1pt below 63.9%")
+    else:
+        print("[4/4] SKIP (needs backbone + emitted indices)")
+
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("\nall executed stages passed")
+
+
+if __name__ == "__main__":
+    main()
