@@ -149,8 +149,8 @@ def _bdp2_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *, seq: int,
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, in_sem,
-                       out_sem, *, B, heads, head_dim, scale):
+def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, q_sem,
+                       k_sem, v_sem, out_sem, *, B, heads, head_dim, scale):
     """Hand-rolled double buffering: the automatic Mosaic block pipeline only
     sustains ~190 GB/s at this block shape (see dma_only), so stream frames
     through VMEM with explicit async copies — issue frame i+1's input DMAs
@@ -158,10 +158,9 @@ def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, in_sem,
     from jax.experimental.pallas import tpu as pltpu
 
     def in_dmas(slot, i):
-        return [pltpu.make_async_copy(ref.at[i], buf.at[slot],
-                                      in_sem.at[slot, j])
-                for j, (ref, buf) in enumerate(
-                    ((q_hbm, qb), (k_hbm, kb), (v_hbm, vb)))]
+        return [pltpu.make_async_copy(ref.at[i], buf.at[slot], sem.at[slot])
+                for ref, buf, sem in ((q_hbm, qb, q_sem), (k_hbm, kb, k_sem),
+                                      (v_hbm, vb, v_sem))]
 
     def out_dma(slot, i):
         return pltpu.make_async_copy(ob.at[slot], o_hbm.at[i],
@@ -186,6 +185,8 @@ def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, in_sem,
         def _():
             out_dma(slot, i - 2).wait()   # ob[slot] free for reuse
 
+        if heads == 0:          # copy-only probe (compile/DMA attribution)
+            ob[slot] = qb[slot]
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             qh = qb[slot][:, sl]
@@ -276,17 +277,18 @@ def make_variant(name, B, S, W, heads):
                       pl.BlockSpec((W, 3 * W), lambda b: (0, 0))],
             out_specs=pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, S, 3 * W), jnp.bfloat16))(q, w)
-    if name == "manual_dma":
+    if name.startswith("manual_dma"):
         from jax.experimental.pallas import tpu as pltpu
-        kern = partial(_manual_dma_kernel, B=B, heads=heads, head_dim=hd,
-                       scale=scale)
+        kern = partial(_manual_dma_kernel, B=B,
+                       heads=0 if name.endswith("copy") else heads,
+                       head_dim=hd, scale=scale)
         return lambda q, k, v: pl.pallas_call(
             kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16),
             scratch_shapes=[pltpu.VMEM((2, S, W), jnp.bfloat16)] * 4
-            + [pltpu.SemaphoreType.DMA((2, 3)), pltpu.SemaphoreType.DMA((2,))],
+            + [pltpu.SemaphoreType.DMA((2,))] * 4,
             interpret=jax.default_backend() != "tpu",
         )(q, k, v)
     if name in ("dma_only", "bdp2", "lane_par"):

@@ -231,3 +231,49 @@ def test_reference_toy_jsonl_schema():
         # the accuracy reward resolves the shipped solution format
         r = accuracy_reward(["A"], [row["solution"]])
         assert r == [1.0]
+
+
+def test_orbax_checkpoint_round_trip(tmp_path):
+    import jax
+    import optax
+
+    from tspo_tpu.models.selector import init_selector_params
+    from tspo_tpu.configs import SelectorConfig
+    from tspo_tpu.train.checkpoint import OrbaxCheckpointer, restore_opt_state
+
+    params = init_selector_params(jax.random.PRNGKey(0),
+                                  SelectorConfig(dim=16, num_heads=2,
+                                                 window_size=4))
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"), keep=2)
+    for step in (1, 2, 3):
+        ck.save(step, params, opt_state, extra={"tau": 0.5})
+    ck.wait()
+    assert ck.latest_step() == 3
+    step, restored, opt_leaves, meta = ck.restore()
+    assert step == 3 and meta["tau"] == 0.5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, restored)
+    rebuilt = restore_opt_state(opt_state, opt_leaves)
+    assert jax.tree_util.tree_structure(rebuilt) == \
+        jax.tree_util.tree_structure(opt_state)
+    ck.close()
+
+
+def test_orbax_backend_trainer_resume(train_setup, tmp_path):
+    import jax
+    root, dataset = train_setup
+    tr = _make_trainer(root, dataset, tmp_path / "orb", ckpt_backend="orbax")
+    tr.train(max_steps=2)
+    saved_step = tr.step
+    leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.scorer.selector_params)[0]).copy()
+
+    tr2 = _make_trainer(root, dataset, tmp_path / "orb", ckpt_backend="orbax")
+    assert tr2.resume_from() == saved_step
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tr2.scorer.selector_params)[0]),
+        leaf_before, atol=1e-7)

@@ -57,6 +57,9 @@ def build_parser():
                    help="directory for the merged TSPO-0.4B export after training")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --output-dir")
+    p.add_argument("--ckpt-backend", default="npz", choices=("npz", "orbax"),
+                   help="orbax = async multi-host checkpointing with native "
+                        "sharded-array support (train/checkpoint.py)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also emit TensorBoard event files to "
                         "<output-dir>/tb (utils/tensorboard.py, TF-free)")
@@ -85,7 +88,7 @@ def main(argv=None):
         window_size=args.window_size, score_tau=args.score_tau,
         learning_rate=args.learning_rate, max_steps=args.max_steps,
         save_every=args.save_steps, save_total_limit=args.save_total_limit,
-        seed=args.seed)
+        ckpt_backend=args.ckpt_backend, seed=args.seed)
 
     scorer = load_scorer(args.clip_path, seed=args.seed, tiny=args.tiny)
     backbone = load_backbone(args.backbone, args.backbone_path)

@@ -126,6 +126,8 @@ class TrainConfig:
     log_every: int = 1
     save_every: int = 100
     save_total_limit: int = 8
+    ckpt_backend: str = "npz"          # "npz" (single-host) | "orbax" (async,
+                                       # multi-host, sharded arrays)
 
 
 @dataclass(frozen=True)

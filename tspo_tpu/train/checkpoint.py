@@ -105,6 +105,56 @@ def restore_opt_state(template_opt_state, opt_leaves):
         treedef, [jnp.asarray(x) for x in opt_leaves])
 
 
+class OrbaxCheckpointer:
+    """Orbax-backed train-state checkpointing — the TPU-idiomatic production
+    layer (async writes, multi-host coordination, native sharded-array
+    support; SURVEY.md §7.2 item 7).  Same payload contract as the npz
+    functions above: selector params tree + flat optimizer leaves + json
+    metadata.  npz stays the default (single-host, zero deps, torch-interop
+    adjacent); pass ``--ckpt-backend orbax`` in tspo-train for this one.
+    """
+
+    def __init__(self, directory: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep or None))
+
+    def save(self, step: int, selector_params, opt_state=None,
+             extra: dict | None = None):
+        ocp = self._ocp
+        tree = {"params": selector_params,
+                "opt": list(jax.tree_util.tree_leaves(opt_state))
+                if opt_state is not None else []}
+        self.mgr.save(step, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(tree),
+            meta=ocp.args.JsonSave({"step": step, **(extra or {})})))
+        return step
+
+    def latest_step(self):
+        return self.mgr.latest_step()
+
+    def restore(self, step: int | None = None):
+        """(step, selector_params, opt_leaves_or_None, meta) — mirror of
+        load_train_state + the json metadata."""
+        ocp = self._ocp
+        step = self.mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no orbax checkpoints")
+        out = self.mgr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(), meta=ocp.args.JsonRestore()))
+        state, meta = out["state"], out["meta"]
+        opt = state["opt"] or None
+        return step, state["params"], opt, meta
+
+    def wait(self):
+        self.mgr.wait_until_finished()
+
+    def close(self):
+        self.mgr.close()
+
+
 def export_merged(directory: str, clip_params, selector_params, clip_cfg=None,
                   selector_cfg=None):
     """Standalone TSPO-0.4B merged checkpoint (npz format of TSPOScorer.save)."""

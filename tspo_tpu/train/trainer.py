@@ -387,7 +387,19 @@ class TSPOTrainer:
         self.save_checkpoint()
         return history
 
+    def _orbax(self):
+        if getattr(self, "_orbax_mgr", None) is None:
+            from .checkpoint import OrbaxCheckpointer
+            self._orbax_mgr = OrbaxCheckpointer(
+                self.output_dir, keep=self.cfg.save_total_limit)
+        return self._orbax_mgr
+
     def save_checkpoint(self):
+        if getattr(self.cfg, "ckpt_backend", "npz") == "orbax":
+            self._orbax().save(self.step, self.scorer.selector_params,
+                               self.opt_state)
+            self._orbax().wait()
+            return
         save_train_state(self.output_dir, self.step,
                          self.scorer.selector_params, self.opt_state)
         prune_checkpoints(self.output_dir, self.cfg.save_total_limit)
@@ -396,9 +408,13 @@ class TSPOTrainer:
                     step: int | None = None) -> int:
         """Restore selector params + optimizer state + step from the latest
         (or given) checkpoint; returns the restored step."""
-        from .checkpoint import load_train_state, restore_opt_state
-        step, params, opt_leaves = load_train_state(
-            directory or self.output_dir, step)
+        from .checkpoint import restore_opt_state
+        if getattr(self.cfg, "ckpt_backend", "npz") == "orbax":
+            step, params, opt_leaves, _ = self._orbax().restore(step)
+        else:
+            from .checkpoint import load_train_state
+            step, params, opt_leaves = load_train_state(
+                directory or self.output_dir, step)
         self.scorer.selector_params = jax.tree_util.tree_map(
             jnp.asarray, params)
         if opt_leaves is not None:
