@@ -343,3 +343,21 @@ def test_precompute_corrupt_video_recorded_not_retried(bench_dir, scorer,
         pc.load_video = orig
     assert again == results
     assert not any("bad.mp4" in c for c in calls)
+
+
+def test_precompute_pooled_decode_matches_single(precompute_run, scorer,
+                                                 bench_dir, tmp_path):
+    """decode_workers>1 (native C++ pool) produces identical frame indices
+    to the single-thread prefetch path."""
+    from tspo_tpu.video import native
+    if not native.pool_available():
+        pytest.skip("native decode pool unavailable")
+    _, ds, results, _ = precompute_run
+    pre2 = FrameIndexPrecompute(
+        scorer, FeatureCache(str(tmp_path / "cache2")),
+        PrecomputeConfig(sample_num=8, checkpoint_every=2, max_frames=512),
+        work_dir=str(tmp_path), name="POOL", decode_workers=3)
+    results2 = pre2.run(ds)
+    assert results2.keys() == results.keys()
+    for qid in results:
+        assert results2[qid] == results[qid]

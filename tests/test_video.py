@@ -215,3 +215,38 @@ def test_truncated_video_degrades_gracefully(tmp_path, video_path):
     open(bad, "wb").write(data[: len(data) // 3])
     frames, ts, vt = load_video(bad, max_frames_num=16)
     assert frames.shape[0] == 16  # decoded prefix or zero-frame fallback
+
+
+def test_decode_pool_matches_sequential_gather(video_path, tmp_path):
+    if not native.pool_available():
+        pytest.skip("native decode pool unavailable")
+    # several videos decoded concurrently == sequential per-video gathers
+    paths = [video_path]
+    for j in range(2):
+        p = str(tmp_path / f"p{j}.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 48))
+        for i in range(120):
+            w.write(np.full((48, 64, 3), (i * (j + 2)) % 255, np.uint8))
+        w.release()
+        paths.append(p)
+    idx_sets = [np.array([0, 10, 50, 99]), np.array([3, 4, 5]),
+                np.array([0, 119])]
+    with native.DecodePool(workers=3) as pool:
+        jobs = [pool.submit(p, idx) for p, idx in zip(paths, idx_sets)]
+        outs = [pool.result(j) for j in jobs]
+    for p, idx, out in zip(paths, idx_sets, outs):
+        np.testing.assert_array_equal(out, native.gather(p, idx))
+
+
+def test_decode_pool_error_and_out_of_order_wait(video_path):
+    if not native.pool_available():
+        pytest.skip("native decode pool unavailable")
+    with native.DecodePool(workers=2) as pool:
+        ok = pool.submit(video_path, np.array([1, 2]))
+        with pytest.raises(IOError):
+            bad = pool.submit("/nonexistent/video.mp4", np.array([0]))
+            pool.result(bad)
+        # result() after the failure still works, out of submit order
+        frames = pool.result(ok)
+        assert frames.shape == (2, 48, 64, 3)
+        assert pool.pending() == 0

@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--rerun", action="store_true")
+    p.add_argument("--decode-workers", type=int, default=1,
+                   help=">1 decodes videos concurrently through the native "
+                        "C++ pool (multi-core hosts; see video/native.py)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CPU smoke runs)")
     p.add_argument("--anno-json", default=None)
@@ -66,7 +69,8 @@ def main(argv=None):
         PrecomputeConfig(sample_num=args.sample_num,
                          window_size=args.window_size,
                          max_frames=args.max_frames, method=args.method),
-        work_dir=args.work_dir, name=args.name)
+        work_dir=args.work_dir, name=args.name,
+        decode_workers=args.decode_workers)
     done = []
     results = pre.run(ds, shard=(args.rank, args.world), rerun=args.rerun,
                       progress=lambda qid: done.append(qid) or (

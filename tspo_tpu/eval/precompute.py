@@ -54,13 +54,18 @@ class FrameIndexPrecompute:
     def __init__(self, scorer: TSPOScorer, cache: FeatureCache,
                  cfg: PrecomputeConfig = PrecomputeConfig(),
                  work_dir: str = "work_dir", name: str = "TSPO",
-                 prefetch: int = 2):
+                 prefetch: int = 2, decode_workers: int = 1):
         self.scorer = scorer
         self.cache = cache
         self.cfg = cfg
         self.work_dir = work_dir
         self.name = name
         self.prefetch = prefetch
+        # >1 routes host decode through the native C++ pool
+        # (video/native.py::DecodePool): N videos decode concurrently on
+        # multi-core hosts.  Memory note: each in-flight video holds its full
+        # candidate buffer, so size workers to host RAM for very long videos.
+        self.decode_workers = decode_workers
 
     # -- persistence --------------------------------------------------------
 
@@ -171,7 +176,62 @@ class FrameIndexPrecompute:
                     q.put((s, "error", e))
             q.put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        def producer_pooled():
+            """Cross-video decode via the native C++ worker pool: a window of
+            decode jobs runs concurrently; results feed the consumer in
+            submission order (same queue contract as ``producer``)."""
+            import collections
+
+            from ..video.native import DecodePool
+            with DecodePool(self.decode_workers) as pool:
+                window: collections.deque = collections.deque()
+                it = iter(todo)
+                exhausted = False
+
+                def refill():
+                    nonlocal exhausted
+                    while (not exhausted
+                           and len(window) <= self.decode_workers):
+                        s = next(it, None)
+                        if s is None:
+                            exhausted = True
+                            break
+                        if self.cache.has(dataset.name, s["index"]):
+                            window.append((s, "cached", None))
+                            continue
+                        try:
+                            sampled_idx = candidate_schedule(
+                                s["video_path"], self.cfg.max_frames)
+                            job = pool.submit(s["video_path"],
+                                              np.asarray(sampled_idx))
+                            window.append((s, "job", (job, sampled_idx)))
+                        except Exception as e:
+                            window.append((s, "error", e))
+
+                refill()
+                while window:
+                    s, kind, payload = window.popleft()
+                    if kind == "job":
+                        job, sampled_idx = payload
+                        try:
+                            frames = pool.result(job)
+                        except Exception:
+                            # mirror the non-pooled path exactly: load_video
+                            # degrades to zero-frames on decode failure
+                            frames, _, _ = load_video(
+                                s["video_path"],
+                                max_frames_num=self.cfg.max_frames, fps=1,
+                                min_frames_num=0)
+                        q.put((s, "frames", (frames, sampled_idx)))
+                    else:
+                        q.put((s, kind, payload))
+                    refill()
+            q.put(None)
+
+        from ..video import native as _native
+        use_pool = self.decode_workers > 1 and _native.pool_available()
+        t = threading.Thread(target=producer_pooled if use_pool else producer,
+                             daemon=True)
         t.start()
 
         done_since_ckpt = 0
