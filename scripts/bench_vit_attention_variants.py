@@ -209,6 +209,22 @@ def _manual_dma_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, q_sem,
     out_dma((B - 1) % 2, B - 1).wait()
 
 
+def _lane_packed_kernel(qkv_ref, o_ref, *, heads, head_dim, scale, width):
+    # single packed [1, S, 3W] input: 2 DMA streams per program instead of 4
+    W = width
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = qkv_ref[0][:, h * head_dim:(h + 1) * head_dim]
+        kh = qkv_ref[0][:, W + h * head_dim:W + (h + 1) * head_dim]
+        vh = qkv_ref[0][:, 2 * W + h * head_dim:2 * W + (h + 1) * head_dim]
+        s = lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+        p = _softmax_f32(s).astype(qkv_ref.dtype)
+        o_ref[0, :, sl] = lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _grid_h2_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim, scale):
     # block = [1, S, 128] = two heads; no transposes, contraction via dims.
     for i in range(128 // head_dim):
@@ -277,6 +293,31 @@ def make_variant(name, B, S, W, heads):
                       pl.BlockSpec((W, 3 * W), lambda b: (0, 0))],
             out_specs=pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, S, 3 * W), jnp.bfloat16))(q, w)
+    if name == "jax_flash":
+        # official pallas flash-attention op (jax.experimental), including
+        # the [B,S,W] <-> [B,H,S,hd] layout transposes it requires
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash)
+
+        def f(q, k, v):
+            qh = q.reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, S, heads, hd).transpose(0, 2, 1, 3)
+            o = jax_flash(qh * (1.0 / np.sqrt(hd)), kh, vh, causal=False)
+            return o.transpose(0, 2, 1, 3).reshape(B, S, W)
+        return f
+    if name == "lane_packed":
+        kern = partial(_lane_packed_kernel, heads=heads, head_dim=hd,
+                       scale=scale, width=W)
+
+        def packed(q, k, v):
+            qkv = jnp.concatenate([q, k, v], axis=-1)
+            return pl.pallas_call(
+                kern, grid=(B,),
+                in_specs=[pl.BlockSpec((1, S, 3 * W), lambda b: (b, 0, 0))],
+                out_specs=pl.BlockSpec((1, S, W), lambda b: (b, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((B, S, W), jnp.bfloat16))(qkv)
+        return packed
     if name.startswith("manual_dma"):
         from jax.experimental.pallas import tpu as pltpu
         kern = partial(_manual_dma_kernel, B=B,

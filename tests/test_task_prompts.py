@@ -127,3 +127,17 @@ def test_videomme_prompt_matches_reference():
                                            "from the given choices directly."}
     assert get_task("VideoMME").doc_to_text(VMME_DOC) == \
         ref.videomme_doc_to_text(dict(VMME_DOC), kw)
+
+
+def test_lvbench_prompt_pinned():
+    """LVBench phase-2 is an extension (the reference's eval scripts reject
+    it); this pins the exact prompt so it cannot drift silently."""
+    expected = (
+        "Select the best answer to the following multiple-choice question "
+        "based on the video and the subtitles. Respond with only the letter "
+        "(A, B, C, or D) of the correct option.\n"
+        "What color is the car?\n"
+        "A. red\nB. blue\nC. green\nD. black\n"
+        "\nAnswer with the option's letter from the given choices directly."
+    )
+    assert get_task("LVBench").doc_to_text(VMME_DOC) == expected

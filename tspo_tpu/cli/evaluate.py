@@ -77,16 +77,20 @@ def main(argv=None):
     from ..eval.harness import evaluate_task
     from .common import load_backbone
 
-    if args.task == "ActivityNet-QA":
-        from ..eval.llm_judge import create_provider
-        from ..eval.tasks_activitynet import register_activitynetqa
-        register_activitynetqa(create_provider(args.judge)
-                               if args.judge else None)
     docs = load_json(args.frame_idx_json)
     if args.world == 1:
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
+    if args.task == "ActivityNet-QA":
+        from ..eval.llm_judge import create_provider
+        from ..eval.tasks_activitynet import register_activitynetqa
+        judge = None
+        if args.judge:
+            # "local" grades with the SAME loaded backbone (zero egress)
+            kw = {"backbone": backbone} if args.judge == "local" else {}
+            judge = create_provider(args.judge, **kw)
+        register_activitynetqa(judge)
     scorer = None
     if args.live_model_path:
         from .common import load_scorer

@@ -76,10 +76,10 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from ..models.qwen2 import (Qwen2Config, embed_tokens, init_qwen2_params,
+    from ..models.qwen2 import (Qwen2Config, init_qwen2_params,
                                 qwen2_params_from_torch)
-    from ..train.finetune import (IGNORE_INDEX, make_dpo_step, make_sft_step,
-                                  preprocess_chatml)
+    from ..train.finetune import (make_dpo_step_ids, make_sft_step_ids,
+                                  pad_to_length_bucket, preprocess_chatml)
 
     cfg = Qwen2Config.tiny() if args.tiny else Qwen2Config.llava_video_7b()
     encode, specials = _load_tokenizer(args.tokenizer_path)
@@ -94,11 +94,11 @@ def main(argv=None):
                                    jnp.float32)
 
     def pack(ids, labels):
-        ids = ids[:args.max_len]
-        labels = labels[:args.max_len]
-        emb = embed_tokens(params, jnp.asarray(ids)[None])
-        return (emb, jnp.asarray(labels, jnp.int32)[None],
-                jnp.ones((1, len(ids)), bool))
+        # length-bucketed so jit compiles once per bucket; ids (not embeds)
+        # feed the step so the embedding table trains
+        ids, labels, valid = pad_to_length_bucket(ids, labels, args.max_len)
+        return (jnp.asarray(ids)[None], jnp.asarray(labels)[None],
+                jnp.asarray(valid)[None])
 
     if args.lora_rank > 0:
         from ..models.qwen2 import add_lora
@@ -114,7 +114,7 @@ def main(argv=None):
     mlog = open(metrics_path, "a")
 
     if args.mode == "sft":
-        step_fn = make_sft_step(optimizer, cfg)
+        step_fn = make_sft_step_ids(optimizer, cfg)
         batches = []
         for r in rows:
             ids, labels = preprocess_chatml(r["conversations"], encode,
@@ -128,7 +128,7 @@ def main(argv=None):
             if step % 10 == 0:
                 print(f"step {step}: loss {float(loss):.4f}")
     else:
-        step_fn = make_dpo_step(optimizer, cfg, beta=args.beta)
+        step_fn = make_dpo_step_ids(optimizer, cfg, beta=args.beta)
         ref_params = params
 
         def enc_pair(prompt, completion):

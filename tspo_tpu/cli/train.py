@@ -150,6 +150,10 @@ def _train_batched(trainer, args) -> list:
     history = []
     B = args.batch_size
     stride = B * world
+    # orbax save/wait are cross-process collectives: EVERY process must
+    # enter them or rank 0 deadlocks in the sync barrier; npz writes are
+    # single-file and stay rank-0-only.
+    save_all_ranks = trainer.cfg.ckpt_backend == "orbax"
     for step in range(args.max_steps):
         base = (step * stride) % len(order)
         picks = [int(order[(base + rank * B + j) % len(order)])
@@ -164,9 +168,10 @@ def _train_batched(trainer, args) -> list:
             with open(trainer.metrics_path, "a") as f:
                 f.write(_json.dumps(metrics) + "\n")
         trainer.step += 1
-        if trainer.step % trainer.cfg.save_every == 0 and _is_rank0():
+        if trainer.step % trainer.cfg.save_every == 0 and \
+                (save_all_ranks or _is_rank0()):
             trainer.save_checkpoint()
-    if _is_rank0():
+    if save_all_ranks or _is_rank0():
         trainer.save_checkpoint()
     return history
 

@@ -78,7 +78,11 @@ def videomme_subtitles_for_frames(video_path: str, subtitle_path: str,
             if s <= frame_idx < e:
                 picked.append(idx)
     textlist = []
-    for idx in sorted(set(picked)):
+    # the reference iterates `list(set(...))` with NO sort
+    # (videomme/utils.py:209); CPython's int-set iteration order is
+    # deterministic for given values, so replicating the exact construct —
+    # not sorting — is what keeps prompts byte-identical
+    for idx in list(set(picked)):
         matches = re.findall(SUBTITLE_FONT_PATTERN, subtitle_by_frame[idx][2])
         if matches:
             textlist.append(matches[0])

@@ -226,6 +226,12 @@ TASK_REGISTRY = {
         name="VideoMME", doc_to_text=_videomme_doc_to_text,
         process_response=_videomme_process, aggregate=aggregate_videomme,
         video_path_keys=("videoID", "video_path")),
+    # LVBench phase-2 is an EXTENSION: the reference evaluates only
+    # LVB/MLVU/VideoMME (evaluation/TSPO_llava_video.sh exits "doesn't
+    # support this dataset"; its lmms-eval ships no lvbench task dir) — the
+    # reference stops at LVBench frame-index precompute.  The prompt format
+    # here (VideoMME-style options + letter instruction) is pinned by
+    # tests/test_task_prompts.py so it cannot drift silently.
     "LVBench": BenchmarkTask(
         name="LVBench", doc_to_text=_videomme_doc_to_text,
         process_response=_lvbench_process, aggregate=aggregate_accuracy,

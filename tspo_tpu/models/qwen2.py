@@ -166,11 +166,12 @@ def merge_lora(params) -> dict:
 
 
 def lora_param_mask(params) -> dict:
-    """Pytree bool mask (True = trainable) for optax.masked — only the
-    adapter leaves train; base weights stay frozen."""
+    """Pytree bool mask (True = trainable) for the LoRA optimizer — only the
+    A/B adapter matrices train; base weights AND lora_scale stay frozen
+    (alpha/r is a hyperparameter in peft, never a trained value)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: any(str(getattr(k, "key", k)).startswith("lora_")
-                               for k in path), params)
+        lambda path, leaf: any(str(getattr(k, "key", k)) in
+                               ("lora_a", "lora_b") for k in path), params)
 
 
 def _rms_norm(x, weight, eps):

@@ -65,7 +65,15 @@ health(); setInterval(health, 5000);
 
 document.getElementById('go').onclick = async () => {
   const out = document.getElementById('out');
-  out.innerHTML = '<pre>running…</pre>';
+  // build nodes with textContent — model output and error strings are
+  // untrusted and must never reach innerHTML
+  const show = (nodes) => { out.replaceChildren(...nodes); };
+  const pre = (text) => {
+    const el = document.createElement('pre');
+    el.textContent = text;
+    return el;
+  };
+  show([pre('running…')]);
   const mode = document.getElementById('mode').value;
   const body = {
     video_path: document.getElementById('video').value,
@@ -77,13 +85,17 @@ document.getElementById('go').onclick = async () => {
       method: 'POST', headers: {'Content-Type': 'application/json'},
       body: JSON.stringify(body)});
     const j = await r.json();
-    if (!r.ok) { out.innerHTML = '<pre>error: ' + j.error + '</pre>'; return; }
-    let html = '';
-    if (j.answer !== undefined)
-      html += '<div class="answer">' + j.answer + '</div>';
-    html += '<pre>' + JSON.stringify(j, null, 2) + '</pre>';
-    out.innerHTML = html;
-  } catch (e) { out.innerHTML = '<pre>request failed: ' + e + '</pre>'; }
+    if (!r.ok) { show([pre('error: ' + j.error)]); return; }
+    const nodes = [];
+    if (j.answer !== undefined) {
+      const div = document.createElement('div');
+      div.className = 'answer';
+      div.textContent = j.answer;
+      nodes.push(div);
+    }
+    nodes.push(pre(JSON.stringify(j, null, 2)));
+    show(nodes);
+  } catch (e) { show([pre('request failed: ' + e)]); }
 };
 </script>
 </body>

@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llava_video import IMAGE_TOKEN_INDEX
-from ..models.qwen2 import KVCache, Qwen2Config, lm_logits, qwen2_forward
+from ..models.qwen2 import (KVCache, Qwen2Config, embed_tokens, lm_logits,
+                            qwen2_forward)
 
 IGNORE_INDEX = -100
 NEWLINE_ID = 198          # reference unmask_tokens_idx (train.py:574)
@@ -164,6 +165,42 @@ def dpo_loss(policy_params, ref_params, chosen, rejected,
 # Update steps
 # ---------------------------------------------------------------------------
 
+LENGTH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def pad_to_length_bucket(ids, labels, max_len: int):
+    """Pad token/label rows to the next length bucket so jitted steps
+    compile once per bucket, not once per raw sequence length (the GRPO
+    trainer does the same for frame counts via ops/masking.bucket_for)."""
+    ids = list(ids)[:max_len]
+    labels = list(labels)[:max_len]
+    bucket = next((b for b in LENGTH_BUCKETS if b >= len(ids)),
+                  LENGTH_BUCKETS[-1])
+    bucket = min(bucket, max_len)
+    pad = bucket - len(ids)
+    valid = [True] * len(ids) + [False] * pad
+    return (np.asarray(ids + [0] * pad, np.int32),
+            np.asarray(labels + [IGNORE_INDEX] * pad, np.int32),
+            np.asarray(valid, bool))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sft_loss_from_ids(params, ids: jnp.ndarray, labels: jnp.ndarray,
+                      valid: jnp.ndarray, cfg: Qwen2Config) -> jnp.ndarray:
+    """Text-only SFT loss over token ids: embedding lookup happens INSIDE the
+    loss so the embedding table receives gradients (and tied lm_head configs
+    stay consistent).  The embeds variant below exists for video splicing,
+    where the caller must assemble the input sequence itself."""
+    return sft_loss(params, embed_tokens(params, ids), labels, valid, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def completion_logprob_from_ids(params, ids, labels, valid,
+                                cfg: Qwen2Config) -> jnp.ndarray:
+    return completion_logprob(params, embed_tokens(params, ids), labels,
+                              valid, cfg)
+
+
 def lora_optimizer(learning_rate: float, params):
     """Optimizer that trains ONLY LoRA adapter leaves (models/qwen2.py
     add_lora) and hard-freezes everything else.  Note optax.masked alone is
@@ -177,6 +214,51 @@ def lora_optimizer(learning_rate: float, params):
     return optax.multi_transform(
         {"train": optax.adamw(learning_rate), "freeze": optax.set_to_zero()},
         labels)
+
+
+def dpo_loss_from_ids(policy_params, ref_params, chosen, rejected,
+                      cfg: Qwen2Config, beta: float = 0.1):
+    """DPO over (ids, labels, valid) tuples — policy embeddings are looked up
+    inside the loss (trained); the frozen reference uses its own table."""
+    pol_c = completion_logprob_from_ids(policy_params, *chosen, cfg)
+    pol_r = completion_logprob_from_ids(policy_params, *rejected, cfg)
+    ref_c = completion_logprob_from_ids(ref_params, *chosen, cfg)
+    ref_r = completion_logprob_from_ids(ref_params, *rejected, cfg)
+    logits = beta * ((pol_c - ref_c) - (pol_r - ref_r))
+    loss = -jnp.mean(jax.nn.log_sigmoid(logits))
+    metrics = {
+        "rewards_chosen": jnp.mean(beta * (pol_c - ref_c)),
+        "rewards_rejected": jnp.mean(beta * (pol_r - ref_r)),
+        "reward_accuracy": jnp.mean((pol_c - ref_c) > (pol_r - ref_r)),
+    }
+    return loss, metrics
+
+
+def make_sft_step_ids(optimizer, cfg: Qwen2Config):
+    @jax.jit
+    def step(params, opt_state, ids, labels, valid):
+        loss, grads = jax.value_and_grad(sft_loss_from_ids)(
+            params, ids, labels, valid, cfg)
+        import optax
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_dpo_step_ids(optimizer, cfg: Qwen2Config, beta: float = 0.1):
+    @jax.jit
+    def step(params, ref_params, opt_state, chosen, rejected):
+        def loss_fn(p):
+            return dpo_loss_from_ids(p, ref_params, chosen, rejected, cfg,
+                                     beta)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn,
+                                                    has_aux=True)(params)
+        import optax
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, metrics
+
+    return step
 
 
 def make_sft_step(optimizer, cfg: Qwen2Config):

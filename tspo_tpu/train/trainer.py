@@ -307,10 +307,19 @@ class TSPOTrainer:
         tau = float(anneal_tau(self.step, cfg.max_steps, cfg.score_tau,
                                cfg.score_tau_final))
         np_batch, k_lens, _ = self._prepare_batch_arrays(prepared)
-        # K and the frame bucket must agree across processes: both are fixed
-        # by config (training_sample_len, frame_buckets upper bucket).
+        # K is fixed by config; the frame bucket must agree across processes
+        # but ranks see different videos (general ~dozens of frames, needle
+        # composites ~650), so agree per step: allgather each rank's local
+        # bucket and take the max — tiny host sync instead of padding every
+        # step to the top bucket (8192), which wasted up to 32x compute.
         k_max = int(self.cfg.training_sample_len)
-        bucket = self.scorer.frame_buckets[-1]
+        local_need = int(np_batch.frame_feat.shape[1])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            bucket = int(np.max(multihost_utils.process_allgather(
+                np.int32(local_need))))
+        else:
+            bucket = local_need
         pad_t = bucket - np_batch.frame_feat.shape[1]
         if pad_t:
             np_batch = TrainBatch(
@@ -387,12 +396,14 @@ class TSPOTrainer:
         self.save_checkpoint()
         return history
 
-    def _orbax(self):
-        if getattr(self, "_orbax_mgr", None) is None:
+    def _orbax(self, directory: str | None = None):
+        directory = directory or self.output_dir
+        cached = getattr(self, "_orbax_mgr", None)
+        if cached is None or cached[0] != directory:
             from .checkpoint import OrbaxCheckpointer
-            self._orbax_mgr = OrbaxCheckpointer(
-                self.output_dir, keep=self.cfg.save_total_limit)
-        return self._orbax_mgr
+            self._orbax_mgr = (directory, OrbaxCheckpointer(
+                directory, keep=self.cfg.save_total_limit))
+        return self._orbax_mgr[1]
 
     def save_checkpoint(self):
         if getattr(self.cfg, "ckpt_backend", "npz") == "orbax":
@@ -410,7 +421,7 @@ class TSPOTrainer:
         (or given) checkpoint; returns the restored step."""
         from .checkpoint import restore_opt_state
         if getattr(self.cfg, "ckpt_backend", "npz") == "orbax":
-            step, params, opt_leaves, _ = self._orbax().restore(step)
+            step, params, opt_leaves, _ = self._orbax(directory).restore(step)
         else:
             from .checkpoint import load_train_state
             step, params, opt_leaves = load_train_state(
