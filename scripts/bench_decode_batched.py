@@ -82,16 +82,20 @@ def main():
     params = init_qwen2_int8_on_device(cfg)
     jax.block_until_ready(params)
     wb = weight_bytes(params)
-    P = 3200                     # 16-frame training-rollout prompt length
     NEW_LO, NEW_HI = 16, 80
-    T = P + NEW_HI + 1
-    kv_row = (2 * cfg.num_layers * T * cfg.num_kv_heads * cfg.head_dim * 2)
-    print(json.dumps({"weights_gb": round(wb / 1e9, 2),
-                      "kv_gb_per_row": round(kv_row / 1e9, 3)}), flush=True)
+    print(json.dumps({"weights_gb": round(wb / 1e9, 2)}), flush=True)
 
+    import sys
+    shapes = [(1, 3200), (8, 3200)]
+    if "--sweep" in sys.argv:
+        # attribution: P=64 isolates the weight-read cost from KV/attention
+        shapes = [(8, 64), (8, 3200), (1, 3200)]
     rng = np.random.default_rng(0)
     results = {}
-    for B in (1, 8):
+    for B, P in shapes:
+        T = P + NEW_HI + 1
+        kv_row = (2 * cfg.num_layers * T * cfg.num_kv_heads
+                  * cfg.head_dim * 2)
         emb = jnp.asarray(rng.normal(size=(B, P, cfg.hidden_size)) * 0.02,
                           jnp.bfloat16)
         valid = jnp.ones((B, P), bool)
@@ -124,11 +128,12 @@ def main():
                "tok_s_aggregate": round(agg, 1),
                "hbm_sol_tok_s": round(sol * B, 1),
                "sol_frac": round(agg / (sol * B), 3)}
-        results[B] = row
+        results[(B, P)] = row
         print(json.dumps(row), flush=True)
 
-    if 1 in results and 8 in results:
-        gain = results[8]["tok_s_aggregate"] / results[1]["tok_s_aggregate"]
+    if (1, 3200) in results and (8, 3200) in results:
+        gain = (results[(8, 3200)]["tok_s_aggregate"]
+                / results[(1, 3200)]["tok_s_aggregate"])
         print(json.dumps({"batched_gain_x": round(gain, 2)}), flush=True)
 
 
