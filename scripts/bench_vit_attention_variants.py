@@ -306,6 +306,28 @@ def make_variant(name, B, S, W, heads):
             o = jax_flash(qh * (1.0 / np.sqrt(hd)), kh, vh, causal=False)
             return o.transpose(0, 2, 1, 3).reshape(B, S, W)
         return f
+    if name == "jax_flash_pad":
+        # official flash op needs seq % 128 == 0: pad 257 -> 384 and mask the
+        # pad keys out of the softmax via segment ids (pad rows get their own
+        # segment so real queries never see pad keys); slice rows back after.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash, SegmentIds)
+        SP = ((S + 127) // 128) * 128
+
+        def fpad(q, k, v):
+            pad = SP - S
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+            qh = qp.reshape(B, SP, heads, hd).transpose(0, 2, 1, 3)
+            kh = kp.reshape(B, SP, heads, hd).transpose(0, 2, 1, 3)
+            vh = vp.reshape(B, SP, heads, hd).transpose(0, 2, 1, 3)
+            seg = jnp.broadcast_to(
+                (jnp.arange(SP) >= S).astype(jnp.int32)[None, :], (B, SP))
+            o = jax_flash(qh, kh, vh, segment_ids=SegmentIds(q=seg, kv=seg),
+                          causal=False, sm_scale=1.0 / np.sqrt(hd))
+            return o.transpose(0, 2, 1, 3).reshape(B, SP, W)[:, :S]
+        return fpad
     if name == "lane_packed":
         kern = partial(_lane_packed_kernel, heads=heads, head_dim=hd,
                        scale=scale, width=W)

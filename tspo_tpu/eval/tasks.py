@@ -204,12 +204,21 @@ class BenchmarkTask:
     # "loglikelihood" (choice scored by continuation logprob, argmax wins)
     output_type: str = "generate_until"
     doc_to_choices: Callable = default_doc_to_choices
+    # fixed directory between video_root and the doc's video name (MVBench
+    # keeps one folder per sub-task, mvbench/utils.py DATA_LIST)
+    video_subdir: str = ""
+    # appended when the doc's video name has no extension (EgoSchema and
+    # PerceptionTest docs carry bare ids, egoschema/utils.py:38)
+    video_suffix: str = ""
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os
         for key in self.video_path_keys:
             if key in doc and doc[key]:
-                return os.path.join(video_root, str(doc[key]))
+                name = str(doc[key])
+                if self.video_suffix and not os.path.splitext(name)[1]:
+                    name += self.video_suffix
+                return os.path.join(video_root, self.video_subdir, name)
         raise KeyError(f"no video path in doc (tried {self.video_path_keys})")
 
 
@@ -311,3 +320,8 @@ def register_judged_task(name: str, judge, **kw) -> BenchmarkTask:
 
 def get_task(name: str) -> BenchmarkTask:
     return TASK_REGISTRY[name]
+
+
+# widen the registry (MVBench/EgoSchema/NExT-QA/PerceptionTest); imported
+# last so more_tasks can import the dataclass + helpers from this module
+from . import more_tasks as _more_tasks  # noqa: E402,F401
