@@ -82,15 +82,19 @@ def main(argv=None):
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
-    if args.task == "ActivityNet-QA":
+    if args.task == "ActivityNet-QA" or args.task.startswith("VideoChatGPT"):
         from ..eval.llm_judge import create_provider
-        from ..eval.tasks_activitynet import register_activitynetqa
         judge = None
         if args.judge:
             # "local" grades with the SAME loaded backbone (zero egress)
             kw = {"backbone": backbone} if args.judge == "local" else {}
             judge = create_provider(args.judge, **kw)
-        register_activitynetqa(judge)
+        if args.task == "ActivityNet-QA":
+            from ..eval.tasks_activitynet import register_activitynetqa
+            register_activitynetqa(judge)
+        else:
+            from ..eval.videochatgpt import register_videochatgpt
+            register_videochatgpt(judge)
     scorer = None
     if args.live_model_path:
         from .common import load_scorer
