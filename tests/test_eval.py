@@ -361,3 +361,52 @@ def test_precompute_pooled_decode_matches_single(precompute_run, scorer,
     assert results2.keys() == results.keys()
     for qid in results:
         assert results2[qid] == results[qid]
+
+
+def test_response_cache_not_poisoned_without_doc_ids(tmp_path):
+    """Docs with NO unique id key must never share cache entries
+    (code-review r2 finding #1: doc.get('question_id') -> None keyed every
+    doc to the same cached response)."""
+    from tspo_tpu.eval.caching import ResponseCache
+    for i, shade in enumerate((30, 220)):           # dark -> "A", light -> "B"
+        _write_video(tmp_path / f"v{i}.mp4", n_frames=30, wh=(48, 48))
+        import cv2
+        w = cv2.VideoWriter(str(tmp_path / f"v{i}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (48, 48))
+        for _ in range(30):
+            w.write(np.full((48, 48, 3), shade, np.uint8))
+        w.release()
+    # MVBench-style docs: no question_id/id/qid/video_idx/index/uid
+    docs = [{"question": f"What {i}?", "candidates": ["x", "y"],
+             "answer": "x", "video": f"v{i}.mp4", "frame_idx": [0, 3, 6]}
+            for i in range(2)]
+    cache = ResponseCache(str(tmp_path), "MVBench")
+    backbone = StubBackbone()
+    res = evaluate_task("MVBench", docs, backbone, video_root=str(tmp_path),
+                        max_frames_num=3, response_cache=cache,
+                        on_error="raise")
+    responses = [s["response"] for s in res.samples]
+    assert responses[0] != responses[1]          # each doc answered itself
+    assert len(backbone.calls) == 2              # nothing served from cache
+    assert cache.get(None) is None               # and None was never stored
+
+
+def test_response_cache_resumes_via_fallback_id(tmp_path):
+    """EgoSchema docs carry video_idx (a fallback id): second run must be
+    served fully from cache."""
+    from tspo_tpu.eval.caching import ResponseCache
+    _write_video(tmp_path / "e0.mp4", n_frames=30, wh=(48, 48))
+    docs = [{"video_idx": "e0", "question": "What?", "answer": 0,
+             "option": ["A. x", "B. y", "C. z", "D. w", "E. v"],
+             "frame_idx": [0, 3, 6]}]
+    kw = dict(video_root=str(tmp_path), max_frames_num=3, on_error="raise")
+    b1 = StubBackbone()
+    evaluate_task("EgoSchema", docs, b1,
+                  response_cache=ResponseCache(str(tmp_path), "Ego"), **kw)
+    assert len(b1.calls) == 1
+    b2 = StubBackbone()
+    res2 = evaluate_task("EgoSchema", docs, b2,
+                         response_cache=ResponseCache(str(tmp_path), "Ego"),
+                         **kw)
+    assert len(b2.calls) == 0                    # resume: no regeneration
+    assert len(res2.results) == 1

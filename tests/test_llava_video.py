@@ -312,3 +312,14 @@ def test_harness_loglikelihood_dispatch_tiny_backbone(jax_model, tmp_path):
                         request_type="loglikelihood", on_error="raise")
     assert res.results[0]["pred_answer"] in ("A", "B")
     assert res.samples[0]["response"] in ("A", "B")
+
+
+def test_text_only_generate_zero_frames(jax_model):
+    """LocalBackboneProvider judges with NO video: generate must handle a
+    0-frame array (code-review r2 finding #2)."""
+    out = jax_model.generate(np.zeros((0, 32, 32, 3), np.uint8), "Judge this")
+    assert isinstance(out, str)
+    from tspo_tpu.eval.llm_judge import LocalBackboneProvider
+    res = LocalBackboneProvider(jax_model)._complete_with_retry(
+        "score this", system_prompt="you are a judge")
+    assert res.success

@@ -185,6 +185,7 @@ def test_mvbench_prompt_matches_reference():
     "B", "(B)", "b. Ate the sandwich", "B. Ate the sandwich.",
     "The person Ate the sandwich", "Put down the food", "", "A or B",
     "I believe the answer is (C), not (A)", "it's unclear, maybe d",
+    "B,- yes", "a,- b",   # punct-context vs mutated-string regression
 ])
 def test_mvbench_process_matches_reference(resp):
     ref = _load_ref_utils("mvbench")

@@ -134,8 +134,15 @@ def main(argv=None):
             res = merge_shards(args.task, [
                 EvalResult(results=g["results"], metrics={},
                            samples=g["samples"]) for g in gathered])
-    except Exception:
-        pass
+    except Exception as e:
+        # in a genuinely distributed run a failed merge means the output
+        # would silently be one rank's shard-local metrics — fail loudly
+        import jax
+        import traceback
+        if jax.process_count() > 1:
+            raise
+        print(f"[warn] single-host result merge skipped: {e}")
+        traceback.print_exc()
 
     os.makedirs(args.output, exist_ok=True)
     stamp = time.strftime("%Y%m%d_%H%M%S")

@@ -62,9 +62,17 @@ def _load_tokenizer(path):
         return _byte_encode, ChatMLSpecials(**BYTE_SPECIALS)
     from transformers import AutoTokenizer
     tok = AutoTokenizer.from_pretrained(path)
-    ids = tok.additional_special_tokens_ids[:2]
+    # look the chatml markers up BY STRING — additional_special_tokens
+    # ordering is tokenizer-specific and may not even contain them
+    im_start, im_end = tok.convert_tokens_to_ids(["<|im_start|>",
+                                                  "<|im_end|>"])
+    unk = getattr(tok, "unk_token_id", None)
+    if im_start is None or im_end is None or im_start == unk or im_end == unk:
+        raise ValueError(
+            f"tokenizer at {path} has no <|im_start|>/<|im_end|> tokens — "
+            "chatml finetuning needs a chatml-trained tokenizer (qwen2)")
     return (lambda t: tok(t, add_special_tokens=False).input_ids,
-            ChatMLSpecials(im_start=ids[0], im_end=ids[1]))
+            ChatMLSpecials(im_start=im_start, im_end=im_end))
 
 
 def main(argv=None):

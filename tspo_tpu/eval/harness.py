@@ -59,6 +59,22 @@ class EvalResult:
     samples: list = field(default_factory=list)
 
 
+# unique-id fallbacks for tasks not in DOC_ID_KEY (MVBench, EgoSchema,
+# NExT-QA, ...).  Deliberately excludes non-unique keys like video_name —
+# a doc with no unique id gets None and is simply never response-cached.
+_ID_FALLBACKS = ("question_id", "id", "qid", "video_idx", "index", "uid")
+
+
+def _doc_id(doc: dict, id_key: str):
+    v = doc.get(id_key)
+    if v is not None:
+        return v
+    for k in _ID_FALLBACKS:
+        if doc.get(k) is not None:
+            return doc[k]
+    return None
+
+
 def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   video_root: str = "", max_frames_num: int = 64,
                   is_uniform: bool = False, limit: int | None = None,
@@ -95,8 +111,8 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
 
     def producer():
         for doc in picked:
-            if response_cache is not None and \
-                    response_cache.get(doc.get(id_key)) is not None:
+            if response_cache is not None and _doc_id(doc, id_key) is not None \
+                    and response_cache.get(_doc_id(doc, id_key)) is not None:
                 q.put((doc, "cached", None))
                 continue
             try:
@@ -134,7 +150,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
         doc, kind, payload = item
         try:
             if kind == "cached":
-                response = response_cache.get(doc.get(id_key))
+                response = response_cache.get(_doc_id(doc, id_key))
                 frame_idx = doc.get("frame_idx", [])
             elif kind == "error":
                 raise payload
@@ -155,15 +171,23 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 prompt = task.doc_to_text(doc, specific_kwargs)
                 if (request_type or task.output_type) == "loglikelihood":
                     # request-type dispatch (evaluator.py:501): score each
-                    # choice's continuation logprob, answer = argmax letter
+                    # choice's continuation logprob, answer = argmax letter.
+                    # ll_length_normalize ranks by per-token mean — the
+                    # reference mc_ppl rule (argmin of mean CE loss)
                     choices = task.doc_to_choices(doc)
-                    lls = [backbone.loglikelihood(frames, prompt, c)[0]
-                           for c in choices]
+                    enc = getattr(backbone, "encode", None)
+                    lls = []
+                    for c in choices:
+                        ll = backbone.loglikelihood(frames, prompt, c)[0]
+                        if task.ll_length_normalize and enc is not None:
+                            ll = ll / max(len(enc(c)), 1)
+                        lls.append(ll)
                     response = chr(ord("A") + int(np.argmax(lls)))
                 else:
                     response = backbone.generate(frames, prompt)
-                if response_cache is not None:
-                    response_cache.put(doc.get(id_key), response)
+                if response_cache is not None and \
+                        _doc_id(doc, id_key) is not None:
+                    response_cache.put(_doc_id(doc, id_key), response)
         except Exception as e:
             if on_error == "raise":
                 raise
@@ -173,10 +197,11 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
         rec = task.process_response(doc, response, rng)
         results.append(rec)
         if log_samples:
-            samples.append({"doc_id": doc.get(id_key), "response": response,
+            samples.append({"doc_id": _doc_id(doc, id_key),
+                            "response": response,
                             "frame_idx": frame_idx, **rec})
         if progress:
-            progress(doc.get(id_key))
+            progress(_doc_id(doc, id_key))
     return EvalResult(results=results, metrics=task.aggregate(results),
                       samples=samples)
 

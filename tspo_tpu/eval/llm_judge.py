@@ -63,7 +63,10 @@ class JudgeConfig:
     max_concurrent: int = 10
     system_prompt: Optional[str] = None
     output_format: str = "0/1"          # binary judges: "0/1" or "yes/no"
-    score_range: Tuple[float, float] = (1.0, 10.0)
+    # int bounds: they are formatted into the comparative prompt and the
+    # reference renders "scale of 1 to 10", not "1.0 to 10.0"
+    # (llm_judge/base.py:64, utils.py:26)
+    score_range: Tuple[float, float] = (1, 10)
 
 
 @dataclass
@@ -259,18 +262,25 @@ class JudgeProvider:
         return True
 
     # -- shared machinery ---------------------------------------------------
-    def _messages(self, prompt: str) -> List[dict]:
+    def _messages(self, prompt: str,
+                  system_prompt: Optional[str] = None) -> List[dict]:
+        sys_prompt = (system_prompt if system_prompt is not None
+                      else self.config.system_prompt)
         msgs = [{"role": "user", "content": prompt}]
-        if self.config.system_prompt:
-            msgs.insert(0, {"role": "system",
-                            "content": self.config.system_prompt})
+        if sys_prompt:
+            msgs.insert(0, {"role": "system", "content": sys_prompt})
         return msgs
 
-    def _complete_with_retry(self, prompt: str) -> JudgeResult:
+    def _complete_with_retry(self, prompt: str,
+                             system_prompt: Optional[str] = None) -> JudgeResult:
+        """``system_prompt`` overrides config.system_prompt for THIS call only
+        — callers juggling several judge dimensions (videochatgpt.py) must not
+        mutate the shared config (cross-task contamination + races under
+        judge_many thread fan-out)."""
         last = None
         for attempt in range(self.config.num_retries):
             try:
-                text = self.complete(self._messages(prompt))
+                text = self.complete(self._messages(prompt, system_prompt))
                 return JudgeResult(content=text,
                                    model_used=self.config.model_name)
             except Exception as e:  # noqa: BLE001 — transport errors retry

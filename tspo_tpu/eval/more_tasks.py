@@ -85,8 +85,11 @@ def mcq_normalize(text: str) -> str:
     if m:
         return m.group(1).upper()
     s = text.replace("\n", " ").replace("\t", " ").strip()
+    # context checks run against the UNMUTATED input (reference
+    # processPunctuation tests inText while rewriting outText)
+    orig = s
     for p in _MCQ_PUNCT:
-        if (p + " " in s or " " + p in s) or _MCQ_COMMA.search(s):
+        if (p + " " in orig or " " + p in orig) or _MCQ_COMMA.search(orig):
             s = s.replace(p, "")
         else:
             s = s.replace(p, " ")
@@ -338,6 +341,13 @@ def perceptiontest_doc_to_choices(doc) -> list:
     return list(doc["options"])
 
 
+def bare_question_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
+    """mc_ppl prompt: the yamls set ``doc_to_text: "question"`` — the bare
+    field, no options, no letter instruction (egoschema_mcppl.yaml:6,
+    perceptiontest_mcppl.yaml:6)."""
+    return doc["question"]
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -357,13 +367,17 @@ def register_more_tasks() -> None:
         process_response=_egoschema_process, aggregate=aggregate_egoschema,
         video_path_keys=("video_idx", "video_path"), video_suffix=".mp4",
         doc_to_choices=egoschema_doc_to_choices)
-    # mc_ppl flavor (egoschema_mcppl.yaml): choices scored by continuation
-    # loglikelihood; the harness's argmax letter goes through the same parse
+    # mc_ppl flavor (egoschema_mcppl.yaml): prompt is the BARE question
+    # (doc_to_text: "question" in the yaml — no options, no letter
+    # instruction), choices scored by continuation loglikelihood ranked
+    # per-token (the reference adapter's mean-CE argmin); the harness's
+    # argmax letter goes through the same parse
     TASK_REGISTRY["EgoSchema-ppl"] = BenchmarkTask(
-        name="EgoSchema-ppl", doc_to_text=egoschema_doc_to_text,
+        name="EgoSchema-ppl", doc_to_text=bare_question_doc_to_text,
         process_response=_egoschema_process, aggregate=aggregate_egoschema,
         video_path_keys=("video_idx", "video_path"), video_suffix=".mp4",
-        output_type="loglikelihood", doc_to_choices=egoschema_doc_to_choices)
+        output_type="loglikelihood", doc_to_choices=egoschema_doc_to_choices,
+        ll_length_normalize=True)
     TASK_REGISTRY["NExT-QA"] = BenchmarkTask(
         name="NExT-QA", doc_to_text=nextqa_doc_to_text_mc,
         process_response=_nextqa_mc_process, aggregate=aggregate_accuracy,
@@ -376,12 +390,13 @@ def register_more_tasks() -> None:
         video_path_keys=("video_name", "video_path"), video_suffix=".mp4",
         doc_to_choices=perceptiontest_doc_to_choices)
     TASK_REGISTRY["PerceptionTest-ppl"] = BenchmarkTask(
-        name="PerceptionTest-ppl", doc_to_text=perceptiontest_doc_to_text,
+        name="PerceptionTest-ppl", doc_to_text=bare_question_doc_to_text,
         process_response=_perceptiontest_process,
         aggregate=aggregate_perceptiontest,
         video_path_keys=("video_name", "video_path"), video_suffix=".mp4",
         output_type="loglikelihood",
-        doc_to_choices=perceptiontest_doc_to_choices)
+        doc_to_choices=perceptiontest_doc_to_choices,
+        ll_length_normalize=True)
 
 
 register_more_tasks()

@@ -204,6 +204,10 @@ class BenchmarkTask:
     # "loglikelihood" (choice scored by continuation logprob, argmax wins)
     output_type: str = "generate_until"
     doc_to_choices: Callable = default_doc_to_choices
+    # rank loglikelihood choices by per-token mean instead of sum — the
+    # reference mc_ppl adapters return the mean CE loss per choice and argmin
+    # it (llava_vid.py loglikelihood), i.e. length-normalized ranking
+    ll_length_normalize: bool = False
     # fixed directory between video_root and the doc's video name (MVBench
     # keeps one folder per sub-task, mvbench/utils.py DATA_LIST)
     video_subdir: str = ""

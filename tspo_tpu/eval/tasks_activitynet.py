@@ -97,13 +97,13 @@ def make_activitynetqa_task(judge: JudgeProvider | None = None) -> BenchmarkTask
     if judge is None:
         judge = create_provider(config=JudgeConfig(
             model_name=os.environ.get("MODEL_VERSION", "gpt-4o-2024-11-20"),
-            max_tokens=64, system_prompt=JUDGE_SYSTEM_PROMPT))
-    elif judge.config.system_prompt is None:
-        judge.config.system_prompt = JUDGE_SYSTEM_PROMPT
+            max_tokens=64))
 
     def process(doc, response, rng=None) -> dict:
+        # per-call system prompt: never mutate the (possibly shared) config
         res = judge._complete_with_retry(
-            judge_user_prompt(doc["question"], doc["answer"], response))
+            judge_user_prompt(doc["question"], doc["answer"], response),
+            system_prompt=JUDGE_SYSTEM_PROMPT)
         scores = parse_review(res.content) if res.success else None
         if scores is None:
             scores = ["no", 0]          # reference failure default

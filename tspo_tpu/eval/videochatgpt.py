@@ -213,9 +213,9 @@ def videochatgpt_doc_to_text_consistency(doc,
 
 def _judge_dimension(judge: JudgeProvider, dimension: str, question: str,
                      answer: str, pred: str) -> int:
-    judge.config.system_prompt = VCG_SYSTEM_PROMPTS[dimension]
     res = judge._complete_with_retry(
-        vcg_user_prompt(dimension, question, answer, pred))
+        vcg_user_prompt(dimension, question, answer, pred),
+        system_prompt=VCG_SYSTEM_PROMPTS[dimension])
     return parse_vcg_score(res.content) if res.success else 0
 
 
@@ -273,7 +273,14 @@ def make_videochatgpt_task(flavor: str,
 
     if flavor == "consistency":
         # utils.py:171-215 + 497-525: record per-question preds, pair by
-        # video_name in encounter order at aggregation, judge each pair
+        # video_name in encounter order at aggregation, judge each pair.
+        # Sharded runs split the adjacent Q1/Q2 docs across ranks, so
+        # rank-local aggregates find few/no pairs (cheap); the full pairing
+        # happens at merge_shards re-aggregation over all ranks' results.
+        # Judge calls are memoized on the pair content so a pair judged in a
+        # rank-local pass is never re-judged at merge time.
+        judged_pairs: dict = {}
+
         def process(doc, response, rng=None) -> dict:
             rec = {"video_name": doc["video_name"], "A": doc["answer"]}
             if doc["question_1"] != "None":
@@ -299,13 +306,17 @@ def make_videochatgpt_task(flavor: str,
                         used.update((i, j))
                         pairs.append(merged)
                         break
-            judge.config.system_prompt = VCG_SYSTEM_PROMPTS["consistency"]
             total = 0
             for p in pairs:
-                res = judge._complete_with_retry(vcg_consistency_prompt(
-                    p.get("Q1", ""), p.get("Q2", ""), p.get("A", ""),
-                    p.get("pred1", ""), p.get("pred2", "")))
-                p["score"] = parse_vcg_score(res.content) if res.success else 0
+                key = (p.get("Q1", ""), p.get("Q2", ""), p.get("A", ""),
+                       p.get("pred1", ""), p.get("pred2", ""))
+                if key not in judged_pairs:
+                    res = judge._complete_with_retry(
+                        vcg_consistency_prompt(*key),
+                        system_prompt=VCG_SYSTEM_PROMPTS["consistency"])
+                    judged_pairs[key] = (parse_vcg_score(res.content)
+                                         if res.success else 0)
+                p["score"] = judged_pairs[key]
                 total += p["score"]
             return {"average_score": total / max(len(pairs), 1),
                     "pairs_judged": len(pairs)}

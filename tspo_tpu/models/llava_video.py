@@ -214,7 +214,13 @@ class LLaVAVideoModel:
         max_new = max_new_tokens or self.max_new_tokens
         prompt = prompt if prompt is not None else build_qwen15_prompt(question)
         input_ids = tokenize_with_image(prompt, self.encode)
-        video_tokens = self.encode_video(frames)
+        if frames is None or len(frames) == 0:
+            # text-only path (LLM-judge LocalBackboneProvider grades with no
+            # video): the <image> slot splices to zero tokens
+            video_tokens = jnp.zeros((0, self.cfg.lm.hidden_size),
+                                     jnp.bfloat16)
+        else:
+            video_tokens = self.encode_video(frames)
         embeds = self.splice_embeddings(input_ids, video_tokens)
 
         S = embeds.shape[1]

@@ -391,29 +391,40 @@ class Qwen25VLModel:
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         c = self.cfg
-        feats, grid = self.encode_video(frames)
-        n_vid = feats.shape[0]
-        pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
-        ids = np.asarray(pre_ids + vid_ids + post_ids)
-
         lm = self.params["lm"]
-        emb = embed_tokens(lm, jnp.asarray(ids))
-        p = len(pre_ids)
-        emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
+        if frames is None or len(frames) == 0:
+            # text-only path (LLM-judge LocalBackboneProvider): no vision
+            # markers; with no video, mrope positions coincide on all three
+            # axes so the decoder's standard 1-D rope is exact
+            ids = np.asarray(list(self.encode(
+                QWEN25_SYSTEM + "<|im_start|>user\n" + question
+                + "<|im_end|>\n<|im_start|>assistant\n")))
+            emb = embed_tokens(lm, jnp.asarray(ids))
+            rope_kwargs = {}
+        else:
+            feats, grid = self.encode_video(frames)
+            n_vid = feats.shape[0]
+            pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
+            ids = np.asarray(pre_ids + vid_ids + post_ids)
 
-        pos3, decode_start = rope_index_for_video(
-            len(pre_ids), grid, len(post_ids), c.vision.spatial_merge_size,
-            c.vision.tokens_per_second, self.second_per_grid_t)
-        cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
-                                 c.lm.rope_theta, c.mrope_section)
+            emb = embed_tokens(lm, jnp.asarray(ids))
+            p = len(pre_ids)
+            emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
+
+            pos3, decode_start = rope_index_for_video(
+                len(pre_ids), grid, len(post_ids), c.vision.spatial_merge_size,
+                c.vision.tokens_per_second, self.second_per_grid_t)
+            cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
+                                     c.lm.rope_theta, c.mrope_section)
+            rope_kwargs = dict(prompt_rope_cos_sin=(cos, sin),
+                               decode_pos_start=decode_start)
 
         S = emb.shape[0]
         max_new = max_new_tokens or self.max_new_tokens
         cache = KVCache.create(c.lm, 1, min(c.max_context, S + max_new + 8),
                                emb.dtype)
         toks, n = greedy_decode(lm, emb[None], jnp.ones((1, S), bool), cache,
-                                c.lm, max_new, prompt_rope_cos_sin=(cos, sin),
-                                decode_pos_start=decode_start)
+                                c.lm, max_new, **rope_kwargs)
         toks = np.asarray(toks)[: int(n)]
         toks = toks[toks != c.lm.eos_token_id]
         return self.decode(toks.tolist())

@@ -90,11 +90,10 @@ class WandbLogger:
             return
         for task, rows in samples.items():
             if self.run is not None:
+                columns = sorted({k for r in rows for k in r})
                 table = _wandb.Table(
-                    columns=sorted({k for r in rows for k in r}),
-                    data=[[r.get(c) for c in
-                           sorted({k for rr in rows for k in rr})]
-                          for r in rows])
+                    columns=columns,
+                    data=[[r.get(c) for c in columns] for r in rows])
                 self.run.log({f"{task}_eval_results": table})
             else:
                 self._emit("eval_samples", {"task": task, "rows": rows})
