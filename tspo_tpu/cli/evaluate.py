@@ -82,7 +82,8 @@ def main(argv=None):
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
-    if args.task == "ActivityNet-QA" or args.task.startswith("VideoChatGPT"):
+    if args.task == "ActivityNet-QA" or args.task.startswith(
+            ("VideoChatGPT", "TempCompass")):
         from ..eval.llm_judge import create_provider
         judge = None
         if args.judge:
@@ -92,9 +93,12 @@ def main(argv=None):
         if args.task == "ActivityNet-QA":
             from ..eval.tasks_activitynet import register_activitynetqa
             register_activitynetqa(judge)
-        else:
+        elif args.task.startswith("VideoChatGPT"):
             from ..eval.videochatgpt import register_videochatgpt
             register_videochatgpt(judge)
+        elif judge is not None:
+            from ..eval.tempcompass import register_tempcompass
+            register_tempcompass(judge)
     scorer = None
     if args.live_model_path:
         from .common import load_scorer

@@ -326,6 +326,8 @@ def get_task(name: str) -> BenchmarkTask:
     return TASK_REGISTRY[name]
 
 
-# widen the registry (MVBench/EgoSchema/NExT-QA/PerceptionTest); imported
-# last so more_tasks can import the dataclass + helpers from this module
+# widen the registry (MVBench/EgoSchema/NExT-QA/PerceptionTest, TempCompass
+# rule-only — the CLI re-registers TempCompass with a judge when --judge is
+# given); imported last so these modules can import the dataclass + helpers
 from . import more_tasks as _more_tasks  # noqa: E402,F401
+from . import tempcompass as _tempcompass  # noqa: E402,F401
