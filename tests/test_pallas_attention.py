@@ -27,3 +27,42 @@ def test_pallas_matches_reference(causal, shape):
                                  blk_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_gqa_matches_repeated_reference(causal):
+    """KV < H: the kernel's h//group indexing must equal an explicit repeat."""
+    B, S, H, KV, hd = 2, 96, 6, 2, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, KV, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, KV, hd)), jnp.float32)
+    lens = rng.integers(S // 2, S + 1, size=B)
+    valid = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+
+    k_rep = jnp.repeat(k, H // KV, axis=2)
+    v_rep = jnp.repeat(v, H // KV, axis=2)
+    want = flash_attention(q, k_rep, v_rep, valid, causal=causal)
+    got = pallas_flash_attention(q, k, v, valid, causal=causal, blk_q=32,
+                                 blk_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_pallas_bf16_inputs():
+    """bf16 inputs (the TPU fast path: bf16 MXU + fp32 accumulate) stay
+    close to the fp32 oracle."""
+    B, S, H, hd = 1, 128, 2, 32
+    rng = np.random.default_rng(2)
+    q32 = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+    k32 = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+    v32 = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+    want = np.asarray(flash_attention(jnp.asarray(q32), jnp.asarray(k32),
+                                      jnp.asarray(v32), causal=True))
+    got = np.asarray(pallas_flash_attention(
+        jnp.asarray(q32, jnp.bfloat16), jnp.asarray(k32, jnp.bfloat16),
+        jnp.asarray(v32, jnp.bfloat16), causal=True, blk_q=32, blk_k=32,
+        interpret=True)).astype(np.float32)
+    cos = (want.ravel() @ got.ravel()) / (
+        np.linalg.norm(want) * np.linalg.norm(got) + 1e-9)
+    assert cos > 0.999
