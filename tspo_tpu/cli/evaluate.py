@@ -83,7 +83,8 @@ def main(argv=None):
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
     if args.task == "ActivityNet-QA" or args.task.startswith(
-            ("VideoChatGPT", "TempCompass")):
+            ("VideoChatGPT", "TempCompass", "MovieChat",
+             "VideoDetailDescription")):
         from ..eval.llm_judge import create_provider
         judge = None
         if args.judge:
@@ -96,6 +97,9 @@ def main(argv=None):
         elif args.task.startswith("VideoChatGPT"):
             from ..eval.videochatgpt import register_videochatgpt
             register_videochatgpt(judge)
+        elif args.task.startswith(("MovieChat", "VideoDetailDescription")):
+            from ..eval.more_judged_tasks import register_more_judged
+            register_more_judged(judge)
         elif judge is not None:
             from ..eval.tempcompass import register_tempcompass
             register_tempcompass(judge)

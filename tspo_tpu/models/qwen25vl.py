@@ -282,8 +282,15 @@ def qwen25vl_vision_forward(params: Mapping, patches: jnp.ndarray,
         if full:
             q = _apply_rope_vis(q, cos, sin)
             k = _apply_rope_vis(k, cos, sin)
-            ctx = flash_attention(q[None], k[None], v[None],
-                                  q_chunk=2048, k_chunk=2048)[0]
+            if jax.default_backend() == "tpu":
+                # Pallas flash (bf16 MXU + fp32 accumulate); hd=80 is legal
+                # because the head-dim block equals the full array dim
+                from ..ops.pallas_attention import pallas_flash_attention
+                ctx = pallas_flash_attention(q[None], k[None], v[None],
+                                             blk_q=1024, blk_k=1024)[0]
+            else:
+                ctx = flash_attention(q[None], k[None], v[None],
+                                      q_chunk=2048, k_chunk=2048)[0]
             ctx = ctx.reshape(S, D)
         else:
             qw = gather_windows(q)                                # [nW, wcmu, H, hd]
