@@ -24,7 +24,7 @@ import os
 from .llm_judge import JudgeConfig, JudgeProvider, create_provider
 from .tasks import TASK_REGISTRY, BenchmarkTask
 from .tasks_activitynet import JUDGE_SYSTEM_PROMPT as MOVIECHAT_SYSTEM_PROMPT
-from .videochatgpt import VCG_SYSTEM_PROMPTS
+from .videochatgpt import VCG_SYSTEM_PROMPTS, videochatgpt_doc_to_text
 
 logger = logging.getLogger(__name__)
 
@@ -96,10 +96,9 @@ def parse_score_only(review: str) -> int:
         return 0
 
 
-def _question_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
-    kw = lmms_eval_specific_kwargs or {}
-    return (f"{kw.get('pre_prompt', '')}{doc['question']}"
-            f"{kw.get('post_prompt', '')}")
+# both reference doc_to_text fns are the same pre+question+post builder as
+# VideoChatGPT's (moviechat/utils.py:84-96, video_detail_description :68-79)
+_question_doc_to_text = videochatgpt_doc_to_text
 
 
 def _default_judge() -> JudgeProvider:

@@ -204,13 +204,10 @@ def aggregate_egoplan(results: list) -> dict:
 
 
 def register_spatial_tasks() -> None:
-    base = BenchmarkTask(
+    TASK_REGISTRY["VSIBench"] = _VSIBenchTask(
         name="VSIBench", doc_to_text=vsibench_doc_to_text,
         process_response=_vsibench_process, aggregate=aggregate_vsibench,
         video_path_keys=("video_path", "scene_name"))
-    TASK_REGISTRY["VSIBench"] = _VSIBenchTask(
-        **{f.name: getattr(base, f.name)
-           for f in base.__dataclass_fields__.values()})
     TASK_REGISTRY["EgoPlan"] = BenchmarkTask(
         name="EgoPlan", doc_to_text=egoplan_doc_to_text,
         process_response=_egoplan_process, aggregate=aggregate_egoplan,

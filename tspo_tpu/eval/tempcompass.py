@@ -259,7 +259,9 @@ def make_tempcompass_task(task_type: str,
             return None
         res = judge._complete_with_retry(prompt,
                                          system_prompt=JUDGE_SYS_PROMPT)
-        return res.content if res.success else None
+        # the reference strips the completion before rating/parsing
+        # (get_llm_output utils.py:496, get_llm_output_for_captioning :411)
+        return res.content.strip() if res.success else None
 
     if task_type == "captioning":
         def process(doc, response, rng=None) -> dict:
