@@ -84,7 +84,7 @@ def main(argv=None):
     backbone = load_backbone(args.backbone, args.backbone_path)
     if args.task == "ActivityNet-QA" or args.task.startswith(
             ("VideoChatGPT", "TempCompass", "MovieChat",
-             "VideoDetailDescription")):
+             "VideoDetailDescription", "VideoEvalPro")):
         from ..eval.llm_judge import create_provider
         judge = None
         if args.judge:
@@ -100,6 +100,9 @@ def main(argv=None):
         elif args.task.startswith(("MovieChat", "VideoDetailDescription")):
             from ..eval.more_judged_tasks import register_more_judged
             register_more_judged(judge)
+        elif args.task == "VideoEvalPro":
+            from ..eval.extra_tasks import register_extra_tasks
+            register_extra_tasks(judge)
         elif judge is not None:
             from ..eval.tempcompass import register_tempcompass
             register_tempcompass(judge)
