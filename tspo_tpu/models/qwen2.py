@@ -42,6 +42,12 @@ class Qwen2Config:
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = False
     eos_token_id: int = 151645  # <|im_end|> for chat models
+    # Llama-family knobs (models/llama.py): bias-free attention projections,
+    # linear rope position scaling (old vicuna checkpoints,
+    # llava_vid_tspo.py:159-174), Mistral sliding-window attention
+    qkv_bias: bool = True
+    rope_scaling_factor: float = 1.0
+    sliding_window: int | None = None
 
     @classmethod
     def tiny(cls) -> "Qwen2Config":
@@ -260,15 +266,21 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
 
     if not use_flash:
         # Additive mask: key j attendable by query i (global pos start+i) iff
-        # attn_valid[j] and j <= start+i.
+        # attn_valid[j] and j <= start+i (and within the sliding window when
+        # the config sets one — Mistral).
         key_pos = jnp.arange(T)[None, :]                   # [1, T]
         q_glob = start + jnp.arange(S)[:, None]            # [S, 1]
         causal_ok = key_pos[None] <= q_glob[None]          # [1, S, T]
+        if cfg.sliding_window is not None:
+            causal_ok = causal_ok & \
+                (key_pos[None] > q_glob[None] - cfg.sliding_window)
         ok = causal_ok & attn_valid[:, None, :]            # [B, S, T]
         mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
     if rope_cos_sin is None:
-        cos, sin = _rope(positions, cfg.head_dim, cfg.rope_theta)
+        rope_pos = positions if cfg.rope_scaling_factor == 1.0 else \
+            positions / cfg.rope_scaling_factor   # HF "linear" rope scaling
+        cos, sin = _rope(rope_pos, cfg.head_dim, cfg.rope_theta)
     else:
         cos, sin = rope_cos_sin
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -296,15 +308,17 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                 from ..ops.pallas_attention import pallas_flash_attention
                 ctx = pallas_flash_attention(
                     q, k_l[:, :S], v_l[:, :S], attn_valid[:, :S],
-                    causal=True, blk_q=1024,
-                    blk_k=1024).reshape(B, S, D)
+                    causal=True, blk_q=1024, blk_k=1024,
+                    window=cfg.sliding_window).reshape(B, S, D)
             else:
                 from ..ops.flash_attention import flash_attention
                 G = H // KV
                 k_rep = jnp.repeat(k_l[:, :S], G, axis=2)  # [B, S, H, hd]
                 v_rep = jnp.repeat(v_l[:, :S], G, axis=2)
                 ctx = flash_attention(q, k_rep, v_rep, attn_valid[:, :S],
-                                      causal=True).reshape(B, S, D)
+                                      causal=True,
+                                      window=cfg.sliding_window
+                                      ).reshape(B, S, D)
         else:
             ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, S, D)
         h = h + _linear(lp["o"], ctx)
@@ -428,9 +442,9 @@ def qwen2_params_from_torch(model_or_sd, cfg: Qwen2Config,
         "layers": {
             "ln1": stack_layers(sd, L, f + ".input_layernorm.weight"),
             "ln2": stack_layers(sd, L, f + ".post_attention_layernorm.weight"),
-            "q": lin(f + ".self_attn.q_proj", True),
-            "k": lin(f + ".self_attn.k_proj", True),
-            "v": lin(f + ".self_attn.v_proj", True),
+            "q": lin(f + ".self_attn.q_proj", cfg.qkv_bias),
+            "k": lin(f + ".self_attn.k_proj", cfg.qkv_bias),
+            "v": lin(f + ".self_attn.v_proj", cfg.qkv_bias),
             "o": lin(f + ".self_attn.o_proj", False),
             "gate": lin(f + ".mlp.gate_proj", False),
             "up": lin(f + ".mlp.up_proj", False),
@@ -458,8 +472,9 @@ def init_qwen2_params(rng, cfg: Qwen2Config, dtype=jnp.bfloat16) -> dict:
         "embedding": jax.random.normal(next(keys), (cfg.vocab_size, D), dtype) * 0.02,
         "layers": {
             "ln1": jnp.ones((L, D), dtype), "ln2": jnp.ones((L, D), dtype),
-            "q": lin(L, D, qd, True), "k": lin(L, D, kvd, True),
-            "v": lin(L, D, kvd, True), "o": lin(L, qd, D, False),
+            "q": lin(L, D, qd, cfg.qkv_bias),
+            "k": lin(L, D, kvd, cfg.qkv_bias),
+            "v": lin(L, D, kvd, cfg.qkv_bias), "o": lin(L, qd, D, False),
             "gate": lin(L, D, I, False), "up": lin(L, D, I, False),
             "down": lin(L, I, D, False),
         },

@@ -21,14 +21,17 @@ import numpy as np
 _NEG = -1e30
 
 
-@partial(jax.jit, static_argnames=("causal", "q_chunk", "k_chunk"))
+@partial(jax.jit, static_argnames=("causal", "q_chunk", "k_chunk", "window"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     valid_k: jnp.ndarray | None = None, causal: bool = False,
-                    q_chunk: int = 1024, k_chunk: int = 1024) -> jnp.ndarray:
+                    q_chunk: int = 1024, k_chunk: int = 1024,
+                    window: int | None = None) -> jnp.ndarray:
     """q [B, Sq, H, hd], k/v [B, Sk, H, hd] -> [B, Sq, H, hd].
 
     ``valid_k`` [B, Sk] masks padded keys; ``causal`` applies q_pos >= k_pos
-    with aligned sequence ends (standard self-attention when Sq == Sk).
+    with aligned sequence ends (standard self-attention when Sq == Sk);
+    ``window`` additionally restricts to q_pos - k_pos < window (Mistral
+    sliding-window attention).
     """
     B, Sq, H, hd = q.shape
     Sk = k.shape[1]
@@ -66,6 +69,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             if causal:
                 cm = q_pos[qi][:, None] >= k_pos[ki][None, :]
                 ok = ok & cm[None, None]
+            if window is not None:
+                wm = q_pos[qi][:, None] - k_pos[ki][None, :] < window
+                ok = ok & wm[None, None]
             s = jnp.where(ok, s, _NEG)
             m_new = jnp.maximum(m, s.max(axis=-1))          # [B, H, qc]
             p = jnp.exp(s - m_new[..., None])

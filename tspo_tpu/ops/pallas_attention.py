@@ -44,7 +44,8 @@ _LANES = 128
 
 
 def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, causal: bool, blk_q: int, blk_k: int):
+            scale: float, causal: bool, blk_q: int, blk_k: int,
+            window: int | None):
     ki = pl.program_id(3)
     qi = pl.program_id(2)                 # bound at top level: the CPU
     bi = pl.program_id(0)                 # interpreter can't translate
@@ -60,6 +61,9 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     live = ki * blk_k < n_valid           # block has at least one valid key
     if causal:                            # ...and is not above the diagonal
         live = jnp.logical_and(live, ki * blk_k <= (qi + 1) * blk_q - 1)
+    if window is not None:                # ...and not wholly past the window
+        live = jnp.logical_and(
+            live, qi * blk_q - (ki * blk_k + blk_k - 1) < window)
 
     @pl.when(live)
     def _():
@@ -70,10 +74,13 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         k_pos = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = k_pos < n_valid
-        if causal:
+        if causal or window is not None:
             q_pos = qi * blk_q + \
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            mask = mask & (q_pos >= k_pos)
+            if causal:
+                mask = mask & (q_pos >= k_pos)
+            if window is not None:
+                mask = mask & (q_pos - k_pos < window)
         s = jnp.where(mask, s, _NEG)
 
         m_prev = m_scr[:, 0]                               # [blk_q]
@@ -92,18 +99,20 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                        jnp.maximum(l_scr[:, 0], 1e-37)[:, None]).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret"))
+@partial(jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret", "window"))
 def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            valid_k: jnp.ndarray | None = None,
                            causal: bool = False, blk_q: int = 512,
-                           blk_k: int = 512,
-                           interpret: bool = False) -> jnp.ndarray:
+                           blk_k: int = 512, interpret: bool = False,
+                           window: int | None = None) -> jnp.ndarray:
     """q [B, Sq, H, hd], k/v [B, Sk, KV, hd] -> [B, Sq, H, hd].
 
     ``KV`` may divide ``H`` (grouped-query attention): head h attends to kv
     head ``h // (H // KV)`` with no materialized repeat.  ``valid_k``
     [B, Sk] bool must be a contiguous True prefix (right-padded sequences) —
-    only its per-row count enters the kernel.
+    only its per-row count enters the kernel.  ``window`` restricts keys to
+    q_pos - k_pos < window (Mistral sliding-window), with whole dead blocks
+    skipped like the causal triangle.
     """
     B, Sq, H, hd = q.shape
     Sk = k.shape[1]
@@ -129,7 +138,7 @@ def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     grid = (B, H, n_q, n_k)
     out = pl.pallas_call(
         partial(_kernel, scale=1.0 / np.sqrt(hd), causal=causal,
-                blk_q=blk_q, blk_k=blk_k),
+                blk_q=blk_q, blk_k=blk_k, window=window),
         grid=grid,
         in_specs=[
             # full [B] vector in SMEM every program (TPU lowering rejects
