@@ -84,7 +84,7 @@ def main(argv=None):
     backbone = load_backbone(args.backbone, args.backbone_path)
     if args.task == "ActivityNet-QA" or args.task.startswith(
             ("VideoChatGPT", "TempCompass", "MovieChat",
-             "VideoDetailDescription", "VideoEvalPro")):
+             "VideoDetailDescription", "VideoEvalPro", "TOMATO")):
         from ..eval.llm_judge import create_provider
         judge = None
         if args.judge:
@@ -103,6 +103,10 @@ def main(argv=None):
         elif args.task == "VideoEvalPro":
             from ..eval.extra_tasks import register_extra_tasks
             register_extra_tasks(judge)
+        elif args.task == "TOMATO" and judge is not None:
+            # USE_GPT_PARSER path (reference tomato/utils.py:28-31)
+            from ..eval.tomato_vinoground import register_tomato_vinoground
+            register_tomato_vinoground(judge)
         elif judge is not None:
             from ..eval.tempcompass import register_tempcompass
             register_tempcompass(judge)
