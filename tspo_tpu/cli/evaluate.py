@@ -84,7 +84,8 @@ def main(argv=None):
     backbone = load_backbone(args.backbone, args.backbone_path)
     if args.task == "ActivityNet-QA" or args.task.startswith(
             ("VideoChatGPT", "TempCompass", "MovieChat",
-             "VideoDetailDescription", "VideoEvalPro", "TOMATO")):
+             "VideoDetailDescription", "VideoEvalPro", "TOMATO",
+             "WorldQA", "CVRR")):
         from ..eval.llm_judge import create_provider
         judge = None
         if args.judge:
@@ -107,6 +108,9 @@ def main(argv=None):
             # USE_GPT_PARSER path (reference tomato/utils.py:28-31)
             from ..eval.tomato_vinoground import register_tomato_vinoground
             register_tomato_vinoground(judge)
+        elif args.task.startswith(("WorldQA", "CVRR")):
+            from ..eval.worldqa_cvrr import register_worldqa_cvrr
+            register_worldqa_cvrr(judge)
         elif judge is not None:
             from ..eval.tempcompass import register_tempcompass
             register_tempcompass(judge)
