@@ -154,3 +154,23 @@ def test_production_configs_geometry():
     assert mistral_7b_config().sliding_window == 4096
     for cfg in (vicuna_7b_config(), llama3_8b_config(), mistral_7b_config()):
         assert not cfg.qkv_bias
+
+
+def test_sliding_window_padded_rows_stay_finite(torch_mistral):
+    """A right-padded batch row whose padded query positions fall entirely
+    outside the sliding window must not produce NaN logits for its VALID
+    tokens (code-review r2 batch-3 finding #1: softmax over an all--inf row
+    poisons the whole row through the kv cache)."""
+    params = llama_params_from_torch(torch_mistral, MISTRAL_TINY,
+                                     dtype=jnp.float32)
+    B, S, valid_len = 2, 10, 3
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 512, size=(B, S))
+    cache = KVCache.create(MISTRAL_TINY, B, S, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids))
+    valid = jnp.zeros((B, S), bool).at[0].set(True).at[1, :valid_len].set(True)
+    hidden, _ = qwen2_forward(params, embeds, cache, jnp.arange(S), valid,
+                              MISTRAL_TINY)
+    logits = lm_logits(params, hidden, MISTRAL_TINY)
+    assert bool(jnp.isfinite(logits[1, :valid_len]).all())
+    assert bool(jnp.isfinite(logits[0]).all())

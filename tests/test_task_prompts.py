@@ -107,6 +107,33 @@ def _load_ref_utils(task_dir: str):
     return mod
 
 
+def load_ref_utils_with_stubs(task_dir: str, extra=()):
+    """`_load_ref_utils` plus the stub set most judge-style task modules
+    need (openai/tqdm), optional ``extra`` (name, attrs) module stubs, and
+    HF_HOME save/restore.  Shared by all per-task parity test files."""
+    stubs = {}
+    base = (("openai", {"OpenAI": object, "AzureOpenAI": object}),
+            ("tqdm", {"tqdm": lambda x, **k: x}))
+    for name, attrs in (*base, *extra):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            stubs[name] = mod
+    sys.modules.update(stubs)
+    old_hf = os.environ.get("HF_HOME")
+    os.environ["HF_HOME"] = "/tmp"
+    try:
+        return _load_ref_utils(task_dir)
+    finally:
+        if old_hf is None:
+            os.environ.pop("HF_HOME", None)
+        else:
+            os.environ["HF_HOME"] = old_hf
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
 def test_lvb_prompt_matches_reference():
     ref = _load_ref_utils("longvideobench")
     kw = {"pre_prompt": "", "post_prompt": "Answer with the option's letter "

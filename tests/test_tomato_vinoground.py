@@ -89,29 +89,9 @@ def test_vinoground_prompt():
 def _load_tomato_ref():
     import os
     import sys
-    import types
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_task_prompts import _load_ref_utils
-    stubs = {}
-    for name, attrs in (("openai", {"OpenAI": object,
-                                    "AzureOpenAI": object}),):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            stubs[name] = mod
-    sys.modules.update(stubs)
-    old_hf = os.environ.get("HF_HOME")
-    os.environ["HF_HOME"] = "/tmp"
-    try:
-        return _load_ref_utils("tomato")
-    finally:
-        if old_hf is None:
-            os.environ.pop("HF_HOME", None)
-        else:
-            os.environ["HF_HOME"] = old_hf
-        for name in stubs:
-            sys.modules.pop(name, None)
+    from test_task_prompts import load_ref_utils_with_stubs
+    return load_ref_utils_with_stubs("tomato")
 
 
 def test_tomato_prompt_matches_reference():
@@ -144,16 +124,8 @@ def test_vinoground_aggregate_matches_reference(monkeypatch):
     import os
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_task_prompts import _load_ref_utils
-    old_hf = os.environ.get("HF_HOME")
-    os.environ["HF_HOME"] = "/tmp"
-    try:
-        ref = _load_ref_utils("vinoground")
-    finally:
-        if old_hf is None:
-            os.environ.pop("HF_HOME", None)
-        else:
-            os.environ["HF_HOME"] = old_hf
+    from test_task_prompts import load_ref_utils_with_stubs
+    ref = load_ref_utils_with_stubs("vinoground")
 
     gts = {("0", "pos", "text"): "A", ("0", "neg", "text"): "A",
            ("0", "pos", "video"): "A", ("0", "neg", "video"): "A",

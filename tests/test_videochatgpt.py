@@ -103,29 +103,11 @@ def test_video_resolution():
 # ---------------------------------------------------------------------------
 
 def _load_ref_vcg():
+    import os
+    import sys
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_task_prompts import _load_ref_utils
-    stubs = {}
-    if "openai" not in sys.modules:
-        mod = types.ModuleType("openai")
-        mod.OpenAI = object
-        stubs["openai"] = mod
-    if "tqdm" not in sys.modules:
-        mod = types.ModuleType("tqdm")
-        mod.tqdm = lambda x, **k: x
-        stubs["tqdm"] = mod
-    sys.modules.update(stubs)
-    old_hf = os.environ.get("HF_HOME")
-    os.environ["HF_HOME"] = "/tmp"
-    try:
-        return _load_ref_utils("videochatgpt")
-    finally:
-        if old_hf is None:
-            os.environ.pop("HF_HOME", None)
-        else:
-            os.environ["HF_HOME"] = old_hf
-        for name in stubs:
-            sys.modules.pop(name, None)
+    from test_task_prompts import load_ref_utils_with_stubs
+    return load_ref_utils_with_stubs("videochatgpt")
 
 
 def test_prompts_match_reference():

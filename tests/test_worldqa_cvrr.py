@@ -119,35 +119,14 @@ def test_cvrr_parse():
 def _load(task_dir):
     import os
     import sys
-    import types
     sys.path.insert(0, os.path.dirname(__file__))
-    from test_task_prompts import _load_ref_utils
-    stubs = {}
-    for name, attrs in (("openai", {"OpenAI": object}),
-                        ("tqdm", {"tqdm": lambda x, **k: x}),
-                        ("lmms_eval.filters", {}),
-                        ("lmms_eval.filters.extraction",
-                         {"ExtendedRegexFilter": object}),
-                        ("lmms_eval.tasks.worldqa", {}),
-                        ("lmms_eval.tasks.worldqa.worldqa_mc_evaluator",
-                         {"WorldQA_MC_Evaluator": object})):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            stubs[name] = mod
-    sys.modules.update(stubs)
-    old_hf = os.environ.get("HF_HOME")
-    os.environ["HF_HOME"] = "/tmp"
-    try:
-        return _load_ref_utils(task_dir)
-    finally:
-        if old_hf is None:
-            os.environ.pop("HF_HOME", None)
-        else:
-            os.environ["HF_HOME"] = old_hf
-        for name in stubs:
-            sys.modules.pop(name, None)
+    from test_task_prompts import load_ref_utils_with_stubs
+    return load_ref_utils_with_stubs(task_dir, (
+        ("lmms_eval.filters", {}),
+        ("lmms_eval.filters.extraction", {"ExtendedRegexFilter": object}),
+        ("lmms_eval.tasks.worldqa", {}),
+        ("lmms_eval.tasks.worldqa.worldqa_mc_evaluator",
+         {"WorldQA_MC_Evaluator": object})))
 
 
 def test_worldqa_matches_reference():

@@ -66,6 +66,47 @@ def build_parser():
     return p
 
 
+# judged-task families: task-name prefixes -> (eval module, registrar).
+# Declarative so the prefix list and the dispatch can never drift apart.
+JUDGED_TASK_REGISTRARS = (
+    (("ActivityNet-QA",), "tasks_activitynet", "register_activitynetqa"),
+    (("VideoChatGPT",), "videochatgpt", "register_videochatgpt"),
+    (("MovieChat", "VideoDetailDescription"), "more_judged_tasks",
+     "register_more_judged"),
+    (("VideoEvalPro",), "extra_tasks", "register_extra_tasks"),
+    (("TempCompass",), "tempcompass", "register_tempcompass"),
+    (("TOMATO",), "tomato_vinoground", "register_tomato_vinoground"),
+    (("WorldQA", "CVRR"), "worldqa_cvrr", "register_worldqa_cvrr"),
+)
+# these families have a judge-free rule-based registration from import time;
+# without --judge they run as-is (reference defaults: tomato
+# USE_GPT_PARSER=False, tempcompass rule-first)
+_RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO")
+
+
+def _register_judged_task(args, backbone) -> None:
+    for prefixes, mod_name, fn_name in JUDGED_TASK_REGISTRARS:
+        if not args.task.startswith(prefixes):
+            continue
+        if args.judge is None and args.task.startswith(
+                _RULE_ONLY_WITHOUT_JUDGE):
+            return
+        from ..eval.llm_judge import create_provider
+        if args.judge:
+            # "local" grades with the SAME loaded backbone (zero egress)
+            kw = {"backbone": backbone} if args.judge == "local" else {}
+            judge = create_provider(args.judge, **kw)
+        else:
+            print(f"[warn] {args.task} is LLM-judged but no --judge was "
+                  "given: defaulting to the $API_TYPE/$OPENAI_API_KEY "
+                  "env-configured provider")
+            judge = create_provider()
+        import importlib
+        mod = importlib.import_module(f"tspo_tpu.eval.{mod_name}")
+        getattr(mod, fn_name)(judge)
+        return
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from .common import enable_compilation_cache
@@ -82,38 +123,7 @@ def main(argv=None):
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path)
-    if args.task == "ActivityNet-QA" or args.task.startswith(
-            ("VideoChatGPT", "TempCompass", "MovieChat",
-             "VideoDetailDescription", "VideoEvalPro", "TOMATO",
-             "WorldQA", "CVRR")):
-        from ..eval.llm_judge import create_provider
-        judge = None
-        if args.judge:
-            # "local" grades with the SAME loaded backbone (zero egress)
-            kw = {"backbone": backbone} if args.judge == "local" else {}
-            judge = create_provider(args.judge, **kw)
-        if args.task == "ActivityNet-QA":
-            from ..eval.tasks_activitynet import register_activitynetqa
-            register_activitynetqa(judge)
-        elif args.task.startswith("VideoChatGPT"):
-            from ..eval.videochatgpt import register_videochatgpt
-            register_videochatgpt(judge)
-        elif args.task.startswith(("MovieChat", "VideoDetailDescription")):
-            from ..eval.more_judged_tasks import register_more_judged
-            register_more_judged(judge)
-        elif args.task == "VideoEvalPro":
-            from ..eval.extra_tasks import register_extra_tasks
-            register_extra_tasks(judge)
-        elif args.task == "TOMATO" and judge is not None:
-            # USE_GPT_PARSER path (reference tomato/utils.py:28-31)
-            from ..eval.tomato_vinoground import register_tomato_vinoground
-            register_tomato_vinoground(judge)
-        elif args.task.startswith(("WorldQA", "CVRR")):
-            from ..eval.worldqa_cvrr import register_worldqa_cvrr
-            register_worldqa_cvrr(judge)
-        elif judge is not None:
-            from ..eval.tempcompass import register_tempcompass
-            register_tempcompass(judge)
+    _register_judged_task(args, backbone)
     scorer = None
     if args.live_model_path:
         from .common import load_scorer

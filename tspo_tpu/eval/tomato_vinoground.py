@@ -200,18 +200,23 @@ def aggregate_vinoground(results: list) -> dict:
     matrix[:, 2] = matrix[:, 0] & matrix[:, 1]
     matrix[:, 5] = matrix[:, 3] & matrix[:, 4]
     matrix[:, 6] = matrix[:, 2] & matrix[:, 5]
+    # denominator = pairs actually probed (the reference hardcodes its 500
+    # full-set rows; a subset/sharded run must not count unprobed pairs as
+    # failures)
+    probed = np.array(sorted(index_to_categories), dtype=int)
+    matrix = matrix[probed]
 
     cat_all: dict = {}
     cat_scores = {"text": {}, "video": {}, "group": {}}
-    for i in range(n):
-        for cat in index_to_categories.get(i, []):
+    for row, i in enumerate(probed):
+        for cat in index_to_categories[int(i)]:
             cat_all[cat] = cat_all.get(cat, 0) + 1
             cat_scores["text"][cat] = cat_scores["text"].get(cat, 0) \
-                + int(matrix[i, 2])
+                + int(matrix[row, 2])
             cat_scores["video"][cat] = cat_scores["video"].get(cat, 0) \
-                + int(matrix[i, 5])
+                + int(matrix[row, 5])
             cat_scores["group"][cat] = cat_scores["group"].get(cat, 0) \
-                + int(matrix[i, 6])
+                + int(matrix[row, 6])
     out = {"text": float(matrix[:, 2].mean() * 100),
            "video": float(matrix[:, 5].mean() * 100),
            "group": float(matrix[:, 6].mean() * 100)}

@@ -155,26 +155,26 @@ def make_worldqa_task(flavor: str = "generation",
                              video_path_keys=("video_idx", "video_path"),
                              video_suffix=".mp4")
 
-    # MC: rule-match first; judge matches free-form answers to an option
+    # MC: rule-match first; judge matches free-form answers to an option.
+    # Judged in process_response (NOT aggregate) so multi-host merges never
+    # re-run judge calls and --log-samples records the matched letter.
     def process(doc, response, rng=None) -> dict:
+        choice = can_infer_option(response, num_choice=4)
+        if not choice:
+            res = judge._complete_with_retry(WORLDQA_MC_MATCH_PROMPT.format(
+                doc["question"], "\n".join(doc["option"]), response))
+            choice = res.content.strip() if res.success else ""
+        gold = doc["answer"].split(".")[0]
         return {"question_idx": doc.get("question_idx"), "pred": response,
                 "answer": doc["answer"], "option": doc["option"],
-                "question": doc["question"]}
+                "question": doc["question"], "matched_choice": str(choice),
+                "correct": int(str(choice).lower().strip()
+                               == gold.lower().strip())}
 
     def aggregate(results: list) -> dict:
-        """worldqa_aggregate_mc_eval + evaluator.evaluate
-        (worldqa_mc_evaluator.py:110-130)."""
-        score = 0
-        for r in results:
-            gold = r["answer"].split(".")[0]
-            choice = can_infer_option(r["pred"], num_choice=4)
-            if not choice:
-                res = judge._complete_with_retry(
-                    WORLDQA_MC_MATCH_PROMPT.format(
-                        r["question"], "\n".join(r["option"]), r["pred"]))
-                choice = res.content.strip() if res.success else ""
-            score += int(str(choice).lower().strip() == gold.lower().strip())
-        return {"overall": 100.0 * score / max(len(results), 1)}
+        """worldqa_aggregate_mc_eval (worldqa_mc_evaluator.py:110-130)."""
+        return {"overall": 100.0 * sum(r["correct"] for r in results)
+                / max(len(results), 1)}
 
     def doc_to_choices(doc):
         # worldqa_doc_to_choice (utils.py:233-234)

@@ -68,7 +68,6 @@ def llama_params_from_torch(model_or_sd, cfg: Qwen2Config, dtype=None,
     """HF ``LlamaForCausalLM`` / ``MistralForCausalLM`` state dicts share the
     qwen2 key layout (bias-free per ``cfg.qkv_bias=False``)."""
     import jax.numpy as jnp
-    kw = {} if dtype is None else {"dtype": dtype}
-    if dtype is None:
-        kw = {"dtype": jnp.bfloat16}
-    return qwen2_params_from_torch(model_or_sd, cfg, prefix=prefix, **kw)
+    return qwen2_params_from_torch(
+        model_or_sd, cfg, prefix=prefix,
+        dtype=dtype if dtype is not None else jnp.bfloat16)

@@ -275,7 +275,12 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
             causal_ok = causal_ok & \
                 (key_pos[None] > q_glob[None] - cfg.sliding_window)
         ok = causal_ok & attn_valid[:, None, :]            # [B, S, T]
-        mask_bias = jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+        # finite sentinel (like the flash kernels), NOT -inf: a padded query
+        # row past the sliding window can have EVERY key masked, and
+        # softmax(all -inf) = NaN which poisons the whole row's k/v for the
+        # next layer; with -1e30 such rows get a harmless uniform garbage
+        # that the validity mask discards downstream
+        mask_bias = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None]
 
     if rope_cos_sin is None:
         rope_pos = positions if cfg.rope_scaling_factor == 1.0 else \
