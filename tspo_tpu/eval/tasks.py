@@ -331,6 +331,7 @@ def get_task(name: str) -> BenchmarkTask:
 # given); imported last so these modules can import the dataclass + helpers
 from . import extra_tasks as _extra_tasks  # noqa: E402,F401
 from . import more_tasks as _more_tasks  # noqa: E402,F401
+from . import timescope_cinepile as _timescope_cinepile  # noqa: E402,F401
 from . import tomato_vinoground as _tomato_vinoground  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
 from . import tempcompass as _tempcompass  # noqa: E402,F401
