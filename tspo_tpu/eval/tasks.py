@@ -334,5 +334,6 @@ from . import more_tasks as _more_tasks  # noqa: E402,F401
 from . import timescope_cinepile as _timescope_cinepile  # noqa: E402,F401
 from . import tomato_vinoground as _tomato_vinoground  # noqa: E402,F401
 from . import videomathqa as _videomathqa  # noqa: E402,F401
+from . import videommmu as _videommmu  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
 from . import tempcompass as _tempcompass  # noqa: E402,F401
