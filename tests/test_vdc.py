@@ -54,7 +54,7 @@ def test_two_step_flow():
         "Who appears?", "a chef", "a chef")
     agg = task.aggregate([rec, dict(rec, score=2.0, acc=0.0)])
     assert agg["average_score"] == pytest.approx(3.0)
-    assert agg["accuracy"] == pytest.approx(50.0)
+    assert agg["accuracy"] == pytest.approx(0.5)   # raw fraction, like the reference
 
 
 def test_prompts_match_reference():

@@ -18,7 +18,6 @@ Reference sources:
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 
@@ -168,28 +167,11 @@ def egoplan_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
     return question + "\nAnswer with the option's letter from the given choices"
 
 
-# the reference's prefix list contains two IMPLICITLY CONCATENATED string
-# pairs (utils.py:171-179) — reproduced because they change which prefixes
-# actually strip
-_EGOPLAN_PREFIXES = [
-    "The best answer is",
-    "The correct answer is",
-    "The answer is",
-    "The answer",
-    "The best option is" "The correct option is",
-    "Best answer:" "Best option:",
-]
-
-
 def egoplan_extract_letter(s: str) -> str:
-    """egoplan/utils.py:169-189."""
-    s = s.strip()
-    for prefix in _EGOPLAN_PREFIXES:
-        s = s.replace(prefix, "")
-    if len(s.split()) > 10 and not re.search("[ABCD]", s):
-        return ""
-    m = re.search(r"[ABCD]", s)
-    return m[0] if m else ""
+    """egoplan/utils.py:169-189 — the shared parser with the reference's
+    concatenated-prefix quirk (tasks.CONCAT_QUIRK_ANSWER_PREFIXES)."""
+    from .tasks import CONCAT_QUIRK_ANSWER_PREFIXES, extract_answer_letter
+    return extract_answer_letter(s, "ABCD", CONCAT_QUIRK_ANSWER_PREFIXES)
 
 
 def _egoplan_process(doc, response, rng=None) -> dict:

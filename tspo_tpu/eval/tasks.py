@@ -28,12 +28,27 @@ _ANSWER_PREFIXES = [
     "Best option:",
 ]
 
+# several reference task files (egoplan, mmworld, longtimescope, videomathqa)
+# carry a variant of the list with two pairs IMPLICITLY CONCATENATED — a
+# reference bug preserved verbatim because it changes which prefixes strip
+CONCAT_QUIRK_ANSWER_PREFIXES = [
+    "The best answer is",
+    "The correct answer is",
+    "The answer is",
+    "The answer",
+    "The best option is" "The correct option is",
+    "Best answer:" "Best option:",
+]
 
-def extract_answer_letter(response: str, letters: str = "ABCD") -> str:
-    """VideoMME/MLVU-style parse (tasks/videomme/utils.py:230-249): strip known
-    prefixes, fail to "" on long answers without a letter, else first letter."""
+
+def extract_answer_letter(response: str, letters: str = "ABCD",
+                          prefixes=None) -> str:
+    """VideoMME/MLVU-style parse (tasks/videomme/utils.py:230-249): strip
+    known prefixes, fail to "" on long answers without a letter, else first
+    letter.  The same structure serves the egoplan-family parsers via
+    ``prefixes=CONCAT_QUIRK_ANSWER_PREFIXES`` and wider letter ranges."""
     s = response.strip()
-    for prefix in _ANSWER_PREFIXES:
+    for prefix in (prefixes if prefixes is not None else _ANSWER_PREFIXES):
         s = s.replace(prefix, "")
     if len(s.split()) > 10 and not re.search(f"[{letters}]", s):
         return ""

@@ -28,37 +28,16 @@ from .tasks import TASK_REGISTRY, BenchmarkTask
 # TimeScope / LongTimeScope
 # ---------------------------------------------------------------------------
 
-# longtimescope/utils.py:64-73 — two pairs implicitly concatenated
-_LTS_PREFIXES = [
-    "The best answer is",
-    "The correct answer is",
-    "The answer is",
-    "The answer",
-    "The best option is" "The correct option is",
-    "Best answer:" "Best option:",
-]
-# timescope/utils.py:64-75 — the fixed list
-_TS_PREFIXES = [
-    "The best answer is",
-    "The correct answer is",
-    "The answer is",
-    "The answer",
-    "The best option is",
-    "The correct option is",
-    "Best answer:",
-    "Best option:",
-]
+from .tasks import _ANSWER_PREFIXES as _TS_PREFIXES  # timescope: fixed list
+from .tasks import CONCAT_QUIRK_ANSWER_PREFIXES as _LTS_PREFIXES  # longtimescope
+from .tasks import extract_answer_letter as _extract
 
 
 def timescope_extract_letter(s: str, prefixes=_TS_PREFIXES) -> str:
-    """{long,}timescope extract_characters_regex: A-F letters."""
-    s = s.strip()
-    for prefix in prefixes:
-        s = s.replace(prefix, "")
-    if len(s.split()) > 10 and not re.search("[ABCDEF]", s):
-        return ""
-    m = re.search(r"[ABCDEF]", s)
-    return m[0] if m else ""
+    """{long,}timescope extract_characters_regex: A-F letters; timescope
+    uses the fixed prefix list, longtimescope the concatenated-quirk one
+    (the two reference files genuinely differ there)."""
+    return _extract(s, "ABCDEF", prefixes)
 
 
 def timescope_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:

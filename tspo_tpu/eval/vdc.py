@@ -99,8 +99,11 @@ def make_vdc_doc_to_text(dimension: str):
     pool = VDC_POOLS[dimension]
 
     def doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
-        # the reference draws a random prompt per call (utils.py:172-194)
-        return random.choice(pool)
+        # the reference draws from the pool with the UNSEEDED global random
+        # (utils.py:172-194); here the draw is keyed on the doc so runs are
+        # reproducible and resume-cache-consistent (harness.py assumes
+        # deterministic responses) while staying uniform across docs
+        return random.Random(str(doc.get("video_name"))).choice(pool)
     return doc_to_text
 
 
@@ -136,14 +139,17 @@ def make_vdc_task(dimension: str,
                 "n_qa": len(scores)}
 
     def aggregate(results: list) -> dict:
+        # reference scales: score is the raw 0-5 mean, accuracy the raw 0-1
+        # fraction (vdc_aggregate_score/_acc utils.py:321-345)
         n = max(len(results), 1)
         return {"average_score": sum(r["score"] for r in results) / n,
-                "accuracy": 100.0 * sum(r["acc"] for r in results) / n}
+                "accuracy": sum(r["acc"] for r in results) / n}
 
     return BenchmarkTask(
         name=f"VDC-{dimension}", doc_to_text=make_vdc_doc_to_text(dimension),
         process_response=process, aggregate=aggregate,
-        video_path_keys=("video_name", "video_path"))
+        video_path_keys=("video_name", "video_path"),
+        video_suffix=".mp4")   # vdc_doc_to_visual appends .mp4 (utils.py:158)
 
 
 def register_vdc(judge: JudgeProvider | None = None) -> None:

@@ -14,7 +14,6 @@ Reference: lmms-eval/lmms_eval/tasks/videomathqa/utils.py —
 
 from __future__ import annotations
 
-import re
 
 from .tasks import TASK_REGISTRY, BenchmarkTask
 
@@ -28,25 +27,11 @@ COT_POST_PROMPT = ("First please perform reasoning, and think step by step "
                    "the option's letter (A, B, C, D or E) from the given "
                    "choices.")
 
-_PREFIXES = [
-    "The best answer is",
-    "The correct answer is",
-    "The answer is",
-    "The answer",
-    "The best option is" "The correct option is",
-    "Best answer:" "Best option:",
-]
-
-
 def videomathqa_extract_letter(s: str) -> str:
-    """utils.py:200-219 (A-E)."""
-    s = s.strip()
-    for prefix in _PREFIXES:
-        s = s.replace(prefix, "")
-    if len(s.split()) > 10 and not re.search("[ABCDE]", s):
-        return ""
-    m = re.search(r"[ABCDE]", s)
-    return m[0] if m else ""
+    """utils.py:200-219 (A-E) — the shared parser with the reference's
+    concatenated-prefix quirk."""
+    from .tasks import CONCAT_QUIRK_ANSWER_PREFIXES, extract_answer_letter
+    return extract_answer_letter(s, "ABCDE", CONCAT_QUIRK_ANSWER_PREFIXES)
 
 
 def videomathqa_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:

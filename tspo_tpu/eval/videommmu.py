@@ -194,7 +194,11 @@ def parse_open_response(response: str):
             for ind in indicators:
                 if ind in resp:
                     tail = resp.split(ind)[-1].strip()
-                    if shortest is None or len(tail) < len(shortest):
+                    # reference truthiness quirk (utils.py:526-531): an
+                    # EMPTY current shortest is overwritten, not kept
+                    if not shortest:
+                        shortest = tail
+                    elif len(tail) < len(shortest):
                         shortest = tail
             if shortest and shortest.strip() not in [":", ",", ".", "!", "?",
                                                      ";", ":", "'"]:
