@@ -154,3 +154,30 @@ def test_load_scorer_from_torch_merged_dir(tmp_path):
                                                dtype=np.uint8)
     idx, logits = scorer(frames, "what?", sample_num=8)
     assert len(idx) == 8 and np.all(np.isfinite(logits))
+
+
+def test_evaluate_config_yaml_multi_run(workspace, tmp_path, capsys):
+    """--config yaml drives multiple sequential runs (reference lmms-eval
+    --config, __main__.py:86-108)."""
+    import yaml
+    # build a frame-idx json the runs can share
+    docs = [{"question_id": "q0", "question": "What?",
+             "options": ["A. x", "B. y"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": "v0.mp4",
+             "frame_idx": [0, 3, 6]}]
+    fij = tmp_path / "docs.json"
+    fij.write_text(json.dumps(docs))
+    cfg = [{"task": "VideoMME", "output": str(tmp_path / "r1")},
+           {"task": "VideoMME", "output": str(tmp_path / "r2"),
+            "uniform": True}]
+    cfg_path = tmp_path / "runs.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    evaluate_cli.main([
+        "--config", str(cfg_path),
+        "--frame-idx-json", str(fij),
+        "--video-root", str(workspace / "videos"),
+        "--backbone", "stub", "--max-frames-num", "4",
+    ])
+    assert list((tmp_path / "r1").glob("VideoMME_*.json"))
+    assert list((tmp_path / "r2").glob("VideoMME_*.json"))

@@ -18,9 +18,17 @@ import time
 
 def build_parser():
     p = argparse.ArgumentParser(description="TSPO benchmark evaluation")
-    p.add_argument("--task", required=True,
-                   help="LongVideoBench | MLVU | VideoMME | LVBench")
-    p.add_argument("--frame-idx-json", required=True)
+    p.add_argument("--task", default=None,
+                   help="LongVideoBench | MLVU | VideoMME | LVBench | ... "
+                        "(eval/tasks.py TASK_REGISTRY; required unless "
+                        "--config is given)")
+    p.add_argument("--frame-idx-json", default=None)
+    p.add_argument("--config", default=None,
+                   help="yaml of one run dict or a list of run dicts, each "
+                        "mapping CLI flag names to values (reference "
+                        "lmms-eval --config, __main__.py:86-108); entries "
+                        "override the flags on the command line and runs "
+                        "execute sequentially")
     p.add_argument("--video-root", default="")
     p.add_argument("--backbone", default="stub",
                    choices=["stub", "llava_video", "qwen2_5_vl"])
@@ -110,6 +118,32 @@ def _register_judged_task(args, backbone) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.config:
+        import sys
+        import yaml
+        with open(args.config) as f:
+            runs = yaml.safe_load(f)
+        runs = runs if isinstance(runs, list) else [runs]
+        base = list(argv if argv is not None else sys.argv[1:])
+        # strip the --config pair from the base argv
+        while "--config" in base:
+            i = base.index("--config")
+            del base[i:i + 2]
+        for run in runs:
+            run_argv = list(base)
+            for key, value in run.items():
+                flag = "--" + str(key).replace("_", "-")
+                if isinstance(value, bool):
+                    if value and flag not in run_argv:
+                        run_argv.append(flag)
+                else:
+                    run_argv += [flag, str(value)]
+            print(f"[config] run: {' '.join(run_argv)}")
+            main(run_argv)
+        return
+    if not args.task or not args.frame_idx_json:
+        build_parser().error(
+            "--task and --frame-idx-json are required (or pass --config)")
     from .common import enable_compilation_cache
     enable_compilation_cache()
     if args.coordinator:
