@@ -86,6 +86,7 @@ JUDGED_TASK_REGISTRARS = (
     (("TOMATO",), "tomato_vinoground", "register_tomato_vinoground"),
     (("WorldQA", "CVRR"), "worldqa_cvrr", "register_worldqa_cvrr"),
     (("VDC",), "vdc", "register_vdc"),
+    (("EgoThink",), "egothink", "register_egothink"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
