@@ -181,3 +181,33 @@ def test_evaluate_config_yaml_multi_run(workspace, tmp_path, capsys):
     ])
     assert list((tmp_path / "r1").glob("VideoMME_*.json"))
     assert list((tmp_path / "r2").glob("VideoMME_*.json"))
+
+
+def test_evaluate_config_equals_form_and_false_override(workspace, tmp_path):
+    """--config=path works, a false boolean in an entry overrides a CLI
+    store_true flag, and a failing run doesn't kill the sweep (code-review
+    r2 batch-5 findings)."""
+    import yaml
+    docs = [{"question_id": "q0", "question": "What?",
+             "options": ["A. x", "B. y"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": "v0.mp4",
+             "frame_idx": [0, 3, 6]}]
+    fij = tmp_path / "docs.json"
+    fij.write_text(json.dumps(docs))
+    cfg = [{"task": "NoSuchTask", "output": str(tmp_path / "bad")},
+           {"task": "VideoMME", "uniform": False,
+            "output": str(tmp_path / "good")}]
+    cfg_path = tmp_path / "runs.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    evaluate_cli.main([
+        f"--config={cfg_path}",
+        "--frame-idx-json", str(fij),
+        "--video-root", str(workspace / "videos"),
+        "--backbone", "stub", "--max-frames-num", "4", "--uniform",
+    ])
+    # run 1 failed (unknown task) but run 2 still produced results
+    out = list((tmp_path / "good").glob("VideoMME_*.json"))
+    assert out
+    cfgdump = json.load(open(out[0]))["config"]
+    assert cfgdump["uniform"] is False   # entry overrode the CLI flag

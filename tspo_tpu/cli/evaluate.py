@@ -95,11 +95,17 @@ _RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO")
 
 
 def _register_judged_task(args, backbone) -> None:
+    import importlib
     for prefixes, mod_name, fn_name in JUDGED_TASK_REGISTRARS:
         if not args.task.startswith(prefixes):
             continue
         if args.judge is None and args.task.startswith(
                 _RULE_ONLY_WITHOUT_JUDGE):
+            # re-register the rule-only defaults explicitly: a prior
+            # --config run may have installed a judged variant in the
+            # shared registry
+            mod = importlib.import_module(f"tspo_tpu.eval.{mod_name}")
+            getattr(mod, fn_name)(None)
             return
         from ..eval.llm_judge import create_provider
         if args.judge:
@@ -111,7 +117,6 @@ def _register_judged_task(args, backbone) -> None:
                   "given: defaulting to the $API_TYPE/$OPENAI_API_KEY "
                   "env-configured provider")
             judge = create_provider()
-        import importlib
         mod = importlib.import_module(f"tspo_tpu.eval.{mod_name}")
         getattr(mod, fn_name)(judge)
         return
@@ -120,28 +125,31 @@ def _register_judged_task(args, backbone) -> None:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.config:
-        import sys
+        # namespace-copy override like the reference (__main__.py:322-371):
+        # handles =-form flags, false booleans, and nulls for free, and one
+        # failing run logs + continues instead of killing the sweep
+        import copy
         import yaml
         with open(args.config) as f:
             runs = yaml.safe_load(f)
         runs = runs if isinstance(runs, list) else [runs]
-        base = list(argv if argv is not None else sys.argv[1:])
-        # strip the --config pair from the base argv
-        while "--config" in base:
-            i = base.index("--config")
-            del base[i:i + 2]
-        for run in runs:
-            run_argv = list(base)
-            for key, value in run.items():
-                flag = "--" + str(key).replace("_", "-")
-                if isinstance(value, bool):
-                    if value and flag not in run_argv:
-                        run_argv.append(flag)
-                else:
-                    run_argv += [flag, str(value)]
-            print(f"[config] run: {' '.join(run_argv)}")
-            main(run_argv)
+        for i, run in enumerate(runs):
+            run_args = copy.copy(args)
+            run_args.config = None
+            for key, value in (run or {}).items():
+                setattr(run_args, str(key).replace("-", "_"), value)
+            print(f"[config] run {i + 1}/{len(runs)}: task={run_args.task}")
+            try:
+                _run(run_args)
+            except Exception as e:  # noqa: BLE001 — sweep keeps going
+                import traceback
+                traceback.print_exc()
+                print(f"[config] run {i + 1} failed: {e}")
         return
+    _run(args)
+
+
+def _run(args):
     if not args.task or not args.frame_idx_json:
         build_parser().error(
             "--task and --frame-idx-json are required (or pass --config)")

@@ -73,6 +73,11 @@ def make_egothink_task(judge: JudgeProvider | None = None) -> BenchmarkTask:
         judge = create_provider(config=JudgeConfig(
             model_name=os.environ.get("MODEL_VERSION", "gpt-4o-2024-11-20"),
             max_tokens=2048))
+    elif judge.config.max_tokens < 2048:
+        # the judge explains BEFORE the trailing "Rating: [[x]]"
+        # (utils.py:150 uses max_tokens=2048); a short cap truncates the
+        # rating off and every sample parses to -1
+        judge.config.max_tokens = 2048
 
     def process(doc, response, rng=None) -> dict:
         ref = str(doc["answer"]).lower().strip().replace(".", "")
