@@ -87,11 +87,12 @@ JUDGED_TASK_REGISTRARS = (
     (("WorldQA", "CVRR"), "worldqa_cvrr", "register_worldqa_cvrr"),
     (("VDC",), "vdc", "register_vdc"),
     (("EgoThink",), "egothink", "register_egothink"),
+    (("VITATECS",), "vitatecs", "register_vitatecs"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
 # USE_GPT_PARSER=False, tempcompass rule-first)
-_RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO")
+_RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO", "VITATECS")
 
 
 def _register_judged_task(args, backbone) -> None:

@@ -350,5 +350,6 @@ from . import timescope_cinepile as _timescope_cinepile  # noqa: E402,F401
 from . import tomato_vinoground as _tomato_vinoground  # noqa: E402,F401
 from . import videomathqa as _videomathqa  # noqa: E402,F401
 from . import videommmu as _videommmu  # noqa: E402,F401
+from . import vitatecs as _vitatecs  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
 from . import tempcompass as _tempcompass  # noqa: E402,F401
