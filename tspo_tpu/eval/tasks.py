@@ -344,6 +344,7 @@ def get_task(name: str) -> BenchmarkTask:
 # widen the registry (MVBench/EgoSchema/NExT-QA/PerceptionTest, TempCompass
 # rule-only — the CLI re-registers TempCompass with a judge when --judge is
 # given); imported last so these modules can import the dataclass + helpers
+from . import camerabench as _camerabench  # noqa: E402,F401
 from . import extra_tasks as _extra_tasks  # noqa: E402,F401
 from . import more_tasks as _more_tasks  # noqa: E402,F401
 from . import timescope_cinepile as _timescope_cinepile  # noqa: E402,F401
