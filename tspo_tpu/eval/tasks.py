@@ -350,6 +350,7 @@ from . import more_tasks as _more_tasks  # noqa: E402,F401
 from . import timescope_cinepile as _timescope_cinepile  # noqa: E402,F401
 from . import tomato_vinoground as _tomato_vinoground  # noqa: E402,F401
 from . import videomathqa as _videomathqa  # noqa: E402,F401
+from . import video_tt as _video_tt  # noqa: E402,F401
 from . import videommmu as _videommmu  # noqa: E402,F401
 from . import vitatecs as _vitatecs  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
