@@ -12,9 +12,12 @@ DOC = {"video_id": "vt1", "capability": "Element Counting",
 
 def test_prompt_and_flow():
     t = get_task("Video-TT")
+    # default run: yaml default post_prompt is EMPTY (videott_all.yaml)
     assert t.doc_to_text(DOC) == ("\nHow many birds appear?\n"
-                                  "A. 1\nB. 2\nC. 3\nD. 4\n"
-                                  "The best answer is:")
+                                  "A. 1\nB. 2\nC. 3\nD. 4\n")
+    assert t.doc_to_text(DOC, {"post_prompt": "The best answer is:"}) == \
+        ("\nHow many birds appear?\nA. 1\nB. 2\nC. 3\nD. 4\n"
+         "The best answer is:")
     r1 = t.process_response(DOC, "The best answer is B")
     assert r1["pred_answer"] == "B"
     r2 = t.process_response(dict(DOC, capability="Event Counting"), "A")

@@ -70,8 +70,11 @@ def test_matches_reference(monkeypatch):
     rq, ra, ro = ref.format_question_and_answer(dict(DOC))
     q, a, o = format_question_and_answer(DOC)
     assert (q, a, o) == (rq, ra, ro)
+    from tspo_tpu.eval.vitatecs import VITATECS_DEFAULT_KWARGS
+    # our doc_to_text merges the yaml defaults; the reference run receives
+    # them through lmms_eval_specific_kwargs
     assert get_task("VITATECS").doc_to_text(DOC, {}) == \
-        ref.vitatecs_doc_to_text(dict(DOC), {})
+        ref.vitatecs_doc_to_text(dict(DOC), dict(VITATECS_DEFAULT_KWARGS))
     for resp in ("a man walks up the stairs", "A", "B.", "(A) yes",
                  "the man walks down"):
         theirs = ref.vitatecs_process_results(dict(DOC), [resp])["accuracy"]

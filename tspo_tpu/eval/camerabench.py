@@ -11,9 +11,10 @@ of video 1, and four metrics roll up (:9-103):
   Q_Acc — question right on BOTH videos
   I_Acc — video answered right for BOTH questions
   G_Acc — all four right
-The reference hardcodes its 1900x4 dataset in asserts; here any
-multiple-of-4 doc set (sorted by Index) aggregates, so --limit/sharded
-subsets work.
+The reference hardcodes its 1900x4 dataset in asserts; here quadruples
+form by Index//4 membership, so --limit/sharded subsets aggregate only
+complete groups (incomplete ones are dropped and counted).  Videos resolve
+from the doc's ``Video`` field like the reference (utils.py:161).
 """
 
 from __future__ import annotations
@@ -52,10 +53,16 @@ def _process(doc, response, rng=None) -> dict:
 
 
 def aggregate_camerabench(results: list) -> dict:
-    """get_scores (utils.py:9-103) over Index-sorted quadruples."""
-    rows = sorted(results, key=lambda r: r["id"])
-    quads = [rows[i:i + 4] for i in range(0, len(rows) - len(rows) % 4, 4)]
-    dropped = len(rows) % 4
+    """get_scores (utils.py:9-103) over Index//4 quadruples.  Groups are
+    formed by id//4 MEMBERSHIP (id%4 gives the probe slot), not by sorted
+    position, so strided shards / --limit subsets never mix groups —
+    incomplete groups are dropped and counted."""
+    groups: dict = {}
+    for r in results:
+        groups.setdefault(r["id"] // 4, {})[r["id"] % 4] = r
+    quads = [[g[0], g[1], g[2], g[3]]
+             for _, g in sorted(groups.items()) if len(g) == 4]
+    dropped = sum(len(g) for g in groups.values() if len(g) != 4)
     n = len(quads)
     if not n:
         return {"Acc": 0.0, "Q_Acc": 0.0, "I_Acc": 0.0, "G_Acc": 0.0,
@@ -79,7 +86,7 @@ def register_camerabench() -> None:
     TASK_REGISTRY["CameraBench"] = BenchmarkTask(
         name="CameraBench", doc_to_text=cambench_doc_to_text,
         process_response=_process, aggregate=aggregate_camerabench,
-        video_path_keys=("video_path", "video", "Index"))
+        video_path_keys=("Video", "video_path", "video"))
 
 
 register_camerabench()

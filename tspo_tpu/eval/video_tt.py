@@ -37,12 +37,18 @@ VIDEOTT_CATEGORIES = [
 ]
 
 
+# videott_all.yaml default kwargs: BOTH prompts empty — the in-function
+# "The best answer is:" fallback only fires when post_prompt is absent from
+# the merged kwargs, which never happens on a default run
+VIDEOTT_DEFAULT_KWARGS = {"pre_prompt": "", "post_prompt": ""}
+
+
 def videott_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
     """utils.py:76-85."""
-    kw = lmms_eval_specific_kwargs or {}
+    kw = {**VIDEOTT_DEFAULT_KWARGS, **(lmms_eval_specific_kwargs or {})}
     question = doc["question"] + "\n" + doc["question_prompt"]
-    post = kw.get("post_prompt", "The best answer is:")
-    pre = kw.get("pre_prompt", "")
+    post = kw["post_prompt"] if "post_prompt" in kw else "The best answer is:"
+    pre = kw["pre_prompt"]
     return pre + "\n" + question + "\n" + post
 
 
@@ -65,9 +71,13 @@ def _videott_process_oe(doc, response, rng=None) -> dict:
 
 
 def _aggregate(results: list, correct_fn) -> dict:
+    # the reference rolls categories up by SUBSTRING containment
+    # (``if category in k``, utils.py:210): umbrella categories like
+    # "Plot Attribute" include their parenthesized variants
     out = {}
     for cat in VIDEOTT_CATEGORIES:
-        rows = [r for r in results if r.get("capability") == cat]
+        rows = [r for r in results
+                if cat in str(r.get("capability", ""))]
         if rows:
             out[cat] = 100.0 * sum(correct_fn(r) for r in rows) / len(rows)
     out["overall"] = (100.0 * sum(correct_fn(r) for r in results)
@@ -80,8 +90,11 @@ def aggregate_videott(results: list) -> dict:
 
 
 def aggregate_videott_oe(results: list) -> dict:
-    """utils.py:228-261: correctness >= 3 counts correct."""
-    return _aggregate(results, lambda r: int(r.get("correctness", 0)) >= 3)
+    """utils.py:228-261: correctness >= 3 counts correct.  Docs never graded
+    (no ``correctness``) are surfaced, not silently scored wrong."""
+    out = _aggregate(results, lambda r: int(r.get("correctness", 0)) >= 3)
+    out["ungraded"] = sum(1 for r in results if "correctness" not in r)
+    return out
 
 
 def register_video_tt() -> None:

@@ -52,10 +52,18 @@ def format_question_and_answer(doc):
     return question, answer, options
 
 
+# _default_template_yaml:6-9 — the default kwargs every non-matching model
+# name (incl. the TSPO adapters) receives
+VITATECS_DEFAULT_KWARGS = {
+    "pre_prompt": "",
+    "post_prompt": "\nPlease response with a single letter (A or B):",
+}
+
+
 def vitatecs_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
-    kw = lmms_eval_specific_kwargs or {}
+    kw = {**VITATECS_DEFAULT_KWARGS, **(lmms_eval_specific_kwargs or {})}
     question, _, _ = format_question_and_answer(doc)
-    return f"{kw.get('pre_prompt', '')}{question}{kw.get('post_prompt', '')}"
+    return f"{kw['pre_prompt']}{question}{kw['post_prompt']}"
 
 
 def vitatecs_rule_rating(pred: str, answer: str, options: list):
@@ -125,9 +133,21 @@ def make_vitatecs_task(judge: JudgeProvider | None = None) -> BenchmarkTask:
                                        if r.get("judge_unavailable"))
         return out
 
-    return BenchmarkTask(name="VITATECS", doc_to_text=vitatecs_doc_to_text,
+    return _VITATECSTask(name="VITATECS", doc_to_text=vitatecs_doc_to_text,
                          process_response=process, aggregate=aggregate,
                          video_path_keys=("video_name", "video_path"))
+
+
+class _VITATECSTask(BenchmarkTask):
+    """videos nest per source dataset: <root>/<src_dataset>/<video_name>
+    (vitatecs_doc_to_visual utils.py:55-62)."""
+
+    def resolve_video(self, doc, video_root: str = "") -> str:
+        import os
+        if doc.get("video_path"):
+            return os.path.join(video_root, str(doc["video_path"]))
+        return os.path.join(video_root, str(doc.get("src_dataset", "")),
+                            str(doc["video_name"]))
 
 
 def register_vitatecs(judge: JudgeProvider | None = None) -> None:
