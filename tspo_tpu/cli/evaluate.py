@@ -88,6 +88,7 @@ JUDGED_TASK_REGISTRARS = (
     (("VDC",), "vdc", "register_vdc"),
     (("EgoThink",), "egothink", "register_egothink"),
     (("VITATECS",), "vitatecs", "register_vitatecs"),
+    (("MixEvals",), "mix_evals", "register_mix_evals"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
