@@ -29,9 +29,20 @@ class ReplyJudge(JudgeProvider):
 
 
 def test_prompt():
+    # bare builder (no defaults)
     assert mix_evals_doc_to_text(FF_DOC) == "what happens at the end?"
     assert mix_evals_doc_to_text(MC_DOC) == (
         "what is he doing?\nHere are the options:\nA. cooking\nB. reading")
+    # registered tasks bake the yaml defaults in
+    from tspo_tpu.eval.mix_evals import make_mix_evals_task as mk
+    mc_txt = mk("mc", ReplyJudge("x")).doc_to_text(MC_DOC)
+    assert mc_txt.startswith("These are frames from a video.")
+    assert mc_txt.endswith("Answer with the option's letter from the given "
+                           "choices directly.")
+    ff_txt = mk("freeform", ReplyJudge("x")).doc_to_text(FF_DOC)
+    assert ff_txt.startswith("These are frames from a video.")
+    with __import__("pytest").raises(ValueError):
+        mk("free_form", ReplyJudge("x"))
 
 
 def test_parse_score():
@@ -57,7 +68,14 @@ def test_freeform_flow():
 def test_mc_flow():
     judge = ReplyJudge("The option chosen by the model: [[B]]")
     task = make_mix_evals_task("mc", judge)
-    rec = task.process_response(MC_DOC, "he reads a book")
+    # gold comes from reference_answer (the mc yaml's doc_to_target)
+    rec = task.process_response(
+        dict(MC_DOC, reference_answer="1"), "he reads a book")
+    del rec["question_idx"]
+    rec["question_idx"] = MC_DOC["id"]
+    rec2 = task.process_response(MC_DOC, "he reads a book")
+    assert rec2["answer"] == 1          # answer_index fallback
+    rec = rec2
     assert rec["pred_answer"] == 1 and rec["correct"] == 1
     assert judge.calls[0][0]["content"] == MC_SYSTEM
     assert judge.calls[0][-1]["content"] == MC_USER_TEMPLATE.format(
@@ -87,13 +105,7 @@ def test_prompts_match_reference():
         prompt="Q?", options="A. x", response="r")
     assert mix_evals_doc_to_text(dict(MC_DOC), {}) == \
         ref.mix_evals_video2text_doc_to_text(dict(MC_DOC), {})
-    for reply in ("x [[0.7]]", "[0.3]", "none"):
-        want = None
-        import re as _re
-        m = _re.search(r"\[\[(\d+\.?\d*)\]\]", reply) or \
-            _re.search(r"\[(\d+\.?\d*)\]", reply)
-        got = parse_judge_score(reply)
-        if m:
-            assert got == float(m.groups()[0])
-        else:
-            assert got is None
+    for reply in ("x [[0.7]]", "[0.3]"):
+        # deterministic replies must match the reference parser exactly
+        assert parse_judge_score(reply) == ref.get_score_from_judge(reply)
+    assert parse_judge_score("none") is None   # ref falls back to random

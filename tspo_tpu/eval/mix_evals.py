@@ -31,9 +31,24 @@ from .tasks import TASK_REGISTRY, BenchmarkTask
 logger = logging.getLogger(__name__)
 
 
-def mix_evals_doc_to_text(doc, lmms_eval_specific_kwargs=None) -> str:
+# yaml default kwargs (mix_evals_video2text_{mc,freeform}.yaml) — baked in
+# like the other families so the default run matches the reference prompt
+MIX_EVALS_DEFAULT_KWARGS = {
+    "mc": {"pre_prompt": "These are frames from a video. Please answer the "
+                         "following questions about the video.",
+           "post_prompt": "Answer with the option's letter from the given "
+                          "choices directly."},
+    "freeform": {"pre_prompt": "These are frames from a video. Please "
+                               "answer the following questions about the "
+                               "video.",
+                 "post_prompt": ""},
+}
+
+
+def mix_evals_doc_to_text(doc, lmms_eval_specific_kwargs=None,
+                          _defaults=None) -> str:
     """utils.py:176-204."""
-    kw = lmms_eval_specific_kwargs or {}
+    kw = {**(_defaults or {}), **(lmms_eval_specific_kwargs or {})}
     user_prompt = doc["query"]
     if "options" in doc and len(doc["options"]) > 1:
         option_prompt = "Here are the options:\n"
@@ -58,13 +73,16 @@ def parse_judge_score(judge_response: str):
 
 
 def _default_judge() -> JudgeProvider:
+    # MAX_NEW_TOKENS=999 (utils.py:33) for both judge payloads
     return create_provider(config=JudgeConfig(
         model_name=os.environ.get("MODEL_VERSION", "gpt-3.5-turbo-0125"),
-        max_tokens=1024))
+        max_tokens=999))
 
 
 def make_mix_evals_task(flavor: str,
                         judge: JudgeProvider | None = None) -> BenchmarkTask:
+    if flavor not in ("freeform", "mc"):
+        raise ValueError(f"unknown MixEvals flavor: {flavor}")
     if judge is None:
         judge = _default_judge()
 
@@ -101,8 +119,14 @@ def make_mix_evals_task(flavor: str,
                 m = re.search(r"\[\[([A-Z])\]\]", res.content)
                 if m:
                     idx = ord(m.group(1)) - ord("A")
-            gold = int(doc["answer_index"]) if "answer_index" in doc \
-                else int(doc.get("answer", 0))
+            # gold index lives in ``reference_answer`` (doc_to_target
+            # "{{reference_answer}}" in the mc yaml)
+            for key in ("reference_answer", "answer_index", "answer"):
+                if key in doc:
+                    gold = int(doc[key])
+                    break
+            else:
+                raise KeyError("mc doc carries no reference_answer")
             return {"question_idx": doc.get("id"), "pred": response,
                     "pred_answer": idx, "answer": gold,
                     "correct": int(idx == gold)}
@@ -111,10 +135,26 @@ def make_mix_evals_task(flavor: str,
             return {"overall": 100.0 * sum(r["correct"] for r in results)
                     / max(len(results), 1)}
 
-    return BenchmarkTask(
-        name=f"MixEvals-Video2Text-{flavor}",
-        doc_to_text=mix_evals_doc_to_text, process_response=process,
-        aggregate=aggregate, video_path_keys=("video_path", "video"))
+    import functools
+    doc_to_text = functools.partial(
+        mix_evals_doc_to_text, _defaults=MIX_EVALS_DEFAULT_KWARGS[flavor])
+    return _MixEvalsTask(
+        name=f"MixEvals-Video2Text-{flavor}", doc_to_text=doc_to_text,
+        process_response=process, aggregate=aggregate,
+        video_path_keys=("video_path", "video"))
+
+
+class _MixEvalsTask(BenchmarkTask):
+    """MixEval-X docs carry their media in ``input_file`` (a LIST of paths,
+    utils.py:149) — the first entry resolves."""
+
+    def resolve_video(self, doc, video_root: str = "") -> str:
+        if doc.get("input_file") and not doc.get("video_path") \
+                and not doc.get("video"):
+            files = doc["input_file"]
+            name = files[0] if isinstance(files, list) else files
+            return os.path.join(video_root, str(name))
+        return super().resolve_video(doc, video_root)
 
 
 def register_mix_evals(judge: JudgeProvider | None = None) -> None:
