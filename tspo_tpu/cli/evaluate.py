@@ -66,6 +66,9 @@ def build_parser():
                    help="LLM-judge provider for judged tasks like "
                         "ActivityNet-QA: openai|azure|local|dummy "
                         "(eval/llm_judge.py; $API_TYPE default)")
+    p.add_argument("--plm-stc-metadata", default=None,
+                   help="PLM-VideoBench STC masklet metadata_test.jsonl "
+                        "(bbox overlays for PLM-rcap/rdcap/rtloc)")
     p.add_argument("--wandb-args", default=None,
                    help="comma-separated wandb.init kwargs, e.g. "
                         "'project=tspo,name=run1' (reference --wandb_args); "
@@ -89,11 +92,17 @@ JUDGED_TASK_REGISTRARS = (
     (("EgoThink",), "egothink", "register_egothink"),
     (("VITATECS",), "vitatecs", "register_vitatecs"),
     (("MixEvals",), "mix_evals", "register_mix_evals"),
+    (("MMVU",), "mmvu", "register_mmvu"),
+    (("PLM-",), "plm_videobench", "register_plm_videobench"),
+    (("FunQA",), "funqa", "register_funqa"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
-# USE_GPT_PARSER=False, tempcompass rule-first)
-_RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO", "VITATECS")
+# USE_GPT_PARSER=False, tempcompass rule-first).  PLM-fgqa/PLM-rtloc are
+# rule-scored but live in a judged family — re-registering them with a judge
+# is harmless (their process fns never call it)
+_RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO", "VITATECS",
+                            "PLM-fgqa", "PLM-rtloc")
 
 
 def _register_judged_task(args, backbone) -> None:
@@ -101,13 +110,18 @@ def _register_judged_task(args, backbone) -> None:
     for prefixes, mod_name, fn_name in JUDGED_TASK_REGISTRARS:
         if not args.task.startswith(prefixes):
             continue
+        # non-judge kwargs a registrar family needs (PLM STC bbox overlays)
+        extra = {}
+        if fn_name == "register_plm_videobench" and \
+                getattr(args, "plm_stc_metadata", None):
+            extra["stc_metadata"] = args.plm_stc_metadata
         if args.judge is None and args.task.startswith(
                 _RULE_ONLY_WITHOUT_JUDGE):
             # re-register the rule-only defaults explicitly: a prior
             # --config run may have installed a judged variant in the
             # shared registry
             mod = importlib.import_module(f"tspo_tpu.eval.{mod_name}")
-            getattr(mod, fn_name)(None)
+            getattr(mod, fn_name)(None, **extra)
             return
         from ..eval.llm_judge import create_provider
         if args.judge:
@@ -120,7 +134,7 @@ def _register_judged_task(args, backbone) -> None:
                   "env-configured provider")
             judge = create_provider()
         mod = importlib.import_module(f"tspo_tpu.eval.{mod_name}")
-        getattr(mod, fn_name)(judge)
+        getattr(mod, fn_name)(judge, **extra)
         return
 
 

@@ -168,6 +168,8 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                         frames, frame_idx = cands, [int(i) for i in cand_idx]
                     payload = (frames, frame_idx)
                 frames, frame_idx = payload
+                if task.transform_frames is not None:
+                    frames = task.transform_frames(doc, frames, frame_idx)
                 prompt = task.doc_to_text(doc, specific_kwargs)
                 if (request_type or task.output_type) == "loglikelihood":
                     # request-type dispatch (evaluator.py:501): score each

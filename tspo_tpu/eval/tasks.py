@@ -229,6 +229,10 @@ class BenchmarkTask:
     # appended when the doc's video name has no extension (EgoSchema and
     # PerceptionTest docs carry bare ids, egoschema/utils.py:38)
     video_suffix: str = ""
+    # optional (doc, frames, frame_idx) -> frames hook applied after frame
+    # loading — PLM-VideoBench STC tasks draw per-frame bounding boxes on the
+    # gathered frames (plm_videobench/eval_utils.py::draw_bounding_boxes)
+    transform_frames: Callable | None = None
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os
@@ -355,3 +359,7 @@ from . import videommmu as _videommmu  # noqa: E402,F401
 from . import vitatecs as _vitatecs  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
 from . import tempcompass as _tempcompass  # noqa: E402,F401
+from . import grounding_tasks as _grounding_tasks  # noqa: E402,F401
+from . import mmvu as _mmvu  # noqa: E402,F401
+from . import plm_videobench as _plm_videobench  # noqa: E402,F401
+from . import funqa as _funqa  # noqa: E402,F401
