@@ -120,6 +120,10 @@ class TrainConfig:
     max_completion_length: int = 256   # backbone generate cap (tspo_trainer.py:533)
     adv_eps: float = 1e-4              # advantage std eps (tspo_trainer.py:592)
     max_steps: int = 1000
+    # when set, the planned run length is ceil(epochs * len(dataset)) like
+    # the reference HF Trainer (--num_train_epochs 1, train_deepspeed.sh:38)
+    # and tau anneals over exactly that span; max_steps then only caps it
+    num_train_epochs: float | None = None
     seed: int = 0
     frame_bucket: int = 128            # padded candidate-frame bucket for jit
     grad_accum: int = 2                # per-rank accumulation (train_deepspeed.sh)
