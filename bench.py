@@ -83,7 +83,125 @@ def measure_decode_fps() -> float:
     return frames.shape[0] / (time.perf_counter() - t0)
 
 
+def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
+                        ids, valid, CHUNK, BUCKET, n_iters=3) -> dict:
+    """Per-stage device-time breakdown of the fused scoring program
+    (round-2 VERDICT weak #1: attribute the distance to speed-of-light).
+
+    Each stage is timed as its own jitted program over the same bucket with
+    host-fetch sync (a tiny reduction, so the fetch is not the tunnel
+    bottleneck).  Stages: device preprocess, text tower, full vision tower,
+    attention-only (24 layers of the production Pallas lane kernel on the
+    real activation shapes), selector+top-k.  ``fused_total`` is the
+    single-dispatch program; ``unfused_sum`` the stage sum — their gap is
+    dispatch/fusion overhead (positive) or overlap XLA finds (negative).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from tspo_tpu.models.clip import encode_images, encode_text, \
+        preprocess_frames
+    from tspo_tpu.models.selector import score_frames
+    from tspo_tpu.ops.selection import topk_select
+
+    def timed(fn, *args):
+        out = fn(*args)                  # compile
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])   # true sync
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        return (time.perf_counter() - t0) / n_iters
+
+    v = clip_cfg.vision
+    T = BUCKET
+
+    @jax.jit
+    def stage_preprocess(frames_u8):
+        def pre(chunk_frames):
+            return preprocess_frames(chunk_frames, v.image_size,
+                                     jnp.bfloat16).sum(axis=(1, 2, 3))
+        s = jax.lax.map(pre, frames_u8.reshape(T // CHUNK, CHUNK,
+                                               *frames_u8.shape[1:]))
+        return s.sum()
+
+    @jax.jit
+    def stage_text(text_ids):
+        return encode_text(clip_params, text_ids, cfg=clip_cfg.text).sum()
+
+    pixels = None
+
+    @jax.jit
+    def make_pixels(frames_u8):
+        def pre(chunk_frames):
+            return preprocess_frames(chunk_frames, v.image_size, jnp.bfloat16)
+        return jax.lax.map(pre, frames_u8.reshape(T // CHUNK, CHUNK,
+                                                  *frames_u8.shape[1:]))
+
+    @jax.jit
+    def stage_vision(pix):
+        def enc(chunk_pixels):
+            return encode_images(clip_params, chunk_pixels, v)
+        return jax.lax.map(enc, pix).sum()
+
+    @jax.jit
+    def stage_attention(x):
+        """24 layers of ONLY the production attention path (qkv/o GEMMs +
+        the lane kernel) at the real activation shape [CHUNK, 257, 1024] x
+        (BUCKET/CHUNK) chunks — stacked-weight layout like the tower."""
+        from tspo_tpu.ops.vit_attention import vit_attention
+        attn = clip_params["vision"]["layers"]["attn"]
+
+        def per_chunk(h):
+            def layer(h, i):
+                q = h @ attn["q"]["kernel"][i].astype(h.dtype)
+                k = h @ attn["k"]["kernel"][i].astype(h.dtype)
+                val = h @ attn["v"]["kernel"][i].astype(h.dtype)
+                o = vit_attention(q, k, val, v.heads)
+                return o @ attn["o"]["kernel"][i].astype(h.dtype), 0
+            h, _ = jax.lax.scan(layer, h, jnp.arange(v.layers))
+            return h
+
+        return jax.lax.map(per_chunk, x).sum()
+
+    @jax.jit
+    def stage_selector(img, txt):
+        csc = (img / jnp.linalg.norm(img, axis=-1, keepdims=True)) @ \
+            (txt[0] / jnp.linalg.norm(txt[0]))
+        logits, _ = score_frames(sel_params, img, txt, csc, cfg=sel_cfg,
+                                 window_size=min(12, sel_cfg.window_size),
+                                 score_tau=0.025, valid=valid)
+        idx, _ = topk_select(jnp.where(valid, logits, -1e30),
+                             min(64, T), valid)
+        return idx
+
+    out = {}
+    out["preprocess_ms"] = timed(stage_preprocess, frames) * 1e3
+    out["text_tower_ms"] = timed(stage_text, ids) * 1e3
+    pixels = make_pixels(frames)
+    jax.block_until_ready(pixels)
+    out["vision_tower_ms"] = timed(stage_vision, pixels) * 1e3
+    rng = np.random.default_rng(1)
+    acts = jnp.asarray(rng.normal(size=(T // CHUNK, CHUNK, v.seq_len,
+                                        v.width)), jnp.bfloat16)
+    out["attention_only_ms"] = timed(stage_attention, acts) * 1e3
+    img_feat = jnp.asarray(rng.normal(size=(T, clip_cfg.text.projection_dim)),
+                           jnp.float32)
+    txt_feat = jnp.asarray(rng.normal(size=(1, clip_cfg.text.projection_dim)),
+                           jnp.float32)
+    out["selector_topk_ms"] = timed(stage_selector, img_feat, txt_feat) * 1e3
+    out["unfused_sum_ms"] = round(
+        out["preprocess_ms"] + out["text_tower_ms"] + out["vision_tower_ms"]
+        + out["selector_topk_ms"], 1)
+    out["vision_matmul_ms"] = round(out["vision_tower_ms"]
+                                    - out["attention_only_ms"], 1)
+    return {k: round(float(x), 1) for k, x in out.items()}
+
+
 def main():
+    import sys
+
     import jax
 
     from tspo_tpu.cli.common import enable_compilation_cache
@@ -130,7 +248,7 @@ def main():
     decode_fps = measure_decode_fps()
     e2e = (1.0 / (1.0 / frames_per_sec + 1.0 / decode_fps)
            if np.isfinite(decode_fps) else None)
-    print(json.dumps({
+    record = {
         "metric": "frames_scored_per_sec_per_chip",
         "value": round(frames_per_sec, 2),
         "unit": "frames/s",
@@ -141,7 +259,13 @@ def main():
         "e2e_decode_bound_fps": (round(e2e, 1) if e2e else None),
         "attention": "pallas_lane",
         "dtype": "bf16",
-    }))
+    }
+    if "--attribution" in sys.argv:
+        attr = measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg,
+                                   frames, ids, valid, CHUNK, BUCKET)
+        attr["fused_total_ms"] = round(1e3 * dt / n_iters, 1)
+        record["attribution"] = attr
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,168 @@
+"""Phase-2 answer-path roofline (round-2 VERDICT weak-list item #8).
+
+The phase-2 pipeline per question: 64 selected frames -> SigLIP vision
+encode + projector + pool (182 tokens/frame with grid newlines) -> ~12.9k
+token prompt -> 7B prefill -> ~32-token greedy decode.  Round 2 measured
+1.848 s/question without stating the ceiling.  This script measures each
+stage on the chip with random weights and states the physics bound next to
+it:
+
+  vision:  SigLIP so400m-384 forward ~= 2 * 0.43B * 729 tok = 627 GFLOP
+           per frame -> 64 frames = 40.1 TFLOP -> 204 ms at v5e 197 TFLOP/s
+  prefill: 2 * 6.9e9 active params * S tokens of GEMM FLOPs
+           -> S=12928 => 178 TFLOP -> 906 ms at peak (attention extra)
+  decode:  weight-read bound: int8 weights ~= 7.6 GB + KV row
+           -> ~9.6 ms/token at 819 GB/s => 32 tokens ~= 307 ms
+
+It also measures B=4 batched phase-2 (multi-question batching amortizes the
+decode weight reads; prefill is already MXU-bound so batching mostly helps
+the decode tail).  Run detached on the chip:
+  nohup python scripts/bench_phase2_roofline.py > /tmp/phase2.json &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+V5E_PEAK_TFLOPS = 197e12
+V5E_HBM_BPS = 819e9
+FRAMES = 64
+DECODE_TOKENS = 32
+
+
+def sync(x):
+    jax.block_until_ready(x)
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+def timed(fn, *args, iters=3):
+    sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from tspo_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+    from tspo_tpu.models.llava_video import (LLaVAVideoConfig,
+                                             encode_video_chunk)
+    from tspo_tpu.models.qwen2 import KVCache, greedy_decode
+    from tspo_tpu.models.siglip import init_siglip_params
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_decode_batched import init_qwen2_int8_on_device, weight_bytes
+
+    out = {}
+    cfg = LLaVAVideoConfig()            # production 7B geometry
+    lm_cfg = cfg.lm
+
+    # ---- stage 1: vision encode + projector + pool, 64 frames ----
+    k = jax.random.PRNGKey(0)
+    vis_params = {
+        "vision": init_siglip_params(k, cfg.vision, jnp.bfloat16),
+        "projector": {
+            "fc1": {"kernel": jax.random.normal(
+                k, (cfg.vision.width, lm_cfg.hidden_size), jnp.bfloat16)
+                * 0.02,
+                "bias": jnp.zeros(lm_cfg.hidden_size, jnp.bfloat16)},
+            "fc2": {"kernel": jax.random.normal(
+                k, (lm_cfg.hidden_size, lm_cfg.hidden_size), jnp.bfloat16)
+                * 0.02,
+                "bias": jnp.zeros(lm_cfg.hidden_size, jnp.bfloat16)},
+        },
+    }
+    rng = np.random.default_rng(0)
+    CHUNK = 16
+    frames = jnp.asarray(rng.integers(
+        0, 256, (CHUNK, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8))
+
+    def vision_chunk(f):
+        return encode_video_chunk(vis_params, f, cfg)
+
+    t_chunk = timed(vision_chunk, frames)
+    t_vision = t_chunk * (FRAMES / CHUNK)
+    # SigLIP tower params (no text side): ~0.43B; FLOPs = 2*P*729 per frame
+    sig_params = sum(np.prod(x.shape) for x in
+                     jax.tree_util.tree_leaves(vis_params["vision"]))
+    vis_flop = 2 * float(sig_params) * cfg.vision.num_patches * FRAMES
+    out["vision"] = {
+        "measured_s_64f": round(t_vision, 3),
+        "sol_s": round(vis_flop / V5E_PEAK_TFLOPS, 3),
+        "sol_frac": round(vis_flop / V5E_PEAK_TFLOPS / t_vision, 3),
+    }
+
+    # ---- stage 2+3: prefill + decode on the 12.9k prompt (int8 weights) ----
+    lm_params = init_qwen2_int8_on_device(lm_cfg)
+    jax.block_until_ready(lm_params)
+    wb = weight_bytes(lm_params)
+    S = FRAMES * cfg.tokens_per_frame + 280      # ~12928 @ 182 tok/frame
+    active_params = wb_active = None
+    # GEMM FLOPs per token ~= 2 * (non-embedding params); estimate from
+    # weight bytes of the transformer stack (int8 ~= 1 B/param + scales)
+    approx_params = 6.9e9
+    for B in (1, 4):
+        emb = jnp.asarray(rng.normal(size=(B, S, lm_cfg.hidden_size)) * 0.02,
+                          jnp.bfloat16)
+        valid = jnp.ones((B, S), bool)
+        T = S + DECODE_TOKENS + 2
+
+        def prefill_only(e, v):
+            cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
+            outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
+                                    max_new_tokens=1, eos_token_id=-1)
+            return outv
+
+        def full(e, v):
+            cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
+            outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
+                                    max_new_tokens=DECODE_TOKENS,
+                                    eos_token_id=-1)
+            return outv
+
+        t_pre = timed(prefill_only, emb, valid)
+        t_full = timed(full, emb, valid)
+        t_dec = t_full - t_pre
+        prefill_flop = 2 * approx_params * S * B
+        kv_row = 2 * lm_cfg.num_layers * T * lm_cfg.num_kv_heads \
+            * lm_cfg.head_dim * 2
+        dec_sol = (DECODE_TOKENS - 1) * (wb + B * kv_row) / V5E_HBM_BPS
+        per_q = t_full / B
+        out[f"lm_B{B}"] = {
+            "prompt_tokens": S,
+            "prefill_s": round(t_pre, 3),
+            "prefill_sol_s": round(prefill_flop / V5E_PEAK_TFLOPS, 3),
+            "prefill_sol_frac": round(
+                prefill_flop / V5E_PEAK_TFLOPS / t_pre, 3),
+            "decode32_s": round(t_dec, 3),
+            "decode_sol_s": round(dec_sol, 3),
+            "decode_sol_frac": round(dec_sol / t_dec, 3) if t_dec > 0 else None,
+            "per_question_s": round(per_q + t_vision, 3),
+        }
+        print(json.dumps({f"lm_B{B}": out[f"lm_B{B}"]}), flush=True)
+
+    sol_total = (out["vision"]["sol_s"] + out["lm_B1"]["prefill_sol_s"]
+                 + out["lm_B1"]["decode_sol_s"])
+    meas_total = out["lm_B1"]["per_question_s"]
+    out["summary"] = {
+        "per_question_s_B1": meas_total,
+        "per_question_sol_s": round(sol_total, 3),
+        "sol_frac": round(sol_total / meas_total, 3),
+        "batched_B4_per_question_s": out["lm_B4"]["per_question_s"],
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

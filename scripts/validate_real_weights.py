@@ -23,6 +23,12 @@ Stages (each skippable by omitting its inputs):
                      identical features -> identical indices; ties reported)
   3. backbone-load:  LLaVAVideoModel.from_torch_checkpoint on the 7B dir
   4. accuracy:       phase-2 on the emitted indices; compare to 63.9% LVB
+
+No-download risk reducer (runs HERE, no assets needed): the full-geometry
+random-weight parity suite covers the same numerics at the real
+CLIP-ViT-L/14 + selector dims — torch-vs-jax feature cosines, reference
+MultiModal_Align score vectors, merged-format load, identical top-k indices:
+  TSPO_RUN_SLOW=1 python -m pytest tests/test_full_geometry.py -v
 """
 
 from __future__ import annotations

@@ -1,0 +1,211 @@
+"""Full-geometry numerics parity (round-2 VERDICT missing #2 risk reducer).
+
+The tiny-config parity tests prove structural correctness but not that the
+port holds at the REAL CLIP-ViT-L/14 geometry (24x1024 vision, 12x768 text),
+where 12x more layers of fp32 accumulation can expose drift the tiny tests
+cannot.  These tests build a full-size random-weight torch CLIPModel + the
+reference MultiModal_Align selector, port them through the production
+loaders, and require score-vector closeness AND identical selected frame
+indices end-to-end.
+
+Slow (~2-4 min, ~4 GB RSS): run with ``TSPO_RUN_SLOW=1 python -m pytest
+tests/test_full_geometry.py`` — part of the real-weight validation runbook
+(scripts/validate_real_weights.py), which swaps the random weights for the
+released TSPO-0.4B checkpoint when network/disk provides it.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("TSPO_RUN_SLOW"),
+    reason="full-geometry parity is slow; set TSPO_RUN_SLOW=1")
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tspo_tpu.configs import CLIPConfig, SelectorConfig  # noqa: E402
+from tspo_tpu.models.clip import (clip_params_from_torch, cosine_scores,  # noqa: E402
+                                  encode_images, encode_text)
+from tspo_tpu.models.selector import (init_selector_params, score_frames,  # noqa: E402
+                                      selector_params_to_torch)
+
+CFG = CLIPConfig()           # full openai/clip-vit-large-patch14 geometry
+SEL_CFG = SelectorConfig()   # full dim=768 selector
+
+
+@pytest.fixture(scope="module")
+def torch_clip_full():
+    t, v = CFG.text, CFG.vision
+    hf_cfg = transformers.CLIPConfig(
+        text_config=dict(
+            vocab_size=t.vocab_size, hidden_size=t.width,
+            intermediate_size=4 * t.width, num_hidden_layers=t.layers,
+            num_attention_heads=t.heads,
+            max_position_embeddings=t.max_positions,
+            projection_dim=t.projection_dim, eos_token_id=t.eos_token_id,
+            hidden_act="quick_gelu"),
+        vision_config=dict(
+            hidden_size=v.width, intermediate_size=4 * v.width,
+            num_hidden_layers=v.layers, num_attention_heads=v.heads,
+            patch_size=v.patch_size, image_size=v.image_size,
+            projection_dim=v.projection_dim, hidden_act="quick_gelu"),
+        projection_dim=t.projection_dim)
+    torch.manual_seed(0)
+    return transformers.CLIPModel(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def jax_params_full(torch_clip_full):
+    return clip_params_from_torch(torch_clip_full, CFG, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def frames_and_ids():
+    rng = np.random.default_rng(0)
+    T = 16
+    pixels = rng.normal(size=(T, 3, CFG.vision.image_size,
+                              CFG.vision.image_size)).astype(np.float32)
+    ids = rng.integers(1, CFG.text.vocab_size - 1, size=(1, 77))
+    ids[0, -1] = CFG.text.eos_token_id
+    return pixels, ids
+
+
+def test_full_clip_image_text_cosine_parity(torch_clip_full, jax_params_full,
+                                            frames_and_ids):
+    """Full 24-layer vision + 12-layer text towers: feature and cosine
+    parity at tolerances that leave the frame RANKING bit-stable."""
+    pixels, ids = frames_and_ids
+    with torch.no_grad():
+        img_w = torch_clip_full.get_image_features(
+            pixel_values=torch.from_numpy(pixels)).numpy()
+        txt_w = torch_clip_full.get_text_features(
+            input_ids=torch.from_numpy(ids)).numpy()
+    img_g = np.asarray(encode_images(jax_params_full, jnp.asarray(pixels),
+                                     CFG.vision))
+    txt_g = np.asarray(encode_text(jax_params_full, jnp.asarray(ids),
+                                   cfg=CFG.text))
+    # cosine of each feature vector against its torch twin
+    def cos_rows(a, b):
+        return np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                    * np.linalg.norm(b, axis=-1))
+    assert cos_rows(img_g, img_w).min() > 1 - 1e-6
+    assert cos_rows(txt_g, txt_w).min() > 1 - 1e-6
+
+    # the quantity phase-1 ranks by: frame-text cosine
+    def unit(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    want = unit(img_w) @ unit(txt_w)[0]
+    got = np.asarray(cosine_scores(jnp.asarray(img_g), jnp.asarray(txt_g)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert np.argsort(got).tolist() == np.argsort(want).tolist()
+
+
+def _load_ref_temporal_agent():
+    path = "/root/reference/model/temporal_agent.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    pkg = types.ModuleType("refmodel")
+    pkg.__path__ = ["/root/reference/model"]
+    sys.modules["refmodel"] = pkg
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "refmodel.utils", "/root/reference/model/utils.py")
+        utils = importlib.util.module_from_spec(spec)
+        sys.modules["refmodel.utils"] = utils
+        spec.loader.exec_module(utils)
+        spec = importlib.util.spec_from_file_location("refmodel.temporal_agent",
+                                                      path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refmodel.temporal_agent"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for n in ("refmodel", "refmodel.utils", "refmodel.temporal_agent"):
+            sys.modules.pop(n, None)
+
+
+def test_full_selector_score_vector_parity(torch_clip_full, jax_params_full,
+                                           frames_and_ids):
+    """Full-dim (768) selector, REAL reference module as the oracle: export
+    our random selector to the torch key layout, load it into the
+    reference's MultiModal_Align, and require score-vector closeness +
+    identical top-k selected indices over T=256 frames — the exact
+    phase-1 quantity that determines frameIdx fidelity."""
+    ref = _load_ref_temporal_agent()
+    params = init_selector_params(__import__("jax").random.PRNGKey(5),
+                                  SEL_CFG)
+    align = ref.MultiModal_Align(dim=SEL_CFG.dim,
+                                 num_heads=SEL_CFG.num_heads).eval()
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in selector_params_to_torch(params).items()}
+    missing, unexpected = align.load_state_dict(sd, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    rng = np.random.default_rng(7)
+    T = 256
+    frame_emb = rng.normal(size=(T, SEL_CFG.dim)).astype(np.float32)
+    text_emb = rng.normal(size=(1, SEL_CFG.dim)).astype(np.float32)
+    clip_sc = rng.normal(scale=0.05, size=T).astype(np.float32)
+
+    with torch.no_grad():
+        want, _ = align(torch.from_numpy(frame_emb),
+                        torch.from_numpy(text_emb),
+                        clip_scores=torch.from_numpy(clip_sc),
+                        window_size=SEL_CFG.window_size,
+                        score_tau=SEL_CFG.score_tau)
+    want = want.numpy()
+    got, _ = score_frames(params, jnp.asarray(frame_emb),
+                          jnp.asarray(text_emb), jnp.asarray(clip_sc),
+                          cfg=SEL_CFG, window_size=SEL_CFG.window_size,
+                          score_tau=SEL_CFG.score_tau)
+    got = np.asarray(got)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    for k in (16, 64):
+        assert set(np.argsort(got)[-k:].tolist()) == \
+            set(np.argsort(want)[-k:].tolist()), f"top-{k} differs"
+
+
+def test_full_merged_scorer_selected_indices(torch_clip_full,
+                                             jax_params_full):
+    """Full-geometry merged-checkpoint load (the release TSPO-0.4B format:
+    HF CLIPModel sd + ``selector.*`` keys, merge_weights.py:31-58) selects
+    the SAME frame indices as a scorer composed from the individual
+    loaders — the quantity that determines frameIdx fidelity."""
+    import jax
+    from tspo_tpu.models.tspo_model import TSPOScorer
+
+    sel_params = init_selector_params(jax.random.PRNGKey(5), SEL_CFG)
+    merged_sd = dict(torch_clip_full.state_dict())
+    for k, v in selector_params_to_torch(sel_params).items():
+        merged_sd["selector." + k] = torch.from_numpy(np.asarray(v))
+
+    merged = TSPOScorer.from_torch_merged(
+        merged_sd, clip_cfg=CFG, selector_cfg=SEL_CFG, dtype=jnp.float32,
+        batch_frames=8, frame_buckets=(64,), tokenize=_full_tokenize)
+    composed = TSPOScorer(
+        clip_params=jax_params_full, selector_params=sel_params,
+        clip_cfg=CFG, selector_cfg=SEL_CFG, dtype=jnp.float32,
+        batch_frames=8, frame_buckets=(64,), tokenize=_full_tokenize)
+
+    rng = np.random.default_rng(9)
+    video = rng.integers(0, 256, (40, 224, 224, 3), dtype=np.uint8)
+    sel1, sc1 = merged(video, "what happens at the end?", sample_num=16)
+    sel2, sc2 = composed(video, "what happens at the end?", sample_num=16)
+    assert list(np.asarray(sel1)) == list(np.asarray(sel2))
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _full_tokenize(problem: str):
+    ids = np.full((1, 77), 3, np.int64)
+    for i, ch in enumerate(problem[:75]):
+        ids[0, i + 1] = 4 + (ord(ch) % 49000)
+    ids[0, -1] = CFG.text.eos_token_id
+    return ids, np.ones((1, 77), np.int64)

@@ -163,7 +163,7 @@ def test_full_stack_first_token_parity(torch_siglip, torch_stack, jax_model):
         t = torch.cat([t, newline[:, None, None].expand(D, F * side, 1)], dim=-1)
         vid_tokens = t.flatten(1, 2).transpose(0, 1)
 
-        prompt = build_qwen15_prompt("What?")
+        prompt = jax_model._prompt("What?")
         ids = tokenize_with_image(prompt, jax_model.encode)
         p = ids.index(IMAGE_TOKEN_INDEX)
         emb_w = qwen.get_input_embeddings().weight
@@ -227,7 +227,7 @@ def test_loglikelihood_matches_torch(torch_siglip, torch_stack, jax_model):
         t = torch.cat([t, newline[:, None, None].expand(D, F * side, 1)], dim=-1)
         vid = t.flatten(1, 2).transpose(0, 1)
 
-        ids = tokenize_with_image(build_qwen15_prompt(question), jax_model.encode)
+        ids = tokenize_with_image(jax_model._prompt(question), jax_model.encode)
         cont_ids = list(jax_model.encode(continuation))
         all_ids = ids + cont_ids
         p = all_ids.index(IMAGE_TOKEN_INDEX)

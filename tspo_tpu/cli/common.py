@@ -116,23 +116,47 @@ def _stub_tokenizer(eos: int = 49407, length: int = 16, vocab: int | None = None
 def load_backbone(kind: str, model_path: str | None = None, **kw):
     """Backbone adapter factory: 'stub' (testing), 'llava_video' (jax),
     'qwen2_5_vl' (jax)."""
+    # conv_template only applies to the llava family; strip it for others
+    _conv_template = kw.pop("conv_template", None)
+    if kind == "llava_video":
+        kw["conv_template"] = _conv_template
     if kind == "stub":
         class Stub:
             def generate(self, frames, prompt):
                 return "A"
         return Stub()
     if kind == "llava_video":
+        import dataclasses
         from ..models.llava_video import LLaVAVideoModel, LLaVAVideoConfig
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(model_path)
         cfg_path = os.path.join(model_path, "config.json")
         if os.path.exists(cfg_path):
-            cfg = LLaVAVideoConfig.from_hf_config(json.load(open(cfg_path)))
+            hf = json.load(open(cfg_path))
+            cfg = LLaVAVideoConfig.from_hf_config(hf)
         else:
-            cfg = LLaVAVideoConfig()
+            hf, cfg = {}, LLaVAVideoConfig()
+        conv_template = kw.pop("conv_template", None)
+        if "vicuna" in str(model_path).lower() or \
+                "yi" in str(model_path).lower():
+            # old vicuna/yi checkpoints: adapter-default template + computed
+            # long-context rope scaling (llava_vid_tspo.py:94, 159-174)
+            conv_template = conv_template or "vicuna_v1"
+            if cfg.lm.rope_scaling_factor == 1.0:
+                from ..models.conversation import vicuna_rope_overrides
+                over = vicuna_rope_overrides(
+                    kw.pop("max_frames_num", 64),
+                    cfg.pool_stride,
+                    vision_224="224" in str(hf.get("mm_vision_tower", "")))
+                if over:
+                    cfg = dataclasses.replace(cfg, lm=dataclasses.replace(
+                        cfg.lm, rope_scaling_factor=over["rope_scaling"]
+                        ["factor"]))
         model = _load_llava_dir(model_path, cfg, **kw)
         model.encode = lambda s: tok(s).input_ids
         model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)
+        model.conv_template = conv_template or "qwen_1_5"
+        model.bos_token_id = tok.bos_token_id
         return model
     if kind == "qwen2_5_vl":
         from ..models.qwen25vl import load_qwen25vl_adapter

@@ -19,6 +19,9 @@ def build_parser():
     p.add_argument("--backbone", default=None,
                    choices=[None, "stub", "llava_video", "qwen2_5_vl"])
     p.add_argument("--backbone-path", default=None)
+    p.add_argument("--conv-template", default=None,
+                   help="conversation template (qwen_1_5, vicuna_v1, "
+                        "chatml_direct, ... — models/conversation.py)")
     p.add_argument("--sample-num", type=int, default=64)
     p.add_argument("--window-size", type=int, default=12)
     p.add_argument("--method", default="topk",
@@ -69,7 +72,8 @@ def main(argv=None):
         print(f"(no contact sheet: {e})")
 
     if args.backbone:
-        backbone = load_backbone(args.backbone, args.backbone_path)
+        backbone = load_backbone(args.backbone, args.backbone_path,
+                                 conv_template=args.conv_template)
         answer = backbone.generate(frames[np.asarray(idx)], args.question)
         print(f"answer: {answer}")
 

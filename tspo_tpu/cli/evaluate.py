@@ -66,6 +66,10 @@ def build_parser():
                    help="LLM-judge provider for judged tasks like "
                         "ActivityNet-QA: openai|azure|local|dummy "
                         "(eval/llm_judge.py; $API_TYPE default)")
+    p.add_argument("--conv-template", default=None,
+                   help="conversation template for the llava_video backbone "
+                        "(qwen_1_5 default; vicuna_v1/chatml_direct/... — "
+                        "models/conversation.py)")
     p.add_argument("--plm-stc-metadata", default=None,
                    help="PLM-VideoBench STC masklet metadata_test.jsonl "
                         "(bbox overlays for PLM-rcap/rdcap/rtloc)")
@@ -182,7 +186,8 @@ def _run(args):
     if args.world == 1:
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
-    backbone = load_backbone(args.backbone, args.backbone_path)
+    backbone = load_backbone(args.backbone, args.backbone_path,
+                             conv_template=args.conv_template)
     _register_judged_task(args, backbone)
     scorer = None
     if args.live_model_path:

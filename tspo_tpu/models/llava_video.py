@@ -75,7 +75,11 @@ class LLaVAVideoConfig:
             rope_theta=hf.get("rope_theta", 1_000_000.0),
             rms_eps=hf.get("rms_norm_eps", 1e-6),
             max_position_embeddings=hf.get("max_position_embeddings", 32768),
-            tie_word_embeddings=hf.get("tie_word_embeddings", False))
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # long-context vicuna checkpoints carry HF "linear" rope scaling
+            # (llava_vid_tspo.py:159-174 overwrite_config)
+            rope_scaling_factor=float(
+                (hf.get("rope_scaling") or {}).get("factor", 1.0)))
         return cls(lm=lm, vision=SigLIPConfig(),
                    pool_stride=hf.get("mm_spatial_pool_stride", 2),
                    mm_newline_position=hf.get("mm_newline_position", "grid"))
@@ -92,7 +96,13 @@ def build_qwen15_prompt(question: str,
 
 
 def tokenize_with_image(prompt: str, encode: Callable, bos_token_id=None) -> list:
-    """Split on <image> and insert IMAGE_TOKEN_INDEX (mm_utils.py:341-361)."""
+    """Split on <image> and insert IMAGE_TOKEN_INDEX (mm_utils.py:341-361).
+
+    BOS handling mirrors the reference's separator trick exactly: with a
+    BOS-emitting tokenizer (vicuna/llama) every chunk starts with BOS and is
+    stripped via ``chunk[offset:]``; the separator is built as
+    ``[img]*(offset+1)`` and ALSO sliced ``[offset:]`` — so exactly ONE
+    image token lands per <image> either way."""
     chunks = [encode(chunk) for chunk in prompt.split(DEFAULT_IMAGE_TOKEN)]
     input_ids = []
     offset = 0
@@ -101,7 +111,7 @@ def tokenize_with_image(prompt: str, encode: Callable, bos_token_id=None) -> lis
         input_ids.append(chunks[0][0])
     for i, chunk in enumerate(chunks):
         if i > 0:
-            input_ids.extend([IMAGE_TOKEN_INDEX] * (offset + 1))
+            input_ids.append(IMAGE_TOKEN_INDEX)
         input_ids.extend(chunk[offset:])
     return input_ids
 
@@ -169,6 +179,21 @@ class LLaVAVideoModel:
     decode: Callable | None = None
     batch_frames: int = 32
     max_new_tokens: int = 256
+    # conversation template for prompt wrapping (llava_vid_tspo.py:94 —
+    # adapter default vicuna_v1; the TSPO Qwen2 checkpoints use qwen_1_5);
+    # see models/conversation.py for the table
+    conv_template: str = "qwen_1_5"
+    # BOS id for tokenize_with_image's offset handling (vicuna/llama
+    # tokenizers emit a leading BOS; qwen's does not — mm_utils.py:341-361)
+    bos_token_id: int | None = None
+
+    def _prompt(self, question: str) -> str:
+        """Eval-adapter prompt: <image> + question wrapped in the conv
+        template, NO trailer (llava_vid_tspo.py:520-527 — task prompts carry
+        their own instructions; the trainer adds its letter-answer trailer
+        itself, tspo_trainer.py:487)."""
+        from .conversation import build_prompt
+        return build_prompt(question, self.conv_template)
 
     def encode_video(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, 3] uint8 -> [T*tokens_per_frame, D] spliceable tokens."""
@@ -212,8 +237,8 @@ class LLaVAVideoModel:
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         max_new = max_new_tokens or self.max_new_tokens
-        prompt = prompt if prompt is not None else build_qwen15_prompt(question)
-        input_ids = tokenize_with_image(prompt, self.encode)
+        prompt = prompt if prompt is not None else self._prompt(question)
+        input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         if frames is None or len(frames) == 0:
             # text-only path (LLM-judge LocalBackboneProvider grades with no
             # video): the <image> slot splices to zero tokens
@@ -242,8 +267,8 @@ class LLaVAVideoModel:
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         max_new = max_new_tokens or self.max_new_tokens
-        prompt = build_qwen15_prompt(question)
-        input_ids = tokenize_with_image(prompt, self.encode)
+        prompt = self._prompt(question)
+        input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         embeds = jnp.concatenate([
             self.splice_embeddings(input_ids, self.encode_video(f))
             for f in frames_list], axis=0)                    # [G, S, D]
@@ -263,8 +288,8 @@ class LLaVAVideoModel:
         the lmms-eval ``loglikelihood`` request type (api/model.py:20-82,
         llava_vid_tspo.py:385-445)."""
         from .qwen2 import lm_logits, qwen2_forward
-        prompt = prompt if prompt is not None else build_qwen15_prompt(question)
-        prompt_ids = tokenize_with_image(prompt, self.encode)
+        prompt = prompt if prompt is not None else self._prompt(question)
+        prompt_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         cont_ids = list(self.encode(continuation))
         video_tokens = self.encode_video(frames)
         embeds = self.splice_embeddings(prompt_ids + cont_ids, video_tokens)

@@ -41,6 +41,12 @@ from .grpo import (SampledSubsets, TrainBatch, anneal_tau, make_optimizer,
 from .rewards import (REWARD_REGISTRY, clean_question, compose_rewards,
                       extract_problem)
 
+# the TRAINER appends the letter-answer instruction to the rollout question
+# (tspo_trainer.py:487) — backbone.generate wraps prompts without trailers
+# (eval task prompts carry their own instructions)
+ANSWER_TRAILER = ("\nPlease answer with the option's letter from the given "
+                  "choices directly.")
+
 
 @dataclass
 class TSPOTrainer:
@@ -173,12 +179,13 @@ class TSPOTrainer:
                                  sample_len=sample_len,
                                  window_size=cfg.window_size)
         idx_g = np.asarray(subsets.indices[0])                  # [G, K]
+        gen_q = question + ANSWER_TRAILER
         if hasattr(self.backbone, "generate_batch"):
             # one batched decode for all G rollouts (equal prompt lengths)
             completions = self.backbone.generate_batch(
-                [video[idx] for idx in idx_g], question)
+                [video[idx] for idx in idx_g], gen_q)
         else:
-            completions = [self.backbone.generate(video[idx], question)
+            completions = [self.backbone.generate(video[idx], gen_q)
                            for idx in idx_g]
 
         # rewards -> [G, n_funcs] (tspo_trainer.py:557-573)
@@ -263,11 +270,12 @@ class TSPOTrainer:
         for b, (row, (video, mask, _, question, _, stype)) in enumerate(
                 zip(rows, prepared)):
             idx_g = [idx[:k_lens[b]] for idx in idx_bg[b]]
+            gen_q = question + ANSWER_TRAILER
             if hasattr(self.backbone, "generate_batch"):
                 completions = self.backbone.generate_batch(
-                    [video[idx] for idx in idx_g], question)
+                    [video[idx] for idx in idx_g], gen_q)
             else:
-                completions = [self.backbone.generate(video[idx], question)
+                completions = [self.backbone.generate(video[idx], gen_q)
                                for idx in idx_g]
             per_func = np.zeros((cfg.num_generations, len(self.reward_funcs)),
                                 np.float32)
