@@ -85,6 +85,25 @@ def test_answer_endpoint(server):
     assert len(out["frame_indices"]) == 8
 
 
+def test_openai_chat_completions_endpoint(server):
+    """The sglang-launcher replacement: /v1/chat/completions speaks the
+    OpenAI chat schema against the loaded backbone's text-only generate."""
+    base, _ = server
+    status, out = _post(base + "/v1/chat/completions", {
+        "model": "local-judge",
+        "messages": [{"role": "system", "content": "You are a judge."},
+                     {"role": "user", "content": "Score this answer: 1/0"}],
+        "max_tokens": 8,
+        "temperature": 0.0,           # ignored extras must not 400
+    })
+    assert status == 200
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"] == {"role": "assistant",
+                                            "content": "A"}
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert out["model"] == "local-judge"
+
+
 def test_bad_request(server):
     base, _ = server
     try:

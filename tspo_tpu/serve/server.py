@@ -83,6 +83,41 @@ class ScoringService:
             out["scores"] = [float(x) for x in np.asarray(logits)]
         return out
 
+    def chat_completion(self, *, messages: list, model: str = "local",
+                        max_tokens: int | None = None, **_ignored) -> dict:
+        """OpenAI-compatible chat completion on the loaded backbone's
+        text-only generate path — the zero-egress replacement for the
+        reference's sglang judge launcher
+        (lmms-eval/lmms_eval/llm_judge/launcher/): third-party harnesses
+        point API_TYPE=openai / OPENAI_API_URL at this server and judge
+        with the local model.  System + user turns are joined the way the
+        chatml template renders them (system prompt then user content)."""
+        if self.backbone is None:
+            raise ValueError("no backbone loaded")
+        system = "\n".join(str(m.get("content", "")) for m in messages
+                           if m.get("role") == "system")
+        user = "\n".join(str(m.get("content", "")) for m in messages
+                         if m.get("role") != "system")
+        prompt = (system + "\n\n" + user).strip() if system else user
+        kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
+        with self._device_lock:
+            try:
+                text = self.backbone.generate(None, prompt, **kwargs)
+            except TypeError:
+                text = self.backbone.generate(None, prompt)
+        self.stats["requests"] += 1
+        return {
+            "id": f"chatcmpl-{self.stats['requests']}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": model,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": 0, "completion_tokens": 0,
+                      "total_tokens": 0},
+        }
+
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
                max_new_tokens: int | None = None) -> dict:
@@ -141,6 +176,8 @@ def make_handler(service: ScoringService):
                     self._send(200, service.score(**req))
                 elif self.path == "/v1/answer":
                     self._send(200, service.answer(**req))
+                elif self.path == "/v1/chat/completions":
+                    self._send(200, service.chat_completion(**req))
                 else:
                     self._send(404, {"error": "not found"})
             except (TypeError, ValueError, KeyError) as e:
