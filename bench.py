@@ -117,6 +117,9 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
     v = clip_cfg.vision
     T = BUCKET
 
+    # NOTE params ride as ARGUMENTS, never closures: closed-over weights get
+    # baked into the compiled program as constants (a 624 MB executable for
+    # the text tower was measured) and tunnel-serialize for minutes.
     @jax.jit
     def stage_preprocess(frames_u8):
         def pre(chunk_frames):
@@ -127,10 +130,8 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
         return s.sum()
 
     @jax.jit
-    def stage_text(text_ids):
-        return encode_text(clip_params, text_ids, cfg=clip_cfg.text).sum()
-
-    pixels = None
+    def stage_text(cp, text_ids):
+        return encode_text(cp, text_ids, cfg=clip_cfg.text).sum()
 
     @jax.jit
     def make_pixels(frames_u8):
@@ -140,18 +141,17 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
                                                   *frames_u8.shape[1:]))
 
     @jax.jit
-    def stage_vision(pix):
+    def stage_vision(cp, pix):
         def enc(chunk_pixels):
-            return encode_images(clip_params, chunk_pixels, v)
+            return encode_images(cp, chunk_pixels, v)
         return jax.lax.map(enc, pix).sum()
 
     @jax.jit
-    def stage_attention(x):
+    def stage_attention(attn, x):
         """24 layers of ONLY the production attention path (qkv/o GEMMs +
         the lane kernel) at the real activation shape [CHUNK, 257, 1024] x
         (BUCKET/CHUNK) chunks — stacked-weight layout like the tower."""
         from tspo_tpu.ops.vit_attention import vit_attention
-        attn = clip_params["vision"]["layers"]["attn"]
 
         def per_chunk(h):
             def layer(h, i):
@@ -166,10 +166,10 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
         return jax.lax.map(per_chunk, x).sum()
 
     @jax.jit
-    def stage_selector(img, txt):
+    def stage_selector(sp, img, txt):
         csc = (img / jnp.linalg.norm(img, axis=-1, keepdims=True)) @ \
             (txt[0] / jnp.linalg.norm(txt[0]))
-        logits, _ = score_frames(sel_params, img, txt, csc, cfg=sel_cfg,
+        logits, _ = score_frames(sp, img, txt, csc, cfg=sel_cfg,
                                  window_size=min(12, sel_cfg.window_size),
                                  score_tau=0.025, valid=valid)
         idx, _ = topk_select(jnp.where(valid, logits, -1e30),
@@ -178,19 +178,21 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
 
     out = {}
     out["preprocess_ms"] = timed(stage_preprocess, frames) * 1e3
-    out["text_tower_ms"] = timed(stage_text, ids) * 1e3
+    out["text_tower_ms"] = timed(stage_text, clip_params, ids) * 1e3
     pixels = make_pixels(frames)
     jax.block_until_ready(pixels)
-    out["vision_tower_ms"] = timed(stage_vision, pixels) * 1e3
+    out["vision_tower_ms"] = timed(stage_vision, clip_params, pixels) * 1e3
     rng = np.random.default_rng(1)
     acts = jnp.asarray(rng.normal(size=(T // CHUNK, CHUNK, v.seq_len,
                                         v.width)), jnp.bfloat16)
-    out["attention_only_ms"] = timed(stage_attention, acts) * 1e3
+    out["attention_only_ms"] = timed(
+        stage_attention, clip_params["vision"]["layers"]["attn"], acts) * 1e3
     img_feat = jnp.asarray(rng.normal(size=(T, clip_cfg.text.projection_dim)),
                            jnp.float32)
     txt_feat = jnp.asarray(rng.normal(size=(1, clip_cfg.text.projection_dim)),
                            jnp.float32)
-    out["selector_topk_ms"] = timed(stage_selector, img_feat, txt_feat) * 1e3
+    out["selector_topk_ms"] = timed(stage_selector, sel_params, img_feat,
+                                    txt_feat) * 1e3
     out["unfused_sum_ms"] = round(
         out["preprocess_ms"] + out["text_tower_ms"] + out["vision_tower_ms"]
         + out["selector_topk_ms"], 1)
