@@ -107,6 +107,39 @@ def test_full_clip_image_text_cosine_parity(torch_clip_full, jax_params_full,
     assert np.argsort(got).tolist() == np.argsort(want).tolist()
 
 
+def test_full_siglip_nondivisible_patch_parity():
+    """so400m-384 geometry: image 384, patch 14 -> 27x27 patches over 378 px
+    with a 6-px ignored margin (torch valid conv).  The patchify-as-GEMM
+    path must crop identically — a divisible tiny config cannot catch this
+    (it crashed at full geometry before round 3).  Uses a thin 2-layer tower
+    at the REAL 384/14 spatial geometry so the conv-margin semantics are
+    exercised without the 400M-param compile."""
+    import jax
+    import transformers
+    from tspo_tpu.models.siglip import (SigLIPConfig, siglip_encode,
+                                        siglip_params_from_torch)
+
+    v = SigLIPConfig(width=64, layers=2, heads=4, intermediate=128,
+                     patch_size=14, image_size=384)
+    hf_cfg = transformers.SiglipVisionConfig(
+        hidden_size=v.width, intermediate_size=v.intermediate,
+        num_hidden_layers=v.layers + 1, num_attention_heads=v.heads,
+        image_size=v.image_size, patch_size=v.patch_size,
+        layer_norm_eps=v.layer_norm_eps, hidden_act="gelu_pytorch_tanh")
+    torch.manual_seed(2)
+    tower = transformers.SiglipVisionModel(hf_cfg).eval()
+    params = siglip_params_from_torch(tower, v, dtype=__import__(
+        "jax.numpy", fromlist=["float32"]).float32)
+    rng = np.random.default_rng(3)
+    pixels = rng.normal(size=(2, 3, 384, 384)).astype(np.float32)
+    with torch.no_grad():
+        want = tower(pixel_values=torch.from_numpy(pixels),
+                     output_hidden_states=True).hidden_states[v.layers]
+    got = np.asarray(siglip_encode(params, jnp.asarray(pixels), v))
+    assert got.shape == tuple(want.shape) == (2, 27 * 27, v.width)
+    np.testing.assert_allclose(got, want.numpy(), rtol=3e-4, atol=3e-4)
+
+
 def _load_ref_temporal_agent():
     path = "/root/reference/model/temporal_agent.py"
     if not os.path.exists(path):

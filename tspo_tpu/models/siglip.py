@@ -112,6 +112,12 @@ def siglip_encode(params: Mapping, pixel_values: jnp.ndarray,
     (pre-layernorm hidden state, matching the truncated LLaVA tower)."""
     B = pixel_values.shape[0]
     P, g = cfg.patch_size, cfg.grid
+    # so400m-384 geometry: 384 px / patch 14 -> 27x27 patches covering only
+    # 378 px; torch's stride-14 valid Conv2d reads pixels [0, 378) and
+    # ignores the bottom/right 6-px margin — crop before the
+    # patchify-as-GEMM reshape (divisible tiny test configs hid this)
+    if pixel_values.shape[-1] != g * P:
+        pixel_values = pixel_values[:, :, : g * P, : g * P]
     x = pixel_values.reshape(B, 3, g, P, g, P)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * P * P)
     x = x.astype(params["patch_kernel"].dtype) @ params["patch_kernel"]
