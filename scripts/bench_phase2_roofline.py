@@ -88,10 +88,15 @@ def main():
         0, 256, (CHUNK, cfg.vision.image_size, cfg.vision.image_size, 3),
         dtype=np.uint8))
 
-    def vision_chunk(f):
-        return encode_video_chunk(vis_params, f, cfg)
+    import jax as _jax
 
-    t_chunk = timed(vision_chunk, frames)
+    @_jax.jit
+    def vision_chunk(p, f):
+        # scalar output: a full-feature fetch would time the ~30 MB/s
+        # tunnel, not the chip
+        return encode_video_chunk(p, f, cfg).sum()
+
+    t_chunk = timed(vision_chunk, vis_params, frames)
     t_vision = t_chunk * (FRAMES / CHUNK)
     # SigLIP tower params (no text side): ~0.43B; FLOPs = 2*P*729 per frame
     sig_params = sum(np.prod(x.shape) for x in
@@ -112,7 +117,10 @@ def main():
     # GEMM FLOPs per token ~= 2 * (non-embedding params); estimate from
     # weight bytes of the transformer stack (int8 ~= 1 B/param + scales)
     approx_params = 6.9e9
-    for B in (1, 4):
+    # B=2 is the HBM-safe batched point on one v5e (B=4 at this prompt
+    # length fails compile: 7.6 GB int8 weights + 2.7 GB KV + prefill
+    # activations exceed the 16 GB budget)
+    for B in (1, 2):
         emb = jnp.asarray(rng.normal(size=(B, S, lm_cfg.hidden_size)) * 0.02,
                           jnp.bfloat16)
         valid = jnp.ones((B, S), bool)
@@ -159,7 +167,7 @@ def main():
         "per_question_s_B1": meas_total,
         "per_question_sol_s": round(sol_total, 3),
         "sol_frac": round(sol_total / meas_total, 3),
-        "batched_B4_per_question_s": out["lm_B4"]["per_question_s"],
+        "batched_B2_per_question_s": out["lm_B2"]["per_question_s"],
     }
     print(json.dumps(out), flush=True)
 

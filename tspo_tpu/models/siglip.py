@@ -95,14 +95,16 @@ def quantize_siglip_params(params) -> dict:
 
 
 def _mha(x, lp, heads):
-    B, S, W = x.shape
-    hd = W // heads
-    q = _lin(lp["q"], x).reshape(B, S, heads, hd)
-    k = _lin(lp["k"], x).reshape(B, S, heads, hd)
-    v = _lin(lp["v"], x).reshape(B, S, heads, hd)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    attn = jax.nn.softmax(scores * (1.0 / np.sqrt(hd)), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, S, W)
+    """q/k/v stay in the natural [B, S, W] GEMM layout and attention runs
+    through the Pallas lane kernel on TPU (ops/vit_attention.py) — the same
+    no-transpose design that took the CLIP tower 650 -> 755 f/s; the XLA
+    einsum fallback materializes [B, H, 729, 729] scores + 4 relayouts per
+    layer (phase-2 roofline measured the einsum tower at 27% MFU)."""
+    from ..ops.vit_attention import vit_attention
+    q = _lin(lp["q"], x)
+    k = _lin(lp["k"], x)
+    v = _lin(lp["v"], x)
+    ctx = vit_attention(q, k, v, heads)
     return _lin(lp["o"], ctx)
 
 
