@@ -279,6 +279,21 @@ def test_generate_batch_matches_sequential(jax_model):
     assert bat == seq
 
 
+def test_generate_batch_multi_matches_sequential(jax_model):
+    """Ragged cross-sample batch (different questions AND frame counts) ==
+    per-item sequential generate — per-row rope/masking through
+    greedy_decode's ragged-prompt support."""
+    rng = np.random.default_rng(11)
+    frame_sets = [rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+                  for n in (2, 4, 3)]
+    questions = ["What happens?", "Q?", "Describe the very long scene now"]
+    seq = [jax_model.generate(f, q, max_new_tokens=3)
+           for f, q in zip(frame_sets, questions)]
+    bat = jax_model.generate_batch_multi(frame_sets, questions,
+                                         max_new_tokens=3)
+    assert bat == seq
+
+
 def test_llava_config_from_hf_dict():
     from tspo_tpu.models.llava_video import LLaVAVideoConfig
     hf = {"vocab_size": 512, "hidden_size": 64, "intermediate_size": 128,

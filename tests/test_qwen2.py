@@ -117,6 +117,35 @@ def test_padded_prompt_equivalence(params):
     np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
 
 
+def test_ragged_batch_decode_matches_per_row(params):
+    """A batch of right-padded prompts with DIFFERENT valid lengths decodes
+    token-for-token like each row alone — per-row rope positions + padded-key
+    masking (the cross-sample G x B rollout batching path)."""
+    rng = np.random.default_rng(11)
+    lens = [3, 6, 5]
+    S = max(lens)
+    ids = rng.integers(0, CFG.vocab_size, size=(len(lens), S))
+    valid = np.zeros((len(lens), S), bool)
+    for b, n in enumerate(lens):
+        valid[b, :n] = True
+        ids[b, n:] = 0
+    e = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+
+    cache = KVCache.create(CFG, len(lens), 32, jnp.float32)
+    batch_toks, _ = greedy_decode(params, e, jnp.asarray(valid), cache, CFG,
+                                  5, eos_token_id=-7)
+    batch_toks = np.asarray(batch_toks)
+
+    for b, n in enumerate(lens):
+        row = embed_tokens(params,
+                           jnp.asarray(ids[b:b + 1, :n])).astype(jnp.float32)
+        cache = KVCache.create(CFG, 1, 32, jnp.float32)
+        want, _ = greedy_decode(params, row, jnp.ones((1, n), bool), cache,
+                                CFG, 5, eos_token_id=-7)
+        np.testing.assert_array_equal(batch_toks[b], np.asarray(want),
+                                      err_msg=f"row {b} (len {n})")
+
+
 def test_eos_stops_decode(params):
     rng = np.random.default_rng(4)
     ids = rng.integers(0, CFG.vocab_size, size=(1, 5))

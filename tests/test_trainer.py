@@ -266,6 +266,43 @@ def test_batched_rollouts_match_serial(train_setup, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class CrossBatchOracle(BatchCountingOracle):
+    def __init__(self):
+        super().__init__()
+        self.multi_calls = 0
+
+    def generate_batch_multi(self, frame_sets, questions):
+        self.multi_calls += 1
+        return [OracleBackbone.generate(self, f, q)
+                for f, q in zip(frame_sets, questions)]
+
+
+def test_cross_batch_rollouts_match_per_sample(train_setup, tmp_path):
+    """cfg.cross_batch_rollouts routes ALL B x G rollouts through ONE
+    generate_batch_multi call and yields identical training results."""
+    import jax
+    root, dataset = train_setup
+    rows = [dataset[0], dict(dataset[0])]
+
+    tr_a = _make_trainer(root, rows, tmp_path / "x1")
+    tr_a.backbone = BatchCountingOracle()
+    m_a = tr_a.train_step_batch(rows)
+
+    tr_b = _make_trainer(root, rows, tmp_path / "x2")
+    tr_b.cfg = tr_b.cfg.__class__(**{**tr_b.cfg.__dict__,
+                                     "cross_batch_rollouts": True})
+    tr_b.backbone = CrossBatchOracle()
+    m_b = tr_b.train_step_batch(rows)
+    assert tr_b.backbone.multi_calls == 1          # ONE decode for B*G
+    assert tr_b.backbone.batch_calls == 0
+    assert m_b["reward"] == pytest.approx(m_a["reward"])
+    assert m_b["loss"] == pytest.approx(m_a["loss"], rel=1e-5)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(tr_a.scorer.selector_params),
+            jax.tree_util.tree_leaves(tr_b.scorer.selector_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_single_sample_step_uses_generate_batch(train_setup, tmp_path):
     root, dataset = train_setup
     tr = _make_trainer(root, dataset, tmp_path / "b3")

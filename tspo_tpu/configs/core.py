@@ -124,6 +124,9 @@ class TrainConfig:
     # the reference HF Trainer (--num_train_epochs 1, train_deepspeed.sh:38)
     # and tau anneals over exactly that span; max_steps then only caps it
     num_train_epochs: float | None = None
+    # batch ALL B x G rollouts of a train_step_batch into ONE ragged-prompt
+    # decode (needs backbone.generate_batch_multi); off = per-sample G-batch
+    cross_batch_rollouts: bool = False
     seed: int = 0
     frame_bucket: int = 128            # padded candidate-frame bucket for jit
     grad_accum: int = 2                # per-rank accumulation (train_deepspeed.sh)

@@ -282,6 +282,39 @@ class LLaVAVideoModel:
         eos = self.cfg.lm.eos_token_id
         return [self.decode(row[row != eos].tolist()) for row in toks]
 
+    def generate_batch_multi(self, frames_list, questions,
+                             max_new_tokens: int | None = None) -> list:
+        """Batched greedy generation with PER-ITEM questions and frame sets
+        (ragged prompts): embeds right-pad to the longest row, per-row valid
+        lengths drive the decode rope/mask (greedy_decode ragged support).
+        This is the cross-sample G x B rollout batching of the multi-chip
+        trainer (cfg.cross_batch_rollouts) and mixed-question serving."""
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        max_new = max_new_tokens or self.max_new_tokens
+        rows = []
+        for frames, question in zip(frames_list, questions):
+            prompt = self._prompt(question)
+            input_ids = tokenize_with_image(prompt, self.encode,
+                                            self.bos_token_id)
+            rows.append(self.splice_embeddings(
+                input_ids, self.encode_video(frames))[0])     # [S_i, D]
+        S = max(int(r.shape[0]) for r in rows)
+        B = len(rows)
+        embeds = jnp.stack([
+            jnp.pad(r, ((0, S - r.shape[0]), (0, 0))) for r in rows])
+        valid = np.zeros((B, S), bool)
+        for b, r in enumerate(rows):
+            valid[b, : r.shape[0]] = True
+        max_len = min(self.cfg.max_context, S + max_new + 8)
+        cache = KVCache.create(self.cfg.lm, B, max_len, embeds.dtype)
+        toks, _ = greedy_decode(self.params["lm"], embeds,
+                                jnp.asarray(valid), cache, self.cfg.lm,
+                                max_new)
+        toks = np.asarray(toks).reshape(B, -1)
+        eos = self.cfg.lm.eos_token_id
+        return [self.decode(row[row != eos].tolist()) for row in toks]
+
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str, prompt: str | None = None):
         """(logprob, is_greedy) of ``continuation`` given the video prompt —

@@ -187,9 +187,11 @@ def _rms_norm(x, weight, eps):
 
 
 def _rope(positions, head_dim, theta):
-    """[S] positions -> (cos, sin) [S, head_dim] fp32, HF half-rotation layout."""
+    """[S] (or per-row [B, S]) positions -> (cos, sin) [..., head_dim] fp32,
+    HF half-rotation layout.  The batched form carries ragged-prompt decode:
+    each row's new token continues from ITS OWN valid prompt length."""
     inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
@@ -216,12 +218,17 @@ def mrope_cos_sin(positions3: jnp.ndarray, head_dim: int, theta: float,
 
 
 def _apply_rope(x, cos, sin):
-    """x [B, S, H, hd]; rotate_half convention matching HF Qwen2."""
+    """x [B, S, H, hd]; rotate_half convention matching HF Qwen2.  cos/sin
+    are [S, hd] (shared) or [B, S, hd] (per-row ragged decode positions)."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :].astype(jnp.float32)
-    s = sin[None, :, None, :].astype(jnp.float32)
+    if cos.ndim == 3:
+        c = cos[:, :, None, :].astype(jnp.float32)
+        s = sin[:, :, None, :].astype(jnp.float32)
+    else:
+        c = cos[None, :, None, :].astype(jnp.float32)
+        s = sin[None, :, None, :].astype(jnp.float32)
     return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(x.dtype)
 
 
@@ -377,8 +384,13 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
     eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
     B, S, D = prompt_embeds.shape
     T = cache.k.shape[2]
-    n_prompt = jnp.sum(prompt_valid[0].astype(jnp.int32))
-    pos0 = n_prompt if decode_pos_start is None else jnp.asarray(decode_pos_start)
+    # per-row valid prompt lengths: rows may carry RAGGED right-padded
+    # prompts (cross-sample rollout batching, mixed-question serving); each
+    # row's decode rope positions continue from its own length while cache
+    # slots stay row-aligned at [S, S+i] with padding masked by attn_valid
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)       # [B]
+    pos0 = n_prompt if decode_pos_start is None else \
+        jnp.broadcast_to(jnp.asarray(decode_pos_start), (B,))
 
     # Prefill. Key validity over the whole cache window: prompt positions
     # use prompt_valid; future positions are enabled as they are written.
@@ -391,13 +403,14 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
     last_h = hidden[jnp.arange(B), n_prompt - 1]
     first_tok = jnp.argmax(lm_logits(params, last_h, cfg), axis=-1)  # [B]
 
-    # The cache was written at [0, S); decode appends at S, S+1, ...
-    # but rope positions follow pos0 + i (decode positions are 1D: equal
-    # t/h/w make mrope collapse to standard rope).  Supports B > 1 (batched
-    # G-generation rollouts — the reference loops generate() G times,
-    # tspo_trainer.py:508-537; batching amortizes the weight reads that
-    # dominate decode) as long as valid prompt lengths are equal across rows
-    # (the rollout case: same question, same frame budget).
+    # The cache was written at [0, S); decode appends at S, S+1, ... but
+    # rope positions follow pos0[b] + i PER ROW (decode positions are 1D:
+    # equal t/h/w make mrope collapse to standard rope).  B > 1 supports
+    # both the equal-prompt rollout case (G generations of one question,
+    # tspo_trainer.py:508-537) and RAGGED right-padded prompts (cross-sample
+    # G x B rollout batching, mixed-question serving): padding slots are
+    # masked keys, and each row's logical position continues from its own
+    # valid length.
     def cond(state):
         i, tok, cache, out, done = state
         return (i < max_new_tokens) & ~jnp.all(done)
@@ -407,7 +420,7 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
         out = out.at[:, i].set(jnp.where(done, eos, tok))
         done = done | (tok == eos)
         emb = embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
-        pos = (pos0 + i)[None]
+        pos = (pos0 + i)[:, None]                         # [B, 1] per-row
         av = (jnp.arange(T)[None, :] < cache.length + 1) & \
              jnp.concatenate([prompt_valid,
                               jnp.ones((B, T - S), bool)], axis=1)

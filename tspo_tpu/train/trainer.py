@@ -267,11 +267,28 @@ class TSPOTrainer:
         throughput matters most (VERDICT weak #2)."""
         cfg = self.cfg
         rewards = np.zeros((len(rows), cfg.num_generations), np.float32)
+        all_completions = None
+        if getattr(cfg, "cross_batch_rollouts", False) and \
+                hasattr(self.backbone, "generate_batch_multi"):
+            # one ragged-prompt decode over ALL B x G rollouts: maximal
+            # weight-read amortization (round-2 VERDICT next-step #2's
+            # "cross-sample G x B batching behind a flag")
+            frame_sets, questions = [], []
+            for b, (video, _, _, question, _, _) in enumerate(prepared):
+                for idx in idx_bg[b]:
+                    frame_sets.append(video[idx[:k_lens[b]]])
+                    questions.append(question + ANSWER_TRAILER)
+            flat = self.backbone.generate_batch_multi(frame_sets, questions)
+            G = cfg.num_generations
+            all_completions = [flat[b * G:(b + 1) * G]
+                               for b in range(len(prepared))]
         for b, (row, (video, mask, _, question, _, stype)) in enumerate(
                 zip(rows, prepared)):
             idx_g = [idx[:k_lens[b]] for idx in idx_bg[b]]
             gen_q = question + ANSWER_TRAILER
-            if hasattr(self.backbone, "generate_batch"):
+            if all_completions is not None:
+                completions = all_completions[b]
+            elif hasattr(self.backbone, "generate_batch"):
                 completions = self.backbone.generate_batch(
                     [video[idx] for idx in idx_g], gen_q)
             else:
