@@ -85,12 +85,21 @@ def _load_ref_subtask(sub: str, metadata_entries=()):
               {"hf_hub_download": lambda **kw: meta_file.name}),
              ("lmms_eval", {}), ("lmms_eval.tasks", {}),
              ("lmms_eval.tasks.plm_videobench", {})]
+    patched = []   # (module, attr, original) — for ALREADY-imported modules
     for name, attrs in specs:
         if name not in sys.modules:
             m = types.ModuleType(name)
             for k, v in attrs.items():
                 setattr(m, k, v)
             stubs[name] = m
+        else:
+            # a real module (e.g. huggingface_hub pulled in by an earlier
+            # test) must still have its download hook neutered, else this
+            # zero-egress run hangs on the network
+            for k, v in attrs.items():
+                mod = sys.modules[name]
+                patched.append((mod, k, getattr(mod, k, None)))
+                setattr(mod, k, v)
     sys.modules.update(stubs)
     try:
         # eval_utils must be importable as the package attribute the
@@ -110,6 +119,11 @@ def _load_ref_subtask(sub: str, metadata_entries=()):
     finally:
         for name in stubs:
             sys.modules.pop(name, None)
+        for mod, k, orig in patched:
+            if orig is None:
+                delattr(mod, k)
+            else:
+                setattr(mod, k, orig)
         os.unlink(meta_file.name)
 
 
