@@ -132,6 +132,55 @@ def test_warmup(server):
     assert svc.stats["requests"] == 0
 
 
+def test_answer_microbatching(tmp_path_factory):
+    """Concurrent /v1/answer requests inside the batch window decode as ONE
+    ragged generate_batch_multi call; answers route back per request."""
+    import threading as th
+    from tspo_tpu.serve.server import ScoringService
+
+    root = tmp_path_factory.mktemp("mb")
+    path = str(root / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(60):
+        w.write(np.full((48, 48, 3), (i * 8) % 255, np.uint8))
+    w.release()
+
+    class MultiBackbone:
+        def __init__(self):
+            self.multi_calls = 0
+            self.single_calls = 0
+
+        def generate(self, frames, q, max_new_tokens=None):
+            self.single_calls += 1
+            return "S:" + q
+
+        def generate_batch_multi(self, frame_sets, qs, max_new_tokens=None):
+            self.multi_calls += 1
+            return ["M:" + q for q in qs]
+
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG,
+                                 selector_cfg=SEL_CFG, dtype=jnp.float32,
+                                 tokenize=_tokenize, batch_frames=32,
+                                 frame_buckets=(64, 128))
+    svc = ScoringService(scorer=scorer, backbone=MultiBackbone(),
+                         max_candidates=128, batch_window_s=0.5, max_batch=4)
+
+    results = {}
+
+    def ask(q):
+        results[q] = svc.answer(video_path=path, question=q, sample_num=8)
+
+    threads = [th.Thread(target=ask, args=(f"q{i}",)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results["q0"]["answer"] == "M:q0"
+    assert results["q2"]["answer"] == "M:q2"
+    assert svc.backbone.single_calls == 0
+    assert svc.stats["batched"] >= 2      # at least one true batch formed
+
+
 def test_web_ui_index(server):
     base, _ = server
     with urllib.request.urlopen(base + "/", timeout=30) as r:

@@ -21,6 +21,13 @@ def build_parser():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-candidates", type=int, default=50000)
+    p.add_argument("--batch-window", type=float, default=0.0,
+                   help="micro-batching window (s) for /v1/answer: requests "
+                        "arriving together decode as one ragged batch "
+                        "(needs a backbone with generate_batch_multi)")
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="max requests per micro-batch (HBM-bound; B=4 at "
+                        "64-frame prompts exceeds one v5e)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the compile warmup before serving")
     p.add_argument("--tiny", action="store_true")
@@ -40,7 +47,9 @@ def main(argv=None):
     backbone = (load_backbone(args.backbone, args.backbone_path)
                 if args.backbone else None)
     service = ScoringService(scorer=scorer, backbone=backbone,
-                             max_candidates=args.max_candidates)
+                             max_candidates=args.max_candidates,
+                             batch_window_s=args.batch_window,
+                             max_batch=args.max_batch)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")
         service.warmup()

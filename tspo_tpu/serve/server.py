@@ -34,10 +34,18 @@ class ScoringService:
     max_candidates: int = 50000
     default_sample_num: int = 64
     default_window: int = 12
+    # micro-batching for /v1/answer: concurrent requests arriving within
+    # ``batch_window_s`` decode as ONE ragged-prompt batch through
+    # backbone.generate_batch_multi (measured 2.065 vs 2.216 s/question at
+    # B=2, bench_phase2_roofline).  0 disables (strictly serial decode).
+    batch_window_s: float = 0.0
+    max_batch: int = 4
 
     def __post_init__(self):
         self._device_lock = threading.Lock()
-        self.stats = {"requests": 0, "frames_scored": 0}
+        self._batch_lock = threading.Lock()
+        self._pending = []          # [(event, payload dict, result dict)]
+        self.stats = {"requests": 0, "frames_scored": 0, "batched": 0}
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
@@ -118,6 +126,46 @@ class ScoringService:
                       "total_tokens": 0},
         }
 
+    def _generate_one(self, sel_frames, question,
+                      max_new_tokens: int | None) -> str:
+        kwargs = {}
+        if max_new_tokens:
+            kwargs["max_new_tokens"] = max_new_tokens
+        try:
+            return self.backbone.generate(sel_frames, question, **kwargs)
+        except TypeError:          # adapters without max_new_tokens kwarg
+            return self.backbone.generate(sel_frames, question)
+
+    def _answer_batched(self, sel_frames, question,
+                        max_new_tokens: int | None) -> str:
+        """Micro-batch: enqueue; the first enqueuer leads — waits the batch
+        window, then decodes every pending request as one ragged batch."""
+        ev = threading.Event()
+        slot = {"frames": sel_frames, "q": question, "out": None}
+        with self._batch_lock:
+            self._pending.append((ev, slot))
+            leader = len(self._pending) == 1
+        if leader:
+            time.sleep(self.batch_window_s)
+            while True:
+                with self._batch_lock:
+                    batch = self._pending[: self.max_batch]
+                    self._pending = self._pending[self.max_batch:]
+                if not batch:
+                    break
+                with self._device_lock:
+                    outs = self.backbone.generate_batch_multi(
+                        [s["frames"] for _, s in batch],
+                        [s["q"] for _, s in batch],
+                        max_new_tokens=max_new_tokens)
+                if len(batch) > 1:
+                    self.stats["batched"] += len(batch)
+                for (e, s), out in zip(batch, outs):
+                    s["out"] = out
+                    e.set()
+        ev.wait()
+        return slot["out"]
+
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
                max_new_tokens: int | None = None) -> dict:
@@ -130,14 +178,13 @@ class ScoringService:
             idx, _ = self.scorer(frames, question, sample_num=sample_num,
                                  window_size=window_size or self.default_window,
                                  method=method)
-            kwargs = {}
-            if max_new_tokens:
-                kwargs["max_new_tokens"] = max_new_tokens
-            try:
-                answer = self.backbone.generate(frames[np.asarray(idx)],
-                                                question, **kwargs)
-            except TypeError:      # adapters without max_new_tokens kwarg
-                answer = self.backbone.generate(frames[np.asarray(idx)], question)
+        sel = frames[np.asarray(idx)]
+        if self.batch_window_s > 0 and \
+                hasattr(self.backbone, "generate_batch_multi"):
+            answer = self._answer_batched(sel, question, max_new_tokens)
+        else:
+            with self._device_lock:
+                answer = self._generate_one(sel, question, max_new_tokens)
         self.stats["requests"] += 1
         self.stats["frames_scored"] += len(frames)
         return {"answer": answer,
