@@ -305,6 +305,31 @@ def test_llava_config_from_hf_dict():
     assert cfg.lm.hidden_size == 64 and cfg.lm.num_kv_heads == 2
     assert cfg.mm_newline_position == "grid" and cfg.pool_stride == 2
     assert cfg.vision.num_patches == 729  # production SigLIP geometry
+    assert cfg.lm.qkv_bias is True and cfg.lm.eos_token_id == 151645
+
+
+def test_llava_config_from_llama_hf_dict():
+    """llama/vicuna LLaVA config.json: family defaults the HF file omits —
+    bias-free attention, eos </s>=2, rope theta 1e4 (the round-3 review
+    found the vicuna load path crashed on missing bias keys otherwise)."""
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig
+    hf = {"model_type": "llava",
+          "architectures": ["LlavaLlamaForCausalLM"],
+          "vocab_size": 32000, "hidden_size": 64, "intermediate_size": 128,
+          "num_hidden_layers": 2, "num_attention_heads": 4,
+          "rms_norm_eps": 1e-5,
+          "rope_scaling": {"type": "linear", "factor": 2.0}}
+    cfg = LLaVAVideoConfig.from_hf_config(hf)
+    assert cfg.lm.qkv_bias is False
+    assert cfg.lm.eos_token_id == 2
+    assert cfg.lm.rope_theta == 10_000.0
+    assert cfg.lm.num_kv_heads == 4          # MHA when key omitted
+    assert cfg.lm.rope_scaling_factor == 2.0
+    # mistral flavor keeps its sliding window
+    hf_m = dict(hf, model_type="llava_mistral", sliding_window=4096,
+                num_key_value_heads=2)
+    cfg_m = LLaVAVideoConfig.from_hf_config(hf_m)
+    assert cfg_m.lm.sliding_window == 4096 and cfg_m.lm.num_kv_heads == 2
 
 
 def test_harness_loglikelihood_dispatch_tiny_backbone(jax_model, tmp_path):

@@ -146,6 +146,37 @@ def test_ragged_batch_decode_matches_per_row(params):
                                       err_msg=f"row {b} (len {n})")
 
 
+def test_ragged_batch_decode_sliding_window_matches_per_row():
+    """Mistral-style sliding window + ragged right-padded batch: window
+    distance must be LOGICAL token distance, not cache-slot distance —
+    slot-based masking spends window budget on the padding gap (round-3
+    review finding)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, sliding_window=4)
+    params = init_qwen2_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    rng = np.random.default_rng(12)
+    lens = [3, 8, 6]
+    S = max(lens)
+    ids = rng.integers(0, cfg.vocab_size, size=(len(lens), S))
+    valid = np.zeros((len(lens), S), bool)
+    for b, n in enumerate(lens):
+        valid[b, :n] = True
+        ids[b, n:] = 0
+    e = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    cache = KVCache.create(cfg, len(lens), 32, jnp.float32)
+    batch_toks, _ = greedy_decode(params, e, jnp.asarray(valid), cache, cfg,
+                                  6, eos_token_id=-7)
+    batch_toks = np.asarray(batch_toks)
+    for b, n in enumerate(lens):
+        row = embed_tokens(params,
+                           jnp.asarray(ids[b:b + 1, :n])).astype(jnp.float32)
+        cache = KVCache.create(cfg, 1, 32, jnp.float32)
+        want, _ = greedy_decode(params, row, jnp.ones((1, n), bool), cache,
+                                cfg, 6, eos_token_id=-7)
+        np.testing.assert_array_equal(batch_toks[b], np.asarray(want),
+                                      err_msg=f"row {b} (len {n})")
+
+
 def test_eos_stops_decode(params):
     rng = np.random.default_rng(4)
     ids = rng.integers(0, CFG.vocab_size, size=(1, 5))

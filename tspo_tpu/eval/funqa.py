@@ -10,9 +10,12 @@ Reference: lmms-eval/lmms_eval/tasks/funqa/utils.py
     return on ``score != 0`` where ``score`` is an undefined name — the
     NameError is swallowed by the retry except-block, so every reference
     judge call exhausts its retries and returns ("", "", 0): the shipped
-    funqa_gpt metric always scores 0.  We implement the evident intent
-    (return when the reply is non-empty and parses to a non-zero score) and
-    keep a regression test that points at the reference line.
+    funqa_gpt metric always scores 0.  We implement the evident intent:
+    a non-empty reply parsing to a non-zero score is recorded; an empty or
+    zero-parse reply yields ("", 0) WITHOUT retry — mirroring the intended
+    control flow's ``break`` (no retry on a successful-but-unscorable
+    call, only on transport failures).  A regression test points at the
+    reference line.
   - aggregation (:303-349): per-task-code mean, then mean over the 8 codes;
   - BLEU-4 / ROUGE-L via pycocoevalcap (:132-165) — rebuilt as pure Python
     in eval/text_metrics.py (see that module's parity notes); BLEURT
@@ -116,6 +119,10 @@ def make_funqa_task(judge: JudgeProvider | None = None) -> BenchmarkTask:
         if res.success and res.content.strip():
             eval_answer = res.content.strip()
             gpt_score = extract_last_number(eval_answer)
+            if gpt_score == 0:
+                # intended-reference path returns ("", "", 0) for
+                # unscorable replies (utils.py:199-201 break)
+                eval_answer = ""
         else:
             eval_answer, gpt_score = "", 0
         return {"video_name": doc.get("video_name"),

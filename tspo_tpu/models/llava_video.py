@@ -61,21 +61,35 @@ class LLaVAVideoConfig:
 
     @classmethod
     def from_hf_config(cls, hf: dict) -> "LLaVAVideoConfig":
-        """Build from a LlavaQwen config.json (Qwen2 fields at top level plus
-        mm_* fields; the SigLIP tower geometry is fixed by the checkpoint
-        family — so400m-384 with the final layer dropped)."""
+        """Build from a LLaVA config.json — LlavaQwen (model_type
+        llava_qwen) or the llama/vicuna/mistral family (llava, llava_llama,
+        llava_mistral): LM fields at top level plus mm_* fields.  Family
+        decides the defaults HF configs omit: qkv biases (qwen yes, llama
+        no), eos (151645 vs 2), rope theta (1e6 vs 1e4).  The SigLIP tower
+        geometry is fixed by the checkpoint family — so400m-384 with the
+        final layer dropped."""
+        family = str(hf.get("model_type", "")).lower() + " " + \
+            " ".join(hf.get("architectures", []) or []).lower()
+        is_qwen = "qwen" in family or not family.strip()
         lm = Qwen2Config(
             vocab_size=hf["vocab_size"], hidden_size=hf["hidden_size"],
             intermediate_size=hf["intermediate_size"],
             num_layers=hf["num_hidden_layers"],
             num_heads=hf["num_attention_heads"],
-            num_kv_heads=hf["num_key_value_heads"],
+            num_kv_heads=hf.get("num_key_value_heads",
+                                hf["num_attention_heads"]),
             head_dim=hf.get("head_dim",
                             hf["hidden_size"] // hf["num_attention_heads"]),
-            rope_theta=hf.get("rope_theta", 1_000_000.0),
-            rms_eps=hf.get("rms_norm_eps", 1e-6),
-            max_position_embeddings=hf.get("max_position_embeddings", 32768),
+            rope_theta=hf.get("rope_theta",
+                              1_000_000.0 if is_qwen else 10_000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-6 if is_qwen else 1e-5),
+            max_position_embeddings=hf.get("max_position_embeddings",
+                                           32768 if is_qwen else 4096),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            qkv_bias=hf.get("attention_bias", is_qwen),
+            eos_token_id=hf.get("eos_token_id", 151645 if is_qwen else 2),
+            sliding_window=hf.get("sliding_window")
+            if "mistral" in family else None,
             # long-context vicuna checkpoints carry HF "linear" rope scaling
             # (llava_vid_tspo.py:159-174 overwrite_config)
             rope_scaling_factor=float(
@@ -263,24 +277,12 @@ class LLaVAVideoModel:
                        max_new_tokens: int | None = None) -> list:
         """Batched greedy generation over G frame subsets of equal size —
         the TSPO rollout (tspo_trainer.py:508-537 loops generate() G times;
-        one batched decode amortizes the weight reads that dominate)."""
-        if self.encode is None or self.decode is None:
-            raise ValueError("needs encode/decode tokenizer callables")
-        max_new = max_new_tokens or self.max_new_tokens
-        prompt = self._prompt(question)
-        input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
-        embeds = jnp.concatenate([
-            self.splice_embeddings(input_ids, self.encode_video(f))
-            for f in frames_list], axis=0)                    # [G, S, D]
-        G, S, _ = embeds.shape
-        max_len = min(self.cfg.max_context, S + max_new + 8)
-        cache = KVCache.create(self.cfg.lm, G, max_len, embeds.dtype)
-        valid = jnp.ones((G, S), bool)
-        toks, _ = greedy_decode(self.params["lm"], embeds, valid, cache,
-                                self.cfg.lm, max_new)
-        toks = np.asarray(toks).reshape(G, -1)
-        eos = self.cfg.lm.eos_token_id
-        return [self.decode(row[row != eos].tolist()) for row in toks]
+        one batched decode amortizes the weight reads that dominate).  The
+        equal-prompt case of generate_batch_multi (the ragged path
+        degenerates to no padding)."""
+        return self.generate_batch_multi(frames_list,
+                                         [question] * len(frames_list),
+                                         max_new_tokens=max_new_tokens)
 
     def generate_batch_multi(self, frames_list, questions,
                              max_new_tokens: int | None = None) -> list:

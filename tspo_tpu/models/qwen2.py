@@ -279,8 +279,20 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
         q_glob = start + jnp.arange(S)[:, None]            # [S, 1]
         causal_ok = key_pos[None] <= q_glob[None]          # [1, S, T]
         if cfg.sliding_window is not None:
+            # window distance must be measured in LOGICAL token positions,
+            # not cache slots: ragged right-padded rows (cross-sample rollout
+            # batching) have a padding gap between slot S and logical n_b, so
+            # slot distance would wrongly spend window budget on padding.
+            # A valid slot's logical position is its rank among valid slots
+            # (decode slots appended in order); the query's logical position
+            # is its rope position.
+            key_logical = jnp.cumsum(attn_valid.astype(jnp.int32),
+                                     axis=1) - 1           # [B, T]
+            q_logical = jnp.broadcast_to(
+                jnp.asarray(positions).reshape(-1, S), (B, S))
             causal_ok = causal_ok & \
-                (key_pos[None] > q_glob[None] - cfg.sliding_window)
+                (key_logical[:, None, :]
+                 > q_logical[..., None] - cfg.sliding_window)
         ok = causal_ok & attn_valid[:, None, :]            # [B, S, T]
         # finite sentinel (like the flash kernels), NOT -inf: a padded query
         # row past the sliding window can have EVERY key masked, and

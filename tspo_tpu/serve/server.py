@@ -139,9 +139,13 @@ class ScoringService:
     def _answer_batched(self, sel_frames, question,
                         max_new_tokens: int | None) -> str:
         """Micro-batch: enqueue; the first enqueuer leads — waits the batch
-        window, then decodes every pending request as one ragged batch."""
+        window, then decodes pending requests as ragged batches.  Requests
+        are grouped by their max_new_tokens so per-request caps are honored;
+        a failed decode routes the error to EVERY request in its group
+        (events always fire — followers must never block forever)."""
         ev = threading.Event()
-        slot = {"frames": sel_frames, "q": question, "out": None}
+        slot = {"frames": sel_frames, "q": question,
+                "max_new": max_new_tokens, "out": None, "err": None}
         with self._batch_lock:
             self._pending.append((ev, slot))
             leader = len(self._pending) == 1
@@ -149,21 +153,33 @@ class ScoringService:
             time.sleep(self.batch_window_s)
             while True:
                 with self._batch_lock:
-                    batch = self._pending[: self.max_batch]
-                    self._pending = self._pending[self.max_batch:]
-                if not batch:
-                    break
-                with self._device_lock:
-                    outs = self.backbone.generate_batch_multi(
-                        [s["frames"] for _, s in batch],
-                        [s["q"] for _, s in batch],
-                        max_new_tokens=max_new_tokens)
-                if len(batch) > 1:
-                    self.stats["batched"] += len(batch)
-                for (e, s), out in zip(batch, outs):
-                    s["out"] = out
-                    e.set()
+                    if not self._pending:
+                        break
+                    # same-cap group so each request's token budget holds
+                    cap = self._pending[0][1]["max_new"]
+                    batch = [p for p in self._pending
+                             if p[1]["max_new"] == cap][: self.max_batch]
+                    taken = {id(p) for p in batch}
+                    self._pending = [p for p in self._pending
+                                     if id(p) not in taken]
+                try:
+                    with self._device_lock:
+                        outs = self.backbone.generate_batch_multi(
+                            [s["frames"] for _, s in batch],
+                            [s["q"] for _, s in batch],
+                            max_new_tokens=cap)
+                    if len(batch) > 1:
+                        self.stats["batched"] += len(batch)
+                    for (e, s), out in zip(batch, outs):
+                        s["out"] = out
+                        e.set()
+                except Exception as exc:  # noqa: BLE001 — deliver to waiters
+                    for e, s in batch:
+                        s["err"] = exc
+                        e.set()
         ev.wait()
+        if slot["err"] is not None:
+            raise slot["err"]
         return slot["out"]
 
     def answer(self, *, video_path: str, question: str, sample_num=None,
