@@ -85,19 +85,22 @@ def main():
     rng = np.random.default_rng(0)
     CHUNK = 16
     frames = jnp.asarray(rng.integers(
-        0, 256, (CHUNK, cfg.vision.image_size, cfg.vision.image_size, 3),
+        0, 256, (FRAMES, cfg.vision.image_size, cfg.vision.image_size, 3),
         dtype=np.uint8))
 
     import jax as _jax
+    from tspo_tpu.models.llava_video import encode_video_fused
 
     @_jax.jit
     def vision_chunk(p, f):
-        # scalar output: a full-feature fetch would time the ~30 MB/s
-        # tunnel, not the chip
-        return encode_video_chunk(p, f, cfg).sum()
+        # the production single-dispatch whole-video program; scalar output
+        # (a full-feature fetch would time the ~30 MB/s tunnel, not the
+        # chip).  NOTE: timing one 16-frame chunk and multiplying by 4
+        # overstates the cost — async dispatch pipelines the chunks; the
+        # fused program measures the real 64-frame cost directly.
+        return encode_video_fused(p, f, cfg, CHUNK).sum()
 
-    t_chunk = timed(vision_chunk, vis_params, frames)
-    t_vision = t_chunk * (FRAMES / CHUNK)
+    t_vision = timed(vision_chunk, vis_params, frames)
     # SigLIP tower params (no text side): ~0.43B; FLOPs = 2*P*729 per frame
     sig_params = sum(np.prod(x.shape) for x in
                      jax.tree_util.tree_leaves(vis_params["vision"]))

@@ -215,7 +215,11 @@ class LLaVAVideoModel:
     cfg: LLaVAVideoConfig = field(default_factory=LLaVAVideoConfig)
     encode: Callable | None = None
     decode: Callable | None = None
-    batch_frames: int = 32
+    # 16, not 32: the SigLIP lane-attention kernel at [chunk, 729, 1152]
+    # compiles at chunk 16 but exceeds the 16 MB scoped-VMEM limit at 32 on
+    # this AOT stack (measured; chunk count does not change throughput —
+    # 0.327 vs 0.330 s per 64-frame encode)
+    batch_frames: int = 16
     max_new_tokens: int = 256
     # conversation template for prompt wrapping (llava_vid_tspo.py:94 —
     # adapter default vicuna_v1; the TSPO Qwen2 checkpoints use qwen_1_5);
