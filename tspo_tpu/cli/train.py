@@ -35,6 +35,13 @@ def build_parser():
     p.add_argument("--score-tau", type=float, default=0.025)
     p.add_argument("--learning-rate", type=float, default=5e-4)
     p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--num-train-epochs", type=float, default=None,
+                   help="plan the run (and the tau anneal horizon) as "
+                        "epochs x dataset length like the reference "
+                        "--num_train_epochs; --max-steps then only caps it")
+    p.add_argument("--cross-batch-rollouts", action="store_true",
+                   help="batch ALL B x G rollouts of a batched step into "
+                        "one ragged-prompt decode (generate_batch_multi)")
     p.add_argument("--save-steps", type=int, default=100)
     p.add_argument("--save-total-limit", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
@@ -88,7 +95,9 @@ def main(argv=None):
         window_size=args.window_size, score_tau=args.score_tau,
         learning_rate=args.learning_rate, max_steps=args.max_steps,
         save_every=args.save_steps, save_total_limit=args.save_total_limit,
-        ckpt_backend=args.ckpt_backend, seed=args.seed)
+        ckpt_backend=args.ckpt_backend, seed=args.seed,
+        num_train_epochs=args.num_train_epochs,
+        cross_batch_rollouts=args.cross_batch_rollouts)
 
     scorer = load_scorer(args.clip_path, seed=args.seed, tiny=args.tiny)
     backbone = load_backbone(args.backbone, args.backbone_path)
@@ -105,7 +114,8 @@ def main(argv=None):
     if args.batch_size > 0:
         history = _train_batched(trainer, args)
     else:
-        history = trainer.train(max_steps=args.max_steps)
+        history = trainer.train(
+            max_steps=None if args.num_train_epochs else args.max_steps)
     if args.tensorboard and _is_rank0():
         import os
         from ..utils.tensorboard import metrics_jsonl_to_tensorboard
