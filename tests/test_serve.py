@@ -162,8 +162,11 @@ def test_answer_microbatching(tmp_path_factory):
                                  selector_cfg=SEL_CFG, dtype=jnp.float32,
                                  tokenize=_tokenize, batch_frames=32,
                                  frame_buckets=(64, 128))
+    # generous window: each request runs device-locked scoring BEFORE it
+    # enqueues, and under full-suite CPU load that serializes past a short
+    # window (flaky no-batch runs otherwise)
     svc = ScoringService(scorer=scorer, backbone=MultiBackbone(),
-                         max_candidates=128, batch_window_s=0.5, max_batch=4)
+                         max_candidates=128, batch_window_s=4.0, max_batch=4)
 
     results = {}
 
