@@ -330,19 +330,42 @@ def test_precompute_corrupt_video_recorded_not_retried(bench_dir, scorer,
     # resume: the broken video must not be decoded again
     import tspo_tpu.eval.precompute as pc
     calls = []
-    orig = pc.load_video
+    orig = pc.load_video_indices
 
-    def counting_load(path, **kw):
+    def counting_load(path, *a, **kw):
         calls.append(path)
-        return orig(path, **kw)
+        return orig(path, *a, **kw)
 
-    pc.load_video = counting_load
+    pc.load_video_indices = counting_load
     try:
         again = pre.run(ds)
     finally:
-        pc.load_video = orig
+        pc.load_video_indices = orig
     assert again == results
     assert not any("bad.mp4" in c for c in calls)
+
+
+def test_precompute_multirank_no_clobber(bench_dir, scorer, tmp_path):
+    """Two ranks sharing one work_dir must not clobber each other's supp.pkl
+    (round-3 review finding: last-writer-wins dropped whole shards and
+    phase-2 silently fell back to uniform sampling for them)."""
+    ds = VideoQuestionDataset.from_tsv("TinyBench",
+                                       str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    work = tmp_path / "w"
+    pre = FrameIndexPrecompute(
+        scorer, FeatureCache(str(tmp_path / "cache")),
+        PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=str(work), name="MR")
+    r0 = pre.run(ds, shard=(0, 2))
+    r1 = pre.run(ds, shard=(1, 2))
+    assert r0 and r1 and not (set(r0) & set(r1))
+    merged = pre.load_results("TinyBench")          # merge view
+    assert set(merged) == set(r0) | set(r1)
+    assert len(merged) == 3
+    # per-rank files both exist (no shared-file overwrite)
+    import glob
+    assert len(glob.glob(str(work / "MR_TinyBench_supp_rank*of2.pkl"))) == 2
 
 
 def test_precompute_pooled_decode_matches_single(precompute_run, scorer,

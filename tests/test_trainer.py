@@ -210,6 +210,16 @@ def test_tau_anneals_over_actual_schedule(train_setup, tmp_path):
         (cfg.score_tau - cfg.score_tau_final) / n + 1e-6
 
 
+def test_anneal_tau_clamps_past_horizon():
+    """Steps past the planned horizon plateau at tau_final — unclamped, tau
+    crosses zero (~1.7x horizon) and NEGATIVE tau inverts every selector
+    logit (round-3 review finding)."""
+    from tspo_tpu.train.grpo import anneal_tau
+    assert float(anneal_tau(100, 100, 1.0, 0.01)) == pytest.approx(0.01)
+    assert float(anneal_tau(500, 100, 1.0, 0.01)) == pytest.approx(0.01)
+    assert float(anneal_tau(50, 100, 1.0, 0.01)) == pytest.approx(0.505)
+
+
 def test_planned_steps_epochs(train_setup, tmp_path):
     root, dataset = train_setup
     tr = _make_trainer(root, dataset * 3, tmp_path / "out_ep")

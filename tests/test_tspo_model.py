@@ -88,6 +88,26 @@ def test_save_load_round_trip(tmp_path, scorer):
     np.testing.assert_allclose(before, after, rtol=1e-4, atol=1e-4)
 
 
+def test_load_keeps_selector_fp32_and_reads_config(tmp_path, scorer):
+    """load() must keep the selector FLOAT32 under a bf16 dtype and honor
+    the selector geometry save() wrote to config.json (round-3 review:
+    bf16 selector rounding flips frame ranks near ties, and a wrong head
+    count loads silently because all selector params are dim x dim)."""
+    import dataclasses
+    import jax
+    scorer.save(str(tmp_path / "c2"))
+    loaded = TSPOScorer.load(str(tmp_path / "c2"), clip_cfg=CLIP_CFG,
+                             selector_cfg=dataclasses.replace(
+                                 SEL_CFG, num_heads=SEL_CFG.num_heads * 2),
+                             dtype=jnp.bfloat16, tokenize=_tokenize,
+                             batch_frames=32, frame_buckets=(64,))
+    for leaf in jax.tree_util.tree_leaves(loaded.selector_params):
+        assert leaf.dtype == jnp.float32
+    # config.json overrides the (wrong) passed-in head count
+    assert loaded.selector_cfg.num_heads == SEL_CFG.num_heads
+    assert loaded.selector_cfg.dim == SEL_CFG.dim
+
+
 def test_from_torch_merged(tmp_path):
     """Reference merged-checkpoint layout (CLIP sd + selector.* keys) loads."""
     torch = pytest.importorskip("torch")

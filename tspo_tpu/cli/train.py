@@ -164,6 +164,11 @@ def _train_batched(trainer, args) -> list:
     # enter them or rank 0 deadlocks in the sync barrier; npz writes are
     # single-file and stay rank-0-only.
     save_all_ranks = trainer.cfg.ckpt_backend == "orbax"
+    # pin the tau anneal horizon to THIS loop's length (resume-aware) —
+    # otherwise _tau() derives it from min(max_steps, len(dataset)) and a
+    # run longer than the dataset plateaus early / would overshoot the
+    # schedule (anneal_tau also clamps as a backstop)
+    trainer.total_steps = trainer.step + args.max_steps
     for step in range(args.max_steps):
         base = (step * stride) % len(order)
         picks = [int(order[(base + rank * B + j) % len(order)])

@@ -26,7 +26,7 @@ import numpy as np
 from ..configs import PrecomputeConfig
 from ..models.tspo_model import TSPOScorer
 from ..video.cache import FeatureCache
-from ..video.reader import load_video, sample_indices, video_info
+from ..video.reader import load_video_indices, sample_indices, video_info
 from .datasets import VideoQuestionDataset, merge_frame_indices
 
 
@@ -68,31 +68,60 @@ class FrameIndexPrecompute:
         self.decode_workers = decode_workers
 
     # -- persistence --------------------------------------------------------
+    #
+    # Multi-rank safety: each (rank, world) shard checkpoints to ITS OWN
+    # file — a shared supp.pkl would be last-writer-wins across ranks,
+    # silently dropping shards (the same per-rank-file rule eval/caching.py
+    # follows).  Readers (load_results/load_errors without a shard) merge
+    # the legacy single file plus every rank file.
 
-    def _supp_path(self, dataset: str) -> str:
-        return os.path.join(self.work_dir, f"{self.name}_{dataset}_supp.pkl")
+    def _supp_path(self, dataset: str, shard: tuple = (0, 1)) -> str:
+        rank, world = shard
+        if world == 1:
+            return os.path.join(self.work_dir,
+                                f"{self.name}_{dataset}_supp.pkl")
+        return os.path.join(
+            self.work_dir,
+            f"{self.name}_{dataset}_supp_rank{rank}of{world}.pkl")
 
-    def _errors_path(self, dataset: str) -> str:
-        return os.path.join(self.work_dir, f"{self.name}_{dataset}_errors.pkl")
+    def _errors_path(self, dataset: str, shard: tuple = (0, 1)) -> str:
+        rank, world = shard
+        if world == 1:
+            return os.path.join(self.work_dir,
+                                f"{self.name}_{dataset}_errors.pkl")
+        return os.path.join(
+            self.work_dir,
+            f"{self.name}_{dataset}_errors_rank{rank}of{world}.pkl")
 
-    def load_results(self, dataset: str) -> dict:
-        path = self._supp_path(dataset)
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                return pickle.load(f)
-        return {}
+    def _load_merged(self, dataset: str, kind: str,
+                     shard: tuple | None) -> dict:
+        import glob
+        base = os.path.join(self.work_dir, f"{self.name}_{dataset}_{kind}")
+        if shard is None:                    # merge view: legacy + all ranks
+            paths = sorted(glob.glob(base + "*.pkl"))
+        else:                                # one rank's resume view
+            paths = [base + ".pkl"]
+            rank_path = (self._supp_path if kind == "supp"
+                         else self._errors_path)(dataset, shard)
+            if rank_path not in paths:
+                paths.append(rank_path)
+        out: dict = {}
+        for path in paths:
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    out.update(pickle.load(f))
+        return out
 
-    def load_errors(self, dataset: str) -> dict:
+    def load_results(self, dataset: str, shard: tuple | None = None) -> dict:
+        return self._load_merged(dataset, "supp", shard)
+
+    def load_errors(self, dataset: str, shard: tuple | None = None) -> dict:
         """{question_id: error string} of questions that failed permanently
         (e.g. corrupt video).  Unlike the reference — which either raises with
         the path (gen_id_tspo.py:36-38) or leaves the question looking
         "not yet done" forever — failures are recorded and visible, and a
         resume skips them instead of re-decoding a broken file every run."""
-        path = self._errors_path(dataset)
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                return pickle.load(f)
-        return {}
+        return self._load_merged(dataset, "errors", shard)
 
     def _atomic_dump(self, path: str, obj):
         os.makedirs(self.work_dir, exist_ok=True)
@@ -101,10 +130,25 @@ class FrameIndexPrecompute:
             pickle.dump(obj, f)
         os.replace(tmp, path)
 
-    def _checkpoint(self, dataset: str, results: dict):
-        self._atomic_dump(self._supp_path(dataset), results)
+    def _checkpoint(self, dataset: str, results: dict, shard: tuple = (0, 1)):
+        self._atomic_dump(self._supp_path(dataset, shard), results)
 
     # -- per-question scoring ----------------------------------------------
+
+    def _decode_candidates(self, video_path: str):
+        """(frames, sampled_idx) for one video: compute the 1-fps schedule
+        ONCE and gather exactly those indices — one container open, and
+        len(frames) == len(sampled_idx) by construction.  (The old
+        schedule-then-load_video pair re-derived the schedule internally and
+        degraded to a max_frames-long zeros buffer on mid-stream decode
+        failure — a ~17 GB allocation whose length no longer matched the
+        schedule.)  Raises on decode failure; callers record the error."""
+        sampled_idx = candidate_schedule(video_path, self.cfg.max_frames)
+        frames = load_video_indices(video_path, sampled_idx)
+        if frames.shape[0] != len(sampled_idx):
+            raise IOError(f"decoded {frames.shape[0]} of {len(sampled_idx)} "
+                          f"candidate frames from {video_path}")
+        return frames, sampled_idx
 
     def features_for(self, struct, dataset: str):
         """Cache-or-compute (image_feat, text_feat, clip_scores, sampled_idx)
@@ -114,10 +158,7 @@ class FrameIndexPrecompute:
             blob = self.cache.load(dataset, index)
             return (blob["image_features"], blob["text_features"],
                     blob["clip_scores"], blob["sampled_idx"])
-        sampled_idx = candidate_schedule(struct["video_path"], self.cfg.max_frames)
-        frames, _, _ = load_video(struct["video_path"],
-                                  max_frames_num=self.cfg.max_frames, fps=1,
-                                  min_frames_num=0)
+        frames, sampled_idx = self._decode_candidates(struct["video_path"])
         img, txt, csc = self.scorer.extract_features(frames, struct["problem"])
         img, txt, csc = map(np.asarray, (
             img.astype("float32"), txt.astype("float32"), csc.astype("float32")))
@@ -125,9 +166,10 @@ class FrameIndexPrecompute:
                         clip_scores=csc, sampled_idx=sampled_idx)
         return img, txt, csc, sampled_idx
 
-    def frame_indices_for(self, struct, dataset: str) -> list:
-        """Absolute selected frame ids as floats (gen_id_tspo.py:81-92)."""
-        img, txt, csc, sampled_idx = self.features_for(struct, dataset)
+    def _select_abs_ids(self, img, txt, csc, sampled_idx,
+                        dataset: str) -> list:
+        """Selector + method dispatch + absolute-index gather — the single
+        implementation shared by frame_indices_for and run()'s consumer."""
         sampled_idx = np.asarray(sampled_idx, np.int64)
         method = select_method_for(dataset, self.cfg)
         extra = AKS_PARAMS.get(dataset, {}) if method == "aks" else {}
@@ -141,15 +183,20 @@ class FrameIndexPrecompute:
             abs_ids = sampled_idx
         return [float(x) for x in abs_ids]
 
+    def frame_indices_for(self, struct, dataset: str) -> list:
+        """Absolute selected frame ids as floats (gen_id_tspo.py:81-92)."""
+        img, txt, csc, sampled_idx = self.features_for(struct, dataset)
+        return self._select_abs_ids(img, txt, csc, sampled_idx, dataset)
+
     # -- dataset run --------------------------------------------------------
 
     def run(self, dataset: VideoQuestionDataset, shard: tuple = (0, 1),
             rerun: bool = False, progress=None) -> dict:
         """Score this rank's slice of the question list; returns
         {question_id: [abs frame ids]} merged with prior results."""
-        results = {} if rerun else self.load_results(dataset.name)
-        errors = {} if rerun else self.load_errors(dataset.name)
         rank, world = shard
+        results = {} if rerun else self.load_results(dataset.name, shard)
+        errors = {} if rerun else self.load_errors(dataset.name, shard)
         structs = [s for i, s in enumerate(dataset.iter_structs())
                    if i % world == rank]
         todo = [s for s in structs if s["question_id"] not in results
@@ -166,12 +213,8 @@ class FrameIndexPrecompute:
                     q.put((s, "cached", None))
                     continue
                 try:
-                    sampled_idx = candidate_schedule(s["video_path"],
-                                                     self.cfg.max_frames)
-                    frames, _, _ = load_video(s["video_path"],
-                                              max_frames_num=self.cfg.max_frames,
-                                              fps=1, min_frames_num=0)
-                    q.put((s, "frames", (frames, sampled_idx)))
+                    q.put((s, "frames",
+                           self._decode_candidates(s["video_path"])))
                 except Exception as e:  # keep the run alive (run_hzf resume)
                     q.put((s, "error", e))
             q.put(None)
@@ -215,14 +258,15 @@ class FrameIndexPrecompute:
                         job, sampled_idx = payload
                         try:
                             frames = pool.result(job)
-                        except Exception:
-                            # mirror the non-pooled path exactly: load_video
-                            # degrades to zero-frames on decode failure
-                            frames, _, _ = load_video(
-                                s["video_path"],
-                                max_frames_num=self.cfg.max_frames, fps=1,
-                                min_frames_num=0)
-                        q.put((s, "frames", (frames, sampled_idx)))
+                            if frames.shape[0] != len(sampled_idx):
+                                raise IOError(
+                                    f"pool decoded {frames.shape[0]} of "
+                                    f"{len(sampled_idx)} frames")
+                            q.put((s, "frames", (frames, sampled_idx)))
+                        except Exception as e:
+                            # record like the non-pooled path — never feed a
+                            # frames/schedule length mismatch downstream
+                            q.put((s, "error", e))
                     else:
                         q.put((s, kind, payload))
                     refill()
@@ -240,49 +284,49 @@ class FrameIndexPrecompute:
             if item is None:
                 break
             s, kind, payload = item
+            if kind != "error":
+                # consumer-side failures (cache blob corruption, device
+                # errors) must also land in the errors record instead of
+                # killing the run — same record-and-skip contract as the
+                # producer (load_errors docstring)
+                try:
+                    if kind == "cached":
+                        blob = self.cache.load(dataset.name, s["index"])
+                        img, txt, csc, sampled_idx = (
+                            blob["image_features"], blob["text_features"],
+                            blob["clip_scores"], blob["sampled_idx"])
+                    else:
+                        frames, sampled_idx = payload
+                        img, txt, csc = self.scorer.extract_features(
+                            frames, s["problem"])
+                        img = np.asarray(img, np.float32)
+                        txt = np.asarray(txt, np.float32)
+                        csc = np.asarray(csc, np.float32)
+                        self.cache.save(dataset.name, s["index"],
+                                        image_features=img, text_features=txt,
+                                        clip_scores=csc,
+                                        sampled_idx=sampled_idx)
+                    results[s["question_id"]] = self._select_abs_ids(
+                        img, txt, csc, sampled_idx, dataset.name)
+                except Exception as e:  # noqa: BLE001 — recorded below
+                    kind, payload = "error", e
             if kind == "error":
                 qid = s["question_id"]
                 logging.getLogger(__name__).warning(
                     "precompute failed for %s (%s): %r", qid,
                     s.get("video_path"), payload)
                 errors[qid] = repr(payload)
-                self._atomic_dump(self._errors_path(dataset.name), errors)
+                self._atomic_dump(self._errors_path(dataset.name, shard),
+                                  errors)
                 continue
-            if kind == "cached":
-                blob = self.cache.load(dataset.name, s["index"])
-                img, txt, csc, sampled_idx = (
-                    blob["image_features"], blob["text_features"],
-                    blob["clip_scores"], blob["sampled_idx"])
-            else:
-                frames, sampled_idx = payload
-                img, txt, csc = self.scorer.extract_features(frames, s["problem"])
-                img = np.asarray(img, np.float32)
-                txt = np.asarray(txt, np.float32)
-                csc = np.asarray(csc, np.float32)
-                self.cache.save(dataset.name, s["index"], image_features=img,
-                                text_features=txt, clip_scores=csc,
-                                sampled_idx=sampled_idx)
-            sampled_idx = np.asarray(sampled_idx, np.int64)
-            if len(img) > self.cfg.sample_num:
-                method = select_method_for(dataset.name, self.cfg)
-                extra = (AKS_PARAMS.get(dataset.name, {})
-                         if method == "aks" else {})
-                ts_ids, _ = self.scorer.temporal_sampling(
-                    img, txt, csc, method=method,
-                    window_size=self.cfg.window_size,
-                    sample_num=self.cfg.sample_num, **extra)
-                abs_ids = sampled_idx[np.asarray(ts_ids)]
-            else:
-                abs_ids = sampled_idx
-            results[s["question_id"]] = [float(x) for x in abs_ids]
             done_since_ckpt += 1
             if progress:
                 progress(s["question_id"])
             if done_since_ckpt >= self.cfg.checkpoint_every:
-                self._checkpoint(dataset.name, results)
+                self._checkpoint(dataset.name, results, shard)
                 done_since_ckpt = 0
         t.join()
-        self._checkpoint(dataset.name, results)
+        self._checkpoint(dataset.name, results, shard)
         return results
 
     def emit_frame_idx_json(self, dataset: str, anno: list, out_path: str) -> list:

@@ -304,9 +304,23 @@ class TSPOScorer:
     @classmethod
     def load(cls, directory: str, clip_cfg=CLIPConfig(),
              selector_cfg=SelectorConfig(), dtype=jnp.bfloat16, **kw):
+        """Load a ``save()`` checkpoint.  The selector subtree stays FLOAT32
+        regardless of ``dtype`` — every other construction path keeps the
+        selector fp32 (reference trains it fp32; bf16 rounding flips frame
+        ranks near ties).  ``config.json`` written by save() overrides the
+        selector geometry so a non-default head count cannot silently load
+        under the default config (all selector params are dim x dim, so no
+        shape error would catch it)."""
         data = np.load(os.path.join(directory, "tspo_params.npz"))
+        cfg_path = os.path.join(directory, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                saved = json.load(f).get("selector", {})
+            if saved:
+                import dataclasses
+                selector_cfg = dataclasses.replace(selector_cfg, **saved)
 
-        def unflatten(prefix):
+        def unflatten(prefix, leaf_dtype):
             out = {}
             for key in data.files:
                 if not key.startswith(prefix + "/"):
@@ -315,11 +329,13 @@ class TSPOScorer:
                 d = out
                 for p in parts[:-1]:
                     d = d.setdefault(p, {})
-                d[parts[-1]] = jnp.asarray(data[key], dtype)
+                d[parts[-1]] = jnp.asarray(data[key], leaf_dtype)
             return out
 
-        return cls(clip_params=unflatten("clip"), selector_params=unflatten("selector"),
-                   clip_cfg=clip_cfg, selector_cfg=selector_cfg, dtype=dtype, **kw)
+        return cls(clip_params=unflatten("clip", dtype),
+                   selector_params=unflatten("selector", jnp.float32),
+                   clip_cfg=clip_cfg, selector_cfg=selector_cfg, dtype=dtype,
+                   **kw)
 
     @classmethod
     def from_torch_merged(cls, model_or_sd, clip_cfg=CLIPConfig(),

@@ -56,9 +56,12 @@ class SampledSubsets(NamedTuple):
 
 
 def anneal_tau(step, max_steps, tau0: float, tau_final: float):
-    """Linear temperature anneal (tspo_trainer.py:496)."""
+    """Linear temperature anneal (tspo_trainer.py:496).  frac clamps to 1:
+    a driver stepping past the planned horizon (e.g. an external batched
+    loop) must plateau at tau_final — unclamped, tau crosses zero around
+    step ~1.7x horizon and NEGATIVE tau inverts every selector logit."""
     frac = jnp.asarray(step, jnp.float32) / jnp.maximum(max_steps, 1)
-    return tau0 - (tau0 - tau_final) * frac
+    return tau0 - (tau0 - tau_final) * jnp.minimum(frac, 1.0)
 
 
 @partial(jax.jit, static_argnames=("sel_cfg", "num_generations", "sample_len",

@@ -389,7 +389,6 @@ class TSPOTrainer:
                 sharding, np.ascontiguousarray(local_np))
 
         batch = TrainBatch(*[globalize(x) for x in np_batch])
-        k_len = globalize(k_lens)
         self.scorer.selector_params = jax.device_put(
             self.scorer.selector_params, repl)
         self.opt_state = jax.device_put(self.opt_state, repl)
