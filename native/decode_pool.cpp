@@ -17,7 +17,9 @@
 //   tspo_pool_pending(pool)      -> jobs submitted but not yet finished
 //   tspo_pool_destroy(pool)        joins workers; pending jobs finish first
 
+#include <chrono>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <mutex>
@@ -40,6 +42,33 @@ struct Job {
   unsigned char* out;
   long long out_cap;
 };
+
+// Synthetic job for scaling benchmarks (scripts/bench_decode_pool.py):
+// path "bench://sleep_us=S&iters=K" sleeps S µs (models the share of a
+// decode a core gives up — IO/demux waits, or the whole job when cores are
+// plentiful), then does K iterations of FIXED arithmetic work (models the
+// CPU-bound share; fixed work — not fixed wall time — so timesharing
+// threads cannot fake scaling), then writes a deterministic byte pattern so
+// callers can verify delivery.  Returns indices.size() like tspo_gather.
+// Lets the queue/condvar machinery be measured at any worker count without
+// ffmpeg or real cores.
+long long run_bench_job(const Job& job) {
+  long long sleep_us = 0, iters = 0;
+  const char* s = strstr(job.path.c_str(), "sleep_us=");
+  if (s) sleep_us = atoll(s + 9);
+  const char* c = strstr(job.path.c_str(), "iters=");
+  if (c) iters = atoll(c + 6);
+  if (sleep_us > 0)
+    std::this_thread::sleep_for(std::chrono::microseconds(sleep_us));
+  if (iters > 0) {
+    volatile unsigned long long sink = 0x9E3779B97F4A7C15ull;
+    for (long long i = 0; i < iters; ++i)
+      sink = sink * 6364136223846793005ull + 1442695040888963407ull;
+  }
+  for (long long i = 0; i < job.out_cap; ++i)
+    job.out[i] = (unsigned char)((job.id * 131 + i * 17) & 0xFF);
+  return (long long)job.indices.size();
+}
 
 struct Pool {
   std::mutex mu;
@@ -68,9 +97,12 @@ struct Pool {
         job = std::move(queue.front());
         queue.pop_front();
       }
-      long long rc = tspo_gather(job.path.c_str(), job.indices.data(),
-                                 (long long)job.indices.size(), job.out,
-                                 job.out_cap);
+      long long rc =
+          strncmp(job.path.c_str(), "bench://", 8) == 0
+              ? run_bench_job(job)
+              : tspo_gather(job.path.c_str(), job.indices.data(),
+                            (long long)job.indices.size(), job.out,
+                            job.out_cap);
       {
         std::lock_guard<std::mutex> lk(mu);
         results[job.id] = rc;

@@ -1,21 +1,28 @@
-"""Decode-pool scaling benchmark (round-2 VERDICT weak #5 follow-up).
+#!/usr/bin/env python
+"""Decode-pool scaling benchmark (VERDICT r2 #9).
 
-Measures aggregate decoded frames/s of the C++ ffmpeg pool
-(native/decode_pool.cpp) at 1/2/4/8 workers over N simultaneous synthetic
-videos, plus the single-stream rate and the cv2 fallback for reference.
+Measures the native C++ decode pool (native/decode_pool.cpp) at worker
+counts 1/2/4/8 with synthetic ``bench://`` jobs, so the queue/condvar
+machinery can be characterized even on a 1-core container:
 
-On a multi-core host this directly demonstrates (or falsifies) worker
-scaling.  On a single-core host — like the round-2/3 container — the
-expected result is FLAT aggregate throughput with no contention penalty,
-which is the honest claim the docs make: decode is pure CPU compute
-(demux+decode+swscale, no blocking I/O on these local files), so worker
-scaling is bounded by cores, and the pool's job is overlap with device
-compute, not single-core speedup.  Results land in docs/KERNELS.md.
+- sleep-bound jobs (sleep_us=J, iters=0) model what each decode looks
+  like when cores are plentiful (production eval hosts) or when decode
+  waits on IO: throughput must scale ~linearly with workers if the pool
+  adds no serialization.
+- work-bound jobs (iters=K, fixed arithmetic work calibrated to the same
+  per-job ms) model CPU-bound ffmpeg decode on THIS host: on a 1-core
+  container they cannot scale (expected ~1.0x), which calibrates how much
+  of any observed speedup is machinery vs physics.  On a multi-core
+  production host this same sweep shows the real decode scaling ceiling.
 
-Usage: python scripts/bench_decode_pool.py [--workers 1,2,4] [--videos 4]
+Reference counterpart: the mp_tools one-python-process-per-GPU worker loop
+(SURVEY.md C17/C18) — cross-video parallelism there is process-level; here
+it is native threads feeding one TPU process.
+
+Usage:
+  python scripts/bench_decode_pool.py [--jobs 64] [--job-ms 30]
+Prints a table + one JSON line; record results in docs/KERNELS.md.
 """
-
-from __future__ import annotations
 
 import argparse
 import json
@@ -23,73 +30,68 @@ import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def make_video(path: str, seconds: int = 30, fps: int = 30,
-               size=(640, 480)) -> None:
-    import cv2
-    if os.path.exists(path):
-        return
-    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
-    for i in range(seconds * fps):
-        w.write(np.roll(base, i * 7, axis=1))
-    w.release()
+from tspo_tpu.video.native import DecodePool, pool_available  # noqa: E402
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--workers", default="1,2,4")
-    p.add_argument("--videos", type=int, default=4)
-    p.add_argument("--seconds", type=int, default=30)
-    args = p.parse_args(argv)
+def run(workers: int, jobs: int, sleep_us: int, iters: int) -> float:
+    """Submit `jobs` synthetic jobs, wait for all; return wall seconds."""
+    with DecodePool(workers=workers) as pool:
+        t0 = time.perf_counter()
+        ids = [pool.submit_bench(sleep_us=sleep_us, iters=iters)
+               for _ in range(jobs)]
+        for j in ids:
+            pool.result(j)
+        return time.perf_counter() - t0
 
-    from tspo_tpu.video import native
 
-    paths = []
-    for i in range(args.videos):
-        path = f"/tmp/tspo_pool_bench_{i}.mp4"
-        make_video(path, seconds=args.seconds)
-        paths.append(path)
-    # 1-fps gather indices, the phase-1 access pattern
-    total, fps_v, _, _ = native.info(paths[0]) if native.available() else \
-        (args.seconds * 30, 30.0, 480, 640)
-    idx = np.arange(0, total, int(round(fps_v)))
+def calibrate_iters(target_ms: float) -> int:
+    """Find the iteration count whose single-worker job cost ~= target_ms."""
+    probe = 2_000_000
+    wall = run(1, 4, 0, probe) / 4
+    return max(int(probe * (target_ms / 1000.0) / wall), 1)
 
-    out = {"host_cores": os.cpu_count(), "videos": args.videos,
-           "frames_per_video": len(idx)}
 
-    if not native.pool_available():
-        out["error"] = "native decode pool not built (make -C native)"
-        print(json.dumps(out))
-        return
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", type=int, default=64)
+    ap.add_argument("--job-ms", type=float, default=30.0,
+                    help="per-job cost in ms (sleep for the sleep-bound "
+                         "sweep, spin for the spin-bound sweep)")
+    ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 8])
+    args = ap.parse_args()
 
-    # single-stream baseline
-    t0 = time.perf_counter()
-    frames = native.gather(paths[0], idx)
-    out["single_stream_fps"] = round(len(frames)
-                                     / (time.perf_counter() - t0), 1)
+    if not pool_available():
+        print("native decode pool unavailable (toolchain/ffmpeg missing)")
+        return 1
 
-    for workers in [int(w) for w in args.workers.split(",")]:
-        with native.DecodePool(workers=workers) as pool:
-            t0 = time.perf_counter()
-            jobs = [pool.submit(path, idx) for path in paths]
-            n = sum(len(pool.result(j)) for j in jobs)
-            dt = time.perf_counter() - t0
-        out[f"pool_{workers}w_aggregate_fps"] = round(n / dt, 1)
+    job_us = int(args.job_ms * 1000)
+    ncores = os.cpu_count() or 1
+    iters = calibrate_iters(args.job_ms)
+    print(f"host cores: {ncores}; jobs: {args.jobs}; "
+          f"per-job: {args.job_ms} ms ({iters} iters work-bound)")
 
-    base = out.get("pool_1w_aggregate_fps")
-    if base:
-        out["scaling"] = {f"{w}w": round(out[f"pool_{w}w_aggregate_fps"]
-                                         / base, 2)
-                          for w in [int(x) for x in args.workers.split(",")]
-                          if f"pool_{w}w_aggregate_fps" in out}
-    print(json.dumps(out))
+    results = {"cores": ncores, "jobs": args.jobs, "job_ms": args.job_ms,
+               "sleep_bound": {}, "work_bound": {}}
+    for kind, sleep_us, niters in (("sleep_bound", job_us, 0),
+                                   ("work_bound", 0, iters)):
+        base = None
+        print(f"\n{kind} jobs:")
+        print(f"{'workers':>8} {'wall s':>8} {'jobs/s':>8} {'speedup':>8}")
+        for w in args.workers:
+            wall = run(w, args.jobs, sleep_us, niters)
+            jps = args.jobs / wall
+            if base is None:
+                base = wall
+            results[kind][str(w)] = {"wall_s": round(wall, 3),
+                                     "jobs_per_s": round(jps, 1),
+                                     "speedup": round(base / wall, 2)}
+            print(f"{w:>8} {wall:>8.3f} {jps:>8.1f} {base / wall:>8.2f}x")
+
+    print("\n" + json.dumps(results))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -105,8 +105,11 @@ def test_two_process_distributed_precompute(tmp_path):
     assert all(p.returncode == 0 for p in procs), outs
 
     import pickle
-    shards = [pickle.load(open(tmp_path / f"w{r}" / "TSPO_B_supp.pkl", "rb"))
-              for r in range(2)]
+    # per-rank files since round 3 (multi-rank clobber fix): each world=2
+    # shard writes TSPO_B_supp_rank{r}of2.pkl
+    shards = [pickle.load(open(
+        tmp_path / f"w{r}" / f"TSPO_B_supp_rank{r}of2.pkl", "rb"))
+        for r in range(2)]
     all_q = set(shards[0]) | set(shards[1])
     assert all_q == {"q0", "q1", "q2", "q3"}
     assert set(shards[0]).isdisjoint(shards[1])  # actually sharded

