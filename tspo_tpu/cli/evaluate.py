@@ -99,6 +99,7 @@ JUDGED_TASK_REGISTRARS = (
     (("MMVU",), "mmvu", "register_mmvu"),
     (("PLM-",), "plm_videobench", "register_plm_videobench"),
     (("FunQA",), "funqa", "register_funqa"),
+    (("CAPability",), "capability", "register_capability"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
