@@ -359,3 +359,121 @@ def test_vicuna_llava_greedy_decode_parity(vicuna_stack):
     out = model.generate(frames, "Q?", max_new_tokens=4)
     got = [int(x) for x in out.split()]
     assert got == toks[: len(got)] and len(got) >= 1
+
+
+# ---------------------------------------------------------------------------
+# multi-round rendering (generate_until_multi_round support)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", _PARITY_TEMPLATES)
+def test_render_turns_matches_reference_multi_round(name):
+    """Two full QA rounds + a third open question — byte parity with the
+    reference Conversation.get_prompt message loop, which the single-turn
+    adapters never exercise past two messages."""
+    ref = _load_ref_conversation()
+    turns = [("<image>\nWhat is shown?", "A dog in the park."),
+             ("What happens next?", "It chases a ball."),
+             ("How does it end?", None)]
+    conv = ref.conv_templates[name].copy()
+    conv.messages = []
+    for q, a in turns:
+        conv.append_message(conv.roles[0], q)
+        conv.append_message(conv.roles[1], a)
+    assert get_template(name).render_turns(turns) == conv.get_prompt()
+
+
+def test_build_prompt_multi_image_token_first_turn_only():
+    from tspo_tpu.models.conversation import build_prompt_multi
+    out = build_prompt_multi([("q1", "a1"), ("q2", None)], "qwen_1_5")
+    assert out.count("<image>") == 1
+    assert "<image>\nq1" in out and "user\nq2" in out and "a1" in out
+    # single-turn degenerate case == build_prompt
+    assert build_prompt_multi([("q", None)], "vicuna_v1") == \
+        build_prompt("q", "vicuna_v1")
+
+
+def test_harness_multi_round_flow(tmp_path):
+    """output_type=generate_until_multi_round: rounds accumulate context,
+    the final answer is scored, rounds ride the sample record."""
+    import cv2
+    import dataclasses
+    from tspo_tpu.eval.harness import evaluate_task
+    from tspo_tpu.eval.tasks import TASK_REGISTRY, BenchmarkTask
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(20):
+        w.write(np.full((48, 48, 3), i * 10, np.uint8))
+    w.release()
+
+    seen_prompts = []
+
+    class ChatBackbone:
+        def generate(self, frames, prompt, **kw):
+            raise AssertionError("multi-round must use generate_multi_round")
+
+        def generate_multi_round(self, frames, turns):
+            seen_prompts.append(list(turns))
+            return f"round{len(turns)}"
+
+    def round_prompt(doc, r, responses, kwargs):
+        return doc["question"] if r == 0 else f"followup after {responses[-1]}"
+
+    task = BenchmarkTask(
+        name="_mr_test",
+        doc_to_text=lambda doc, kw=None: doc["question"],
+        process_response=lambda doc, resp, rng=None: {"final": resp},
+        aggregate=lambda rs: {"n": len(rs)},
+        output_type="generate_until_multi_round",
+        num_rounds=3, round_prompt=round_prompt)
+    TASK_REGISTRY["_mr_test"] = task
+    try:
+        docs = [{"question_id": "q0", "question": "What?", "video_path": path,
+                 "frame_idx": [0, 1, 2, 3]}]
+        res = evaluate_task("_mr_test", docs, ChatBackbone(), video_root="",
+                            max_frames_num=4)
+    finally:
+        TASK_REGISTRY.pop("_mr_test", None)
+    assert res.results[0]["final"] == "round3"
+    # round 2 saw round 1's answer in its prompt and in its turn history
+    assert seen_prompts[1][0] == ("What?", "round1")
+    assert seen_prompts[1][1] == ("followup after round1", None)
+    assert res.samples[0]["rounds"] == [
+        ("What?", "round1"), ("followup after round1", "round2"),
+        ("followup after round2", "round3")]
+
+
+def test_harness_multi_round_transcript_fallback(tmp_path):
+    """Backbones without generate_multi_round get a plain transcript."""
+    import cv2
+    from tspo_tpu.eval.harness import evaluate_task
+    from tspo_tpu.eval.tasks import TASK_REGISTRY, BenchmarkTask
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(20):
+        w.write(np.full((48, 48, 3), i * 10, np.uint8))
+    w.release()
+
+    prompts = []
+
+    class PlainBackbone:
+        def generate(self, frames, prompt, **kw):
+            prompts.append(prompt)
+            return f"a{len(prompts)}"
+
+    task = BenchmarkTask(
+        name="_mr_fb", doc_to_text=lambda doc, kw=None: "Q",
+        process_response=lambda doc, resp, rng=None: {"final": resp},
+        aggregate=lambda rs: {}, output_type="generate_until_multi_round",
+        num_rounds=2)
+    TASK_REGISTRY["_mr_fb"] = task
+    try:
+        docs = [{"question_id": "q0", "video_path": path,
+                 "frame_idx": [0, 1]}]
+        res = evaluate_task("_mr_fb", docs, PlainBackbone(), video_root="",
+                            max_frames_num=2)
+    finally:
+        TASK_REGISTRY.pop("_mr_fb", None)
+    assert prompts == ["Q", "Q\na1\nQ"]
+    assert res.results[0]["final"] == "a2"

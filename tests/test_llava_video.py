@@ -363,3 +363,25 @@ def test_text_only_generate_zero_frames(jax_model):
     res = LocalBackboneProvider(jax_model)._complete_with_retry(
         "score this", system_prompt="you are a judge")
     assert res.success
+
+
+def test_generate_multi_round(jax_model):
+    """Multi-round chat: earlier QA pairs ride the conversation template;
+    round 2 with a different history must see a different prompt (and may
+    produce a different continuation), while a None-history call matches
+    plain generate exactly."""
+    v = CFG.vision
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    solo = jax_model.generate(frames, "What?", max_new_tokens=3)
+    multi1 = jax_model.generate_multi_round(frames, [("What?", None)],
+                                            max_new_tokens=3)
+    assert multi1 == solo  # single-turn degenerate case
+
+    from tspo_tpu.models.conversation import build_prompt_multi
+    turns = [("What?", solo), ("And then?", None)]
+    p2 = build_prompt_multi(turns, jax_model.conv_template)
+    assert solo in p2 and p2.endswith("assistant\n")
+    out2 = jax_model.generate_multi_round(frames, turns, max_new_tokens=3)
+    assert isinstance(out2, str) and out2

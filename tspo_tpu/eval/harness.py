@@ -148,6 +148,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
         if item is None:
             break
         doc, kind, payload = item
+        rounds_detail = None
         try:
             if kind == "cached":
                 response = response_cache.get(_doc_id(doc, id_key))
@@ -171,7 +172,30 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 if task.transform_frames is not None:
                     frames = task.transform_frames(doc, frames, frame_idx)
                 prompt = task.doc_to_text(doc, specific_kwargs)
-                if (request_type or task.output_type) == "loglikelihood":
+                reqtype = request_type or task.output_type
+                if reqtype == "generate_until_multi_round":
+                    # multi-round chat (api/model.py:82-103): each round's
+                    # answer becomes conversation context for the next; the
+                    # FINAL answer is what process_results scores, rounds
+                    # ride the sample record
+                    turns, round_answers = [], []
+                    for r in range(max(int(task.num_rounds), 1)):
+                        rq = (task.round_prompt(doc, r, list(round_answers),
+                                                specific_kwargs)
+                              if task.round_prompt is not None else prompt)
+                        if hasattr(backbone, "generate_multi_round"):
+                            ans = backbone.generate_multi_round(
+                                frames, [*turns, (rq, None)])
+                        else:
+                            # single-turn backbones: plain-text transcript
+                            transcript = "".join(f"{u}\n{a}\n"
+                                                 for u, a in turns)
+                            ans = backbone.generate(frames, transcript + rq)
+                        turns.append((rq, ans))
+                        round_answers.append(ans)
+                    response = round_answers[-1]
+                    rounds_detail = turns
+                elif reqtype == "loglikelihood":
                     # request-type dispatch (evaluator.py:501): score each
                     # choice's continuation logprob, answer = argmax letter.
                     # ll_length_normalize ranks by per-token mean — the
@@ -199,9 +223,11 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
         rec = task.process_response(doc, response, rng)
         results.append(rec)
         if log_samples:
-            samples.append({"doc_id": _doc_id(doc, id_key),
-                            "response": response,
-                            "frame_idx": frame_idx, **rec})
+            sample = {"doc_id": _doc_id(doc, id_key), "response": response,
+                      "frame_idx": frame_idx, **rec}
+            if rounds_detail is not None:
+                sample["rounds"] = rounds_detail
+            samples.append(sample)
         if progress:
             progress(_doc_id(doc, id_key))
     return EvalResult(results=results, metrics=task.aggregate(results),

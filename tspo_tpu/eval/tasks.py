@@ -233,6 +233,13 @@ class BenchmarkTask:
     # loading — PLM-VideoBench STC tasks draw per-frame bounding boxes on the
     # gathered frames (plm_videobench/eval_utils.py::draw_bounding_boxes)
     transform_frames: Callable | None = None
+    # multi-round chat tasks (lmms api/model.py generate_until_multi_round):
+    # with output_type "generate_until_multi_round" the harness asks
+    # num_rounds questions over the same video, feeding each round's answer
+    # back as conversation context; round_prompt(doc, round_idx, responses,
+    # specific_kwargs) builds the per-round question (doc_to_text when None)
+    num_rounds: int = 1
+    round_prompt: Callable | None = None
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os

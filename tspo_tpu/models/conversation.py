@@ -48,8 +48,18 @@ class ConvTemplate:
         the two-append + get_prompt sequence of the reference adapters.
         Byte-parity with Conversation.get_prompt is pinned by
         tests/test_conversation.py against the actual reference templates."""
-        msgs = [(self.roles[0], user_message),
-                (self.roles[1], assistant_message)]
+        return self.render_turns([(user_message, assistant_message)])
+
+    def render_turns(self, turns) -> str:
+        """Render ``[(user, assistant|None), ...]`` — the general
+        Conversation.get_prompt message loop (conversation.py:60-163),
+        which the single-turn adapters only ever drive with two messages.
+        A ``None`` assistant message becomes the generation stub (the
+        reference's append_message(role, None))."""
+        msgs = []
+        for u, a in turns:
+            msgs.append((self.roles[0], u))
+            msgs.append((self.roles[1], a))
         if self.sep_style == "two":            # conversation.py:74-83
             seps = (self.sep, self.sep2)
             out = self.system + seps[0]
@@ -69,9 +79,16 @@ class ConvTemplate:
         if self.sep_style == "llama_2":        # conversation.py:142-163
             sys_block = (f"<<SYS>>\n{self.system}\n<</SYS>>\n\n"
                          if self.system else "")
-            out = self.sep + f"[INST] {sys_block}{user_message} [/INST]"
-            if assistant_message:
-                out += f" {assistant_message} {self.sep2}"
+            out = ""
+            for i, (role, m) in enumerate(msgs):
+                if not m:
+                    continue
+                if i == 0:
+                    m = sys_block + m
+                if i % 2 == 0:
+                    out += self.sep + f"[INST] {m} [/INST]"
+                else:
+                    out += f" {m} {self.sep2}"
             # the reference char-set-lstrips the leading sep ("<s>"),
             # conversation.py:163 — single-turn prompts lose the BOS marker
             # entirely (the tokenizer re-adds BOS)
@@ -79,11 +96,10 @@ class ConvTemplate:
         if self.sep_style == "llama_3":        # conversation.py:97-109 via
             out = ("<|begin_of_text|><|start_header_id|>system"  # chat tmpl
                    f"<|end_header_id|>\n\n{self.system}<|eot_id|>")
-            out += ("<|start_header_id|>user<|end_header_id|>\n\n"
-                    f"{user_message}<|eot_id|>")
-            if assistant_message:
-                out += ("<|start_header_id|>assistant<|end_header_id|>\n\n"
-                        f"{assistant_message}<|eot_id|>")
+            for role, m in msgs:
+                if m:
+                    out += (f"<|start_header_id|>{role}<|end_header_id|>"
+                            f"\n\n{m}<|eot_id|>")
             out += "<|start_header_id|>assistant<|end_header_id|>\n\n"
             return out
         raise ValueError(f"unknown sep_style {self.sep_style}")
@@ -167,6 +183,22 @@ def build_prompt(question: str, template: str = "qwen_1_5",
     q = (DEFAULT_IMAGE_TOKEN + "\n" + question) if add_image_token \
         else question
     return get_template(template).render(q, assistant)
+
+
+def build_prompt_multi(turns, template: str = "qwen_1_5",
+                       add_image_token: bool = True) -> str:
+    """Multi-round prompt: ``turns`` is [(question, answer|None), ...] with
+    the last answer None (the generation stub).  The <image> token rides
+    the FIRST user turn only — the video is encoded once and spliced once,
+    exactly like the single-turn adapters (the reference's multi-round
+    capable adapters, e.g. lmms-eval models/simple/videochat2.py, keep the
+    visual on the opening turn too)."""
+    rendered = []
+    for i, (q, a) in enumerate(turns):
+        if i == 0 and add_image_token:
+            q = DEFAULT_IMAGE_TOKEN + "\n" + q
+        rendered.append((q, a))
+    return get_template(template).render_turns(rendered)
 
 
 def stop_str(template: str = "qwen_1_5") -> str:

@@ -237,6 +237,20 @@ class LLaVAVideoModel:
         from .conversation import build_prompt
         return build_prompt(question, self.conv_template)
 
+    def generate_multi_round(self, frames: np.ndarray, turns,
+                             max_new_tokens: int | None = None) -> str:
+        """Multi-round chat over one video: ``turns`` is
+        [(question, answer), ..., (question, None)] — earlier QA pairs ride
+        the conversation template as context, the video splices once at the
+        first turn's <image> slot.  Implements the lmms ABC's
+        generate_until_multi_round surface (lmms-eval api/model.py:82-103),
+        which the reference's own LLaVA adapter leaves NotImplementedError
+        (models/simple/llava.py:432-433)."""
+        from .conversation import build_prompt_multi
+        prompt = build_prompt_multi(turns, self.conv_template)
+        return self.generate(frames, question="", prompt=prompt,
+                             max_new_tokens=max_new_tokens)
+
     def encode_video(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, 3] uint8 -> [T*tokens_per_frame, D] spliceable tokens.
 
