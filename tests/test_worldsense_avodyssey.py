@@ -1,0 +1,242 @@
+"""WorldSense + AV-Odyssey: prompt bytes, parser, scoring, and aggregation
+parity vs the reference lmms-eval task functions
+(worldsense/utils.py, av_odyssey/utils.py), dynamically imported.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tspo_tpu.eval.av_odyssey import (aggregate_av_odyssey,
+                                      av_odyssey_doc_to_text,
+                                      av_odyssey_process, doc_to_media,
+                                      split_media_tags)
+from tspo_tpu.eval.tasks import get_task
+from tspo_tpu.eval.worldsense import (aggregate_worldsense,
+                                      parse_multi_choice_response,
+                                      worldsense_doc_to_text,
+                                      worldsense_doc_to_text_subtitle,
+                                      worldsense_process)
+
+REF_TASKS = "/root/reference/lmms-eval/lmms_eval/tasks"
+
+WS_DOC = {
+    "index": "ws_001",
+    "question": "What instrument is playing?",
+    "candidates": ["A. Piano", "B. Violin", "C. Drums", "D. Guitar"],
+    "answer": "B",
+    "task_type": "Audio Recognition",
+    "task_domain": "Music",
+    "duration": "60s~5min",
+    "audio_class": ["music", "speech"],
+    "video_path": "videos/ws_001.mp4",
+    "subtitle_path": "subtitles/ws_001.srt",
+}
+
+AVO_DOC = {
+    "question_id": "avo_7",
+    "question": "Listen to [audio1] and watch [video1]. Which mood matches?",
+    "options": ["A. Joyful", "B. Somber", "C. Tense", "D. Calm"],
+    "answer": "C",
+    "subfield": "Timbre",
+    "data_type": "video",
+    "video_path": ["v/clip7.mp4"],
+    "image_path": [],
+    "audio_path": ["a/clip7.wav"],
+}
+
+
+def _load_ref(relpath: str, hf_home: str = "/tmp"):
+    path = os.path.join(REF_TASKS, relpath)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    mods = {}
+    base = [("loguru", {"logger": __import__("logging").getLogger("stub")}),
+            ("decord", {"VideoReader": object, "cpu": object}),
+            ("lmms_eval", {}), ("lmms_eval.tasks", {}),
+            ("lmms_eval.tasks._task_utils", {}),
+            ("lmms_eval.tasks._task_utils.file_utils",
+             {"generate_submission_file": lambda *a, **k: "/dev/null"})]
+    for name, attrs in base:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            mods[name] = m
+    sys.modules.update(mods)
+    old_hf = os.environ.get("HF_HOME")
+    os.environ["HF_HOME"] = hf_home
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_" + relpath.replace("/", "_").replace(".py", ""), path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        os.environ.pop("HF_HOME", None)
+        if old_hf is not None:
+            os.environ["HF_HOME"] = old_hf
+        for name in mods:
+            sys.modules.pop(name, None)
+
+
+# ---------------------------------------------------------------------------
+# WorldSense
+# ---------------------------------------------------------------------------
+
+def test_worldsense_doc_to_text_bytes():
+    ref = _load_ref("worldsense/utils.py")
+    assert worldsense_doc_to_text(WS_DOC) == ref.worldsense_doc_to_text(WS_DOC)
+    doc3 = {**WS_DOC, "candidates": WS_DOC["candidates"][:3]}
+    assert worldsense_doc_to_text(doc3) == ref.worldsense_doc_to_text(doc3)
+
+
+PARSER_CASES = [
+    "B",
+    "(C)",
+    "The answer is (B).",
+    "I think it is A because the piano is visible",
+    "b",  # lowercase letter: no candidate, short -> "A" fallback
+    "",
+    "After hearing the music it is clearly a violin being played there",
+    "Both A and C could be right, but mostly (C)",
+    "A B C D",
+    "  D.  ",
+    "The mood is somber overall in my view honestly",
+]
+
+
+def test_worldsense_parser_matches_reference():
+    ref = _load_ref("worldsense/utils.py")
+    index2ans = {"A": "Piano", "B": "Violin", "C": "Drums", "D": "Guitar"}
+    for resp in PARSER_CASES:
+        assert parse_multi_choice_response(resp, ["A", "B", "C", "D"],
+                                           dict(index2ans)) == \
+            ref.parse_multi_choice_response(resp, ["A", "B", "C", "D"],
+                                            dict(index2ans)), resp
+
+
+def test_worldsense_process_and_aggregate_match_reference():
+    ref = _load_ref("worldsense/utils.py")
+    docs = []
+    for i, (resp, cat, dom, dur, aud, ans) in enumerate([
+            ("B", "Audio Recognition", "Music", "60s~5min", ["music"], "B"),
+            ("(A)", "Event Recognition", "Sports", "<60s", ["speech"], "C"),
+            ("The violin, option (B)", "Audio Recognition", "Music",
+             "60s~5min", ["music", "speech"], "B"),
+            ("no idea", "Hallucination", "Games", ">5min", [], "D")]):
+        docs.append(({**WS_DOC, "index": f"q{i}", "task_type": cat,
+                      "task_domain": dom, "duration": dur,
+                      "audio_class": aud, "answer": ans}, resp))
+    ours = [worldsense_process(d, r) for d, r in docs]
+    theirs = [ref.worldsense_process_results(d, [r])["worldsense_score"]
+              for d, r in docs]
+    for o, t in zip(ours, theirs):
+        assert o["score"] == t["score"]
+        assert o["category"] == t["category"]
+        assert o["domain"] == t["domain"]
+    agg = aggregate_worldsense(ours)
+    assert agg["overall"] == pytest.approx(
+        ref.worldsense_aggregate_results(theirs))
+    # per-category means agree with a hand count
+    assert agg["task_categories"]["Audio Recognition"] == pytest.approx(100.0)
+
+
+def _write_srt(path, entries):
+    blocks = []
+    for i, (start, end, text) in enumerate(entries):
+        blocks.append(f"{i+1}\n{start} --> {end}\n{text}")
+    path.write_text("\n\n".join(blocks) + "\n")
+
+
+def test_worldsense_subtitle_prompt_bytes(tmp_path):
+    import cv2
+    cache = tmp_path / "WorldSense"
+    (cache / "videos").mkdir(parents=True)
+    (cache / "subtitles").mkdir(parents=True)
+    w = cv2.VideoWriter(str(cache / WS_DOC["video_path"]),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 32))
+    for i in range(100):  # 10 s at 10 fps
+        w.write(np.full((32, 32, 3), i % 255, dtype=np.uint8))
+    w.release()
+    _write_srt(cache / WS_DOC["subtitle_path"],
+               [("00:00:00,000", "00:00:03,000", "hello world"),
+                ("00:00:04,000", "00:00:07,500", "second line"),
+                ("00:00:08,000", "00:00:09,500", "third line")])
+    ref = _load_ref("worldsense/utils.py", hf_home=str(tmp_path))
+    theirs = ref.worldsense_doc_to_text_subtitle(WS_DOC, {"frame_num": 8})
+    ours = worldsense_doc_to_text_subtitle(
+        WS_DOC, {"video_root": str(cache), "subtitle_root": str(cache),
+                 "frame_num": 8})
+    assert ours == theirs
+
+
+def test_worldsense_subtitle_missing_file_graceful():
+    # reference NameErrors here (utils.py:185 dead-intent bug); we emit the
+    # intended placeholder
+    out = worldsense_doc_to_text_subtitle(WS_DOC, {"frame_num": 8})
+    assert "No subtitles available" in out
+
+
+def test_worldsense_registry():
+    task = get_task("WorldSense")
+    assert task.resolve_video(WS_DOC, "/root") == "/root/videos/ws_001.mp4"
+    assert get_task("WorldSense-subtitles").output_type == "generate_until"
+
+
+# ---------------------------------------------------------------------------
+# AV-Odyssey
+# ---------------------------------------------------------------------------
+
+def test_av_odyssey_split_and_text_bytes():
+    ref = _load_ref("av_odyssey/utils.py")
+    assert split_media_tags(AVO_DOC["question"]) == \
+        ref.split_media_tags(AVO_DOC["question"])
+    assert split_media_tags("no tags at all") == \
+        ref.split_media_tags("no tags at all")
+    assert split_media_tags("[img2] leading and trailing [audio10]") == \
+        ref.split_media_tags("[img2] leading and trailing [audio10]")
+    assert av_odyssey_doc_to_text(AVO_DOC) == \
+        ref.av_odyssey_doc_to_text(AVO_DOC)
+
+
+def test_av_odyssey_media_order(tmp_path):
+    cache = tmp_path / "AV_Odyssey"
+    for rel in AVO_DOC["video_path"] + AVO_DOC["audio_path"]:
+        p = cache / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+    ref = _load_ref("av_odyssey/utils.py", hf_home=str(tmp_path))
+    theirs = ref.av_odyssey_doc_to_visual(AVO_DOC)
+    ours = doc_to_media(AVO_DOC, str(cache))
+    assert [p for p, _ in ours] == theirs
+    assert [t for _, t in ours] == ["audio", "video"]
+
+
+def test_av_odyssey_process_and_aggregate_match_reference():
+    ref = _load_ref("av_odyssey/utils.py")
+    cases = [("C", "C", "Timbre"), ("(B)", "C", "Tone"),
+             ("The tense mood dominates the clip throughout here", "C",
+              "Timbre"), ("gibberish", "A", "Melody")]
+    ours, theirs = [], []
+    for i, (resp, ans, sub) in enumerate(cases):
+        doc = {**AVO_DOC, "question_id": f"q{i}", "answer": ans,
+               "subfield": sub}
+        ours.append(av_odyssey_process(doc, resp))
+        theirs.append(ref.av_odyssey_process_results(
+            doc, [resp])["av_odyssey_score"])
+    for o, t in zip(ours, theirs):
+        assert o["score"] == t["score"] and o["category"] == t["category"]
+    agg = aggregate_av_odyssey(ours)
+    assert agg["overall"] == pytest.approx(
+        ref.av_odyssey_aggregate_results(theirs))
+    assert set(agg["subfields"]) == {"Timbre", "Tone", "Melody"}
+
+
+def test_av_odyssey_registry_list_path():
+    task = get_task("AV-Odyssey")
+    assert task.resolve_video(AVO_DOC, "/data") == "/data/v/clip7.mp4"

@@ -245,7 +245,10 @@ class BenchmarkTask:
         import os
         for key in self.video_path_keys:
             if key in doc and doc[key]:
-                name = str(doc[key])
+                val = doc[key]
+                # AV-Odyssey docs carry media-path LISTS (av_odyssey/utils.py
+                # doc_to_visual); the harness consumes the first video
+                name = str(val[0]) if isinstance(val, (list, tuple)) else str(val)
                 if self.video_suffix and not os.path.splitext(name)[1]:
                     name += self.video_suffix
                 return os.path.join(video_root, self.video_subdir, name)
@@ -367,6 +370,8 @@ from . import vitatecs as _vitatecs  # noqa: E402,F401
 from . import spatial_tasks as _spatial_tasks  # noqa: E402,F401
 from . import tempcompass as _tempcompass  # noqa: E402,F401
 from . import grounding_tasks as _grounding_tasks  # noqa: E402,F401
+from . import worldsense as _worldsense  # noqa: E402,F401
+from . import av_odyssey as _av_odyssey  # noqa: E402,F401
 from . import mmvu as _mmvu  # noqa: E402,F401
 from . import plm_videobench as _plm_videobench  # noqa: E402,F401
 from . import funqa as _funqa  # noqa: E402,F401
