@@ -267,13 +267,18 @@ def _run(args):
 
 def make_table(task: str, metrics: dict, n: int) -> str:
     """Results table (lmms_eval.utils.make_table equivalent)."""
+    def fmt(v):
+        # non-numeric values are informational (e.g. FunQA's "bleurt:
+        # gated ..." runbook note) — print verbatim
+        return f"{v:.2f}" if isinstance(v, (int, float)) else str(v)
+
     lines = [f"| {task} (n={n}) | acc % |", "|---|---|"]
     for key, val in metrics.items():
         if isinstance(val, dict):
             for sub, v in val.items():
-                lines.append(f"| {key}/{sub} | {v:.2f} |")
+                lines.append(f"| {key}/{sub} | {fmt(v)} |")
         else:
-            lines.append(f"| {key} | {val:.2f} |")
+            lines.append(f"| {key} | {fmt(val)} |")
     return "\n".join(lines)
 
 

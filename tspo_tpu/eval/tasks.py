@@ -372,6 +372,7 @@ from . import tempcompass as _tempcompass  # noqa: E402,F401
 from . import grounding_tasks as _grounding_tasks  # noqa: E402,F401
 from . import worldsense as _worldsense  # noqa: E402,F401
 from . import av_odyssey as _av_odyssey  # noqa: E402,F401
+from . import captioning_tasks as _captioning_tasks  # noqa: E402,F401
 from . import mmvu as _mmvu  # noqa: E402,F401
 from . import plm_videobench as _plm_videobench  # noqa: E402,F401
 from . import funqa as _funqa  # noqa: E402,F401

@@ -92,3 +92,113 @@ def rouge_l(reference: str, hypothesis: str, beta: float = 1.2,
     if prec == 0 or rec == 0:
         return 0.0
     return ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level scorers (YouCook2: per-video corpus BLEU_1..4 / ROUGE-L /
+# CIDEr through pycocoevalcap — youcook2/utils.py:64-101)
+# ---------------------------------------------------------------------------
+
+def corpus_bleu(pairs: list, n: int = 4, tokenizer=ptb_tokenize) -> list:
+    """[Bleu_1..Bleu_n] over (refs, hyp) pairs, coco bleu_scorer.py
+    compute_score semantics: clipped counts and guesses accumulated over the
+    whole corpus, per-pair "closest" reference length ("average" when the
+    corpus is a single pair), cumulative geometric precisions with
+    tiny=1e-15 / small=1e-9, corpus-level brevity penalty.
+
+    ``pairs`` is [(list_of_reference_strings, hypothesis_string), ...].
+    """
+    tiny, small = 1e-15, 1e-9
+    option = "average" if len(pairs) == 1 else "closest"
+    testlen_total, reflen_total = 0, 0.0
+    guess = [0] * n
+    correct = [0] * n
+    for refs, hyp in pairs:
+        ref_toks = [tokenizer(r) for r in refs]
+        hyp_toks = tokenizer(hyp)
+        testlen = len(hyp_toks)
+        testlen_total += testlen
+        reflens = [len(r) for r in ref_toks]
+        if option == "average":
+            reflen_total += float(sum(reflens)) / len(reflens)
+        else:  # closest, ties -> smaller length (tuple min, bleu_scorer.py)
+            reflen_total += min((abs(l - testlen), l) for l in reflens)[1]
+        for m in range(1, n + 1):
+            hyp_counts = _ngram_counts(hyp_toks, m)
+            # per-ngram max over references (cook_refs)
+            max_ref: Counter = Counter()
+            for r in ref_toks:
+                for g, c in _ngram_counts(r, m).items():
+                    max_ref[g] = max(max_ref[g], c)
+            correct[m - 1] += sum(min(c, max_ref[g])
+                                  for g, c in hyp_counts.items())
+            guess[m - 1] += max(testlen - m + 1, 0)
+    bleus = []
+    bleu = 1.0
+    for k in range(n):
+        bleu *= (float(correct[k]) + tiny) / (float(guess[k]) + small)
+        bleus.append(bleu ** (1.0 / (k + 1)))
+    ratio = (testlen_total + tiny) / (reflen_total + small)
+    if ratio < 1:
+        bleus = [b * math.exp(1 - 1 / ratio) for b in bleus]
+    return bleus
+
+
+def cider(pairs: list, n: int = 4, sigma: float = 6.0,
+          tokenizer=ptb_tokenize) -> float:
+    """Mean CIDEr over (refs, hyp) pairs — an exact rebuild of
+    pycocoevalcap/cider/cider_scorer.py (the "Cider" scorer youcook2 uses):
+    document frequency from THIS call's reference sets, tf-idf weight
+    ``tf * (log(len(corpus)) - log(df))`` per n-gram, clipped cosine per n,
+    gaussian length penalty exp(-delta^2/(2*sigma^2)) where "length" is the
+    scorer's bigram-count quirk (len-1 for non-empty captions), x10.
+
+    Note the corpus-size dependence: a single-pair corpus has ref_len =
+    log(1) = 0, which zeroes every weight — identical to pycocoevalcap.
+    """
+    crefs = [[dict(_all_ngram_counts(tokenizer(r), n)) for r in refs]
+             for refs, _ in pairs]
+    ctest = [dict(_all_ngram_counts(tokenizer(hyp), n)) for _, hyp in pairs]
+    df: Counter = Counter()
+    for refs in crefs:
+        for g in set(g for ref in refs for g in ref):
+            df[g] += 1
+    ref_len = math.log(float(len(crefs)))
+
+    def counts2vec(cnts):
+        vec = [dict() for _ in range(n)]
+        norm = [0.0] * n
+        length = 0
+        for g, tf in cnts.items():
+            w = float(tf) * (ref_len - math.log(max(1.0, df[g])))
+            k = len(g) - 1
+            vec[k][g] = w
+            norm[k] += w * w
+            if k == 1:  # the reference counts BIGRAMS as "length"
+                length += tf
+        return vec, [math.sqrt(x) for x in norm], length
+
+    scores = []
+    for test, refs in zip(ctest, crefs):
+        vec, norm, length = counts2vec(test)
+        score = [0.0] * n
+        for ref in refs:
+            vec_r, norm_r, length_r = counts2vec(ref)
+            delta = float(length - length_r)
+            for k in range(n):
+                val = sum(min(w, vec_r[k].get(g, 0.0)) * vec_r[k].get(g, 0.0)
+                          for g, w in vec[k].items())
+                if norm[k] != 0 and norm_r[k] != 0:
+                    val /= norm[k] * norm_r[k]
+                score[k] += val * math.exp(-(delta ** 2) / (2 * sigma ** 2))
+        scores.append(10.0 * sum(score) / n / len(refs))
+    return sum(scores) / len(scores) if scores else 0.0
+
+
+def _all_ngram_counts(tokens: list, n: int) -> Counter:
+    """1..n-gram counts in one Counter (cider_scorer.py::precook)."""
+    out: Counter = Counter()
+    for k in range(1, n + 1):
+        for i in range(len(tokens) - k + 1):
+            out[tuple(tokens[i:i + k])] += 1
+    return out
