@@ -163,8 +163,14 @@ def test_youcook2_aggregate_two_videos():
                           "sentence": "boil the noodles"}, "fry the rice"),
     ]
     agg = aggregate_youcook2(results)
-    # v1 perfect (both segments), v2 disjoint-ish: Bleu_1 for v2 = 1/3
-    assert agg["Bleu_1"] == pytest.approx(100.0 * (1.0 + 1 / 3) / 2, rel=1e-4)
+    # true per-order: v1 perfect (both segments), v2 Bleu_1 = 1/3
+    assert agg["Bleu_per_order"]["Bleu_1"] == \
+        pytest.approx(100.0 * (1.0 + 1 / 3) / 2, rel=1e-4)
+    # reference quirk: all four Bleu_N keys carry the grand mean of the
+    # cumulative BLEU-1..4 list over videos (np.mean of the list-of-lists)
+    assert agg["Bleu_1"] == agg["Bleu_2"] == agg["Bleu_3"] == agg["Bleu_4"]
+    expected_quirk = sum(agg["Bleu_per_order"].values()) / 4
+    assert agg["Bleu_1"] == pytest.approx(expected_quirk, rel=1e-9)
     assert agg["ROUGE_L"] > 50.0
     assert agg["overall"] == agg["CIDEr"]
     assert "gated" in agg["METEOR"]
@@ -180,6 +186,24 @@ def test_cuva_aggregate_task_means():
     assert agg["BLEU"]["Result"] == 0  # no docs -> 0 like the reference
     assert agg["overall"] == pytest.approx(agg["BLEU"]["mean"])
     assert "gated" in agg["bleurt"]
+
+
+def test_corpus_bleu_multiref_closest_reflen():
+    # pycocoevalcap's Bleu wrapper always passes option="closest": hyp len 3
+    # picks ref len 2 (closer than 6) -> ratio > 1, no brevity penalty
+    [b1] = corpus_bleu([(["a b", "a b c d e f"], "a b c")], n=1)
+    assert b1 == pytest.approx(1.0, abs=1e-6)  # all 3 unigrams covered, no BP
+
+
+def test_cuva_upper_ext_fallback(tmp_path):
+    (tmp_path / "v123.MP4").write_bytes(b"x")
+    task = get_task("CUVA")
+    assert task.resolve_video({"video_name": "v123.mp4"}, str(tmp_path)) == \
+        str(tmp_path / "v123.MP4")
+    # existing .mp4 wins
+    (tmp_path / "v123.mp4").write_bytes(b"x")
+    assert task.resolve_video({"video_name": "v123.mp4"}, str(tmp_path)) == \
+        str(tmp_path / "v123.mp4")
 
 
 def test_registry_and_make_table_strings():

@@ -175,6 +175,45 @@ def test_worldsense_subtitle_prompt_bytes(tmp_path):
     assert ours == theirs
 
 
+def test_worldsense_subtitle_empty_overlap_byte_parity(tmp_path):
+    # file exists but no cue overlaps any sampled frame: the reference
+    # formats "" into the template (utils.py:180-185) — byte parity here
+    import cv2
+    cache = tmp_path / "WorldSense"
+    (cache / "videos").mkdir(parents=True)
+    (cache / "subtitles").mkdir(parents=True)
+    w = cv2.VideoWriter(str(cache / WS_DOC["video_path"]),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (32, 32))
+    for i in range(50):
+        w.write(np.zeros((32, 32, 3), dtype=np.uint8))
+    w.release()
+    # cue far beyond the 5 s video -> no overlap with any sampled frame
+    _write_srt(cache / WS_DOC["subtitle_path"],
+               [("00:10:00,000", "00:10:05,000", "way past the end")])
+    ref = _load_ref("worldsense/utils.py", hf_home=str(tmp_path))
+    theirs = ref.worldsense_doc_to_text_subtitle(WS_DOC, {"frame_num": 8})
+    ours = worldsense_doc_to_text_subtitle(
+        WS_DOC, {"video_root": str(cache), "subtitle_root": str(cache),
+                 "frame_num": 8})
+    assert ours == theirs
+    assert '""' in ours  # the empty-string substitution, not a placeholder
+
+
+def test_worldsense_overall_dedups_per_category_pair():
+    # same question_id under two categories: the reference counts it once
+    # per (category, qid) via category2score totals
+    base = {"pred_answer": "A", "answer": "A", "domain": "Music",
+            "duration": "<60s", "audio_class": []}
+    results = [
+        {**base, "question_id": "q1", "category": "Event Recognition",
+         "score": 1.0},
+        {**base, "question_id": "q1", "category": "Hallucination",
+         "score": 0.0},
+    ]
+    agg = aggregate_worldsense(results)
+    assert agg["overall"] == pytest.approx(100.0 * (1.0 + 0.0) / 2)
+
+
 def test_worldsense_subtitle_missing_file_graceful():
     # reference NameErrors here (utils.py:185 dead-intent bug); we emit the
     # intended placeholder

@@ -76,10 +76,13 @@ def doc_to_media(doc, root: str = "") -> list:
     """Ordered (path, media_type) list mirroring av_odyssey_doc_to_visual
     (utils.py:79-117): image XOR video lists by data_type, audio always;
     ordered by the question's media tags (1-based numbers)."""
-    image = [os.path.join(root, p) for p in doc.get("image_path") or []] \
-        if "image" in doc.get("data_type", "") else []
-    video = [os.path.join(root, p) for p in doc.get("video_path") or []] \
-        if "video" in doc.get("data_type", "") else []
+    # if/ELIF like the reference (utils.py:74-93): an "image" data_type never
+    # fills the video pool, even if the string also contains "video"
+    image, video = [], []
+    if "image" in doc.get("data_type", ""):
+        image = [os.path.join(root, p) for p in doc.get("image_path") or []]
+    elif "video" in doc.get("data_type", ""):
+        video = [os.path.join(root, p) for p in doc.get("video_path") or []]
     audio = [os.path.join(root, p) for p in doc.get("audio_path") or []]
     pools = {"img": image, "video": video, "audio": audio}
     out = []

@@ -78,7 +78,14 @@ def youcook2_process(doc, response, rng=None) -> dict:
 def aggregate_youcook2(results: list) -> dict:
     """youcook2_aggregate_results (utils.py:64-101): per-video corpus scores
     averaged over videos, x100.  CIDEr inherits pycocoevalcap's per-call df
-    corpus (the video's segments).  "overall" = CIDEr."""
+    corpus (the video's segments).  "overall" = CIDEr.
+
+    Reference quirk preserved for the Bleu_N keys: every Bleu_N metric maps
+    to the same ``Bleu(4)`` scorer whose compute_score returns the 4-element
+    cumulative list, and ``np.mean(all_scores)`` flattens the list-of-lists
+    (utils.py:64-101) — so the reference reports ONE number, the grand mean
+    of BLEU-1..4 over videos, under all four keys.  The true per-order
+    corpus means are additionally exposed under "Bleu_per_order"."""
     if not results:
         return {"overall": 0.0}
     by_vid: dict = {}
@@ -95,7 +102,10 @@ def aggregate_youcook2(results: list) -> dict:
                          for refs, hyp in pairs) / len(pairs)
         cider_sum += cider(pairs)
     nv = len(by_vid)
-    out = {f"Bleu_{k+1}": 100.0 * bleu_sums[k] / nv for k in range(4)}
+    bleu_ref_quirk = 100.0 * sum(bleu_sums) / (4 * nv)
+    out = {f"Bleu_{k+1}": bleu_ref_quirk for k in range(4)}
+    out["Bleu_per_order"] = {f"Bleu_{k+1}": 100.0 * bleu_sums[k] / nv
+                             for k in range(4)}
     out["ROUGE_L"] = 100.0 * rouge_sum / nv
     out["CIDEr"] = 100.0 * cider_sum / nv
     out["METEOR"] = METEOR_GATED_NOTE
@@ -144,11 +154,11 @@ def register_captioning_tasks() -> None:
         name="YouCook2", doc_to_text=youcook2_doc_to_text,
         process_response=youcook2_process, aggregate=aggregate_youcook2,
         video_path_keys=("video_path",))
-    # cuva_doc_to_visual falls back video_name .mp4 -> .MP4 (utils.py:108-118)
     TASK_REGISTRY["CUVA"] = BenchmarkTask(
         name="CUVA", doc_to_text=cuva_doc_to_text,
         process_response=cuva_process, aggregate=aggregate_cuva,
-        video_path_keys=("video_name", "video_path"))
+        video_path_keys=("video_name", "video_path"),
+        upper_ext_fallback=True)
 
 
 register_captioning_tasks()

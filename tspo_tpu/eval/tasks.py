@@ -240,6 +240,10 @@ class BenchmarkTask:
     # specific_kwargs) builds the per-round question (doc_to_text when None)
     num_rounds: int = 1
     round_prompt: Callable | None = None
+    # CUVA fallback: when the resolved path is missing, retry with "mp4"
+    # replaced by "MP4" everywhere, exactly like cuva_doc_to_visual
+    # (cuva/utils.py:108-118)
+    upper_ext_fallback: bool = False
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os
@@ -251,7 +255,11 @@ class BenchmarkTask:
                 name = str(val[0]) if isinstance(val, (list, tuple)) else str(val)
                 if self.video_suffix and not os.path.splitext(name)[1]:
                     name += self.video_suffix
-                return os.path.join(video_root, self.video_subdir, name)
+                path = os.path.join(video_root, self.video_subdir, name)
+                if self.upper_ext_fallback and not os.path.exists(path) \
+                        and os.path.exists(path.replace("mp4", "MP4")):
+                    path = path.replace("mp4", "MP4")
+                return path
         raise KeyError(f"no video path in doc (tried {self.video_path_keys})")
 
 

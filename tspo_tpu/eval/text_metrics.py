@@ -52,21 +52,10 @@ def _ngram_counts(tokens: list, n: int) -> Counter:
 def bleu4(reference: str, hypothesis: str, n: int = 4,
           tokenizer=ptb_tokenize) -> float:
     """Single-pair BLEU-n, coco bleu_scorer.py semantics (compute_score with
-    option="closest" degenerates to the single reference's length)."""
-    ref, hyp = tokenizer(reference), tokenizer(hypothesis)
-    tiny, small = 1e-15, 1e-9
-    bleu = 1.0
-    for m in range(1, n + 1):
-        ref_counts = _ngram_counts(ref, m)
-        hyp_counts = _ngram_counts(hyp, m)
-        correct = sum(min(c, ref_counts[g]) for g, c in hyp_counts.items())
-        guess = max(len(hyp) - m + 1, 0)
-        bleu *= (correct + tiny) / (guess + small)
-    score = bleu ** (1.0 / n)
-    ratio = (len(hyp) + tiny) / (len(ref) + small)
-    if ratio < 1:
-        score *= math.exp(1 - 1 / ratio)
-    return score
+    option="closest" degenerates to the single reference's length).  Thin
+    wrapper over :func:`corpus_bleu` with a one-pair corpus."""
+    return corpus_bleu([([reference], hypothesis)], n=n,
+                       tokenizer=tokenizer)[n - 1]
 
 
 def _lcs_len(a: list, b: list) -> int:
@@ -101,15 +90,15 @@ def rouge_l(reference: str, hypothesis: str, beta: float = 1.2,
 
 def corpus_bleu(pairs: list, n: int = 4, tokenizer=ptb_tokenize) -> list:
     """[Bleu_1..Bleu_n] over (refs, hyp) pairs, coco bleu_scorer.py
-    compute_score semantics: clipped counts and guesses accumulated over the
-    whole corpus, per-pair "closest" reference length ("average" when the
-    corpus is a single pair), cumulative geometric precisions with
+    compute_score semantics as invoked by the pycocoevalcap Bleu wrapper
+    (bleu.py always passes option="closest"): clipped counts and guesses
+    accumulated over the whole corpus, per-pair closest reference length
+    (ties -> the smaller length), cumulative geometric precisions with
     tiny=1e-15 / small=1e-9, corpus-level brevity penalty.
 
     ``pairs`` is [(list_of_reference_strings, hypothesis_string), ...].
     """
     tiny, small = 1e-15, 1e-9
-    option = "average" if len(pairs) == 1 else "closest"
     testlen_total, reflen_total = 0, 0.0
     guess = [0] * n
     correct = [0] * n
@@ -118,11 +107,9 @@ def corpus_bleu(pairs: list, n: int = 4, tokenizer=ptb_tokenize) -> list:
         hyp_toks = tokenizer(hyp)
         testlen = len(hyp_toks)
         testlen_total += testlen
-        reflens = [len(r) for r in ref_toks]
-        if option == "average":
-            reflen_total += float(sum(reflens)) / len(reflens)
-        else:  # closest, ties -> smaller length (tuple min, bleu_scorer.py)
-            reflen_total += min((abs(l - testlen), l) for l in reflens)[1]
+        # closest, ties -> smaller length (tuple min, bleu_scorer.py)
+        reflen_total += min((abs(len(r) - testlen), len(r))
+                            for r in ref_toks)[1]
         for m in range(1, n + 1):
             hyp_counts = _ngram_counts(hyp_toks, m)
             # per-ngram max over references (cook_refs)

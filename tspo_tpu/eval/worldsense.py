@@ -78,40 +78,13 @@ Respond with only the letter (A, B, C, or D) of the correct option.
 
 def parse_multi_choice_response(response: str, all_choices: list,
                                 index2ans: dict) -> str:
-    """worldsense/utils.py:200-254 (identical copy lives in
-    av_odyssey/utils.py:141-196 — one rebuild serves both)."""
-    for ch in [",", ".", "!", "?", ";", ":", "'"]:
-        response = response.strip(ch)
-    response = " " + response + " "
-    index_ans = True
-    ans_with_brack = False
-    candidates = []
-    for choice in all_choices:
-        # unguarded substring probe: any occurrence of the bare letter
-        # matches, and it marks the bracket probe for the tie-break
-        if f"{choice}" in response:
-            candidates.append(choice)
-            ans_with_brack = True
-    if not candidates:
-        for choice in all_choices:
-            if f" {choice} " in response:
-                candidates.append(choice)
-    if not candidates and len(response.split()) > 5:
-        for index, ans in index2ans.items():
-            if ans.lower() in response.lower():
-                candidates.append(index)
-                index_ans = False
-    if not candidates:
-        return "A"
-    if len(candidates) == 1:
-        return candidates[0]
-    if index_ans:
-        probe = (lambda c: f"({c})") if ans_with_brack else (lambda c: f" {c} ")
-        positions = [response.rfind(probe(c)) for c in candidates]
-    else:
-        positions = [response.lower().rfind(index2ans[c].lower())
-                     for c in candidates]
-    return candidates[int(np.argmax(positions))]
+    """worldsense/utils.py:200-254.  The identical function appears verbatim
+    in av_odyssey/utils.py:141-196 AND tomato/utils.py:218-273 — the
+    codebase keeps ONE implementation, ``tomato_parse_choice``
+    (eval/tomato_vinoground.py), delegated to here (module-attr access:
+    tomato_vinoground may still be mid-import when this module loads)."""
+    from . import tomato_vinoground as _tomato
+    return _tomato.tomato_parse_choice(response, all_choices, index2ans)
 
 
 def _question_block(doc) -> str:
@@ -157,12 +130,16 @@ def worldsense_doc_to_text_subtitle(doc, lmms_eval_specific_kwargs=None) -> str:
         subtitle_path = os.path.join(kw["subtitle_root"], doc["subtitle_path"])
     if video_path is None and kw.get("video_root") and doc.get("video_path"):
         video_path = os.path.join(kw["video_root"], doc["video_path"])
-    subtitle = ""
     if subtitle_path and os.path.exists(subtitle_path) and video_path \
             and os.path.exists(video_path):
+        # reference byte parity incl. the empty case: a subtitle file with
+        # no cue overlapping any sampled frame formats "" into the template
+        # (utils.py:180-185)
         subtitle = worldsense_subtitles_for_frames(
             video_path, subtitle_path, int(kw.get("frame_num", 32)))
-    if subtitle == "":
+    else:
+        # the reference NameErrors here (utils.py:157-185 dead-intent bug);
+        # we emit the intended placeholder instead of crashing
         subtitle = "No subtitles available"
     return SYS + FRAMES_TMPL_SUB.format(subtitle) + _question_block(doc)
 
@@ -212,9 +189,11 @@ def aggregate_worldsense(results: list) -> dict:
                                                []).append(r["score"])
     out["audio_classes"] = {a: 100.0 * sum(v[0] for v in qs.values()) / len(qs)
                             for a, qs in audio.items()}
+    # the reference totals over category2score: one count per
+    # (category, question_id) pair, first score wins (utils.py:325-333)
     seen: dict = {}
     for r in results:
-        seen.setdefault(r["question_id"], r["score"])
+        seen.setdefault((r["category"], r["question_id"]), r["score"])
     out["overall"] = 100.0 * sum(seen.values()) / len(seen)
     return out
 
