@@ -433,3 +433,83 @@ def test_response_cache_resumes_via_fallback_id(tmp_path):
                          **kw)
     assert len(b2.calls) == 0                    # resume: no regeneration
     assert len(res2.results) == 1
+
+
+def _shared_video_bench(root, n_questions=3):
+    (root / "videos").mkdir(exist_ok=True)
+    _write_video(root / "videos" / "shared.mp4", n_frames=120)
+    rows = [dict(index=str(i), task_name="ShareBench",
+                 video_name="shared.mp4", question_id=f"q{i}",
+                 question=f"What is shown {i}?", answer_number="0",
+                 candidates="['red', 'green', 'blue']", answer="A")
+            for i in range(n_questions)]
+    tsv = root / "ShareBench.tsv"
+    with open(tsv, "w") as f:
+        cols = list(rows[0])
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(r[c] for c in cols) + "\n")
+    return VideoQuestionDataset.from_tsv("ShareBench", str(tsv),
+                                         str(root / "videos"))
+
+
+def _counting_scorer():
+    s = build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                            dtype=jnp.float32, tokenize=_tokenize,
+                            batch_frames=32, frame_buckets=(64, 128, 256))
+    calls = []
+    orig = s.encode_frame_features
+
+    def counted(frames):
+        calls.append(frames.shape[0])
+        return orig(frames)
+
+    s.encode_frame_features = counted
+    return s, calls
+
+
+def test_precompute_video_feature_sharing(tmp_path):
+    """3 questions over ONE video: the vision tower runs once with
+    share_video_features (the default) vs once per question without, and the
+    emitted frame indices are identical."""
+    ds = _shared_video_bench(tmp_path)
+    s1, calls1 = _counting_scorer()
+    pre1 = FrameIndexPrecompute(
+        s1, FeatureCache(str(tmp_path / "c1")),
+        PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=str(tmp_path / "w1"), name="T")
+    res1 = pre1.run(ds)
+    assert len(calls1) == 1, f"vision encode ran {len(calls1)}x, want 1"
+
+    s2, calls2 = _counting_scorer()
+    pre2 = FrameIndexPrecompute(
+        s2, FeatureCache(str(tmp_path / "c2")),
+        PrecomputeConfig(sample_num=8, max_frames=512,
+                         share_video_features=False),
+        work_dir=str(tmp_path / "w2"), name="T")
+    res2 = pre2.run(ds)
+    assert len(calls2) == 3
+    assert res1 == res2
+    # per-question blobs exist in the reference format either way
+    for i in range(3):
+        blob = pre1.cache.load("ShareBench", str(i))
+        assert set(blob) >= {"image_features", "text_features",
+                             "clip_scores", "sampled_idx"}
+
+
+def test_precompute_vidhit_needs_no_decode(tmp_path):
+    """A new question for an already-encoded video scores WITHOUT touching
+    the video file (the vidhit path)."""
+    ds = _shared_video_bench(tmp_path, n_questions=1)
+    s, _ = _counting_scorer()
+    cache = FeatureCache(str(tmp_path / "c"))
+    pre = FrameIndexPrecompute(
+        s, cache, PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=str(tmp_path / "w"), name="T")
+    pre.run(ds)
+    video_path = str(tmp_path / "videos" / "shared.mp4")
+    os.remove(video_path)  # decode would now fail loudly
+    new_q = {"index": "99", "question_id": "q99", "video_path": video_path,
+             "problem": "Something new?"}
+    ids = pre.frame_indices_for(new_q, "ShareBench")
+    assert len(ids) == 8

@@ -148,6 +148,13 @@ class PrecomputeConfig:
     checkpoint_every: int = 100        # incremental result checkpointing (run_hzf.py:165)
     frame_buckets: tuple = (128, 256, 512, 1024, 2048, 4096, 8192)
     batch_frames: int = 256            # device batch for CLIP image encode
+    # reuse a video's image features across its questions (the reference
+    # caches per QUESTION, gen_id_tspo.py:68-79, so it re-decodes and
+    # re-encodes the same video once per question — LVB/VideoMME carry 3-5
+    # questions/video).  Outputs are identical; only text encode + cosine +
+    # selector run per question.  Adds a video-level blob per video to the
+    # cache dir alongside the reference-format per-question blobs.
+    share_video_features: bool = True
 
 
 @dataclass(frozen=True)

@@ -150,6 +150,53 @@ class FrameIndexPrecompute:
                           f"candidate frames from {video_path}")
         return frames, sampled_idx
 
+    def _video_key(self, video_path) -> str:
+        """Cache index for the question-independent video-level blob:
+        basename stem + short path hash (stems can repeat across dirs)."""
+        import hashlib
+        stem = os.path.splitext(os.path.basename(str(video_path)))[0]
+        h = hashlib.sha1(str(video_path).encode()).hexdigest()[:10]
+        return f"_vid_{stem}_{h}"
+
+    def _share(self) -> bool:
+        return bool(getattr(self.cfg, "share_video_features", True))
+
+    def _compute_features(self, struct, dataset: str, decoded=None):
+        """Encode-or-reuse features for one question and write its
+        reference-format per-question cache blob.
+
+        With share_video_features, the expensive decode + vision-tower encode
+        happens once per VIDEO (the reference repeats it once per question,
+        gen_id_tspo.py:68-73); only the text tower + cosine + selector are
+        per-question.  ``decoded`` carries an already-decoded
+        (frames, sampled_idx) from the prefetch producer."""
+        import jax.numpy as jnp
+
+        from ..models.clip import cosine_scores
+        vkey = self._video_key(struct["video_path"]) if self._share() else None
+        if vkey is not None and self.cache.has(dataset, vkey):
+            blob = self.cache.load(dataset, vkey)
+            img_j = jnp.asarray(blob["image_features"])
+            sampled_idx = blob["sampled_idx"]
+        else:
+            frames, sampled_idx = (decoded if decoded is not None
+                                   else self._decode_candidates(
+                                       struct["video_path"]))
+            img_j = self.scorer.encode_frame_features(frames)
+            if vkey is not None:
+                self.cache.save(dataset, vkey,
+                                image_features=np.asarray(img_j, np.float32),
+                                sampled_idx=sampled_idx)
+        txt_j = self.scorer.encode_text_features(struct["problem"])
+        csc_j = cosine_scores(img_j, txt_j)
+        img = np.asarray(img_j, np.float32)
+        txt = np.asarray(txt_j, np.float32)
+        csc = np.asarray(csc_j, np.float32)
+        self.cache.save(dataset, struct["index"], image_features=img,
+                        text_features=txt, clip_scores=csc,
+                        sampled_idx=sampled_idx)
+        return img, txt, csc, sampled_idx
+
     def features_for(self, struct, dataset: str):
         """Cache-or-compute (image_feat, text_feat, clip_scores, sampled_idx)
         for one question (gen_id_tspo.py:66-79)."""
@@ -158,13 +205,7 @@ class FrameIndexPrecompute:
             blob = self.cache.load(dataset, index)
             return (blob["image_features"], blob["text_features"],
                     blob["clip_scores"], blob["sampled_idx"])
-        frames, sampled_idx = self._decode_candidates(struct["video_path"])
-        img, txt, csc = self.scorer.extract_features(frames, struct["problem"])
-        img, txt, csc = map(np.asarray, (
-            img.astype("float32"), txt.astype("float32"), csc.astype("float32")))
-        self.cache.save(dataset, index, image_features=img, text_features=txt,
-                        clip_scores=csc, sampled_idx=sampled_idx)
-        return img, txt, csc, sampled_idx
+        return self._compute_features(struct, dataset)
 
     def _select_abs_ids(self, img, txt, csc, sampled_idx,
                         dataset: str) -> list:
@@ -212,6 +253,12 @@ class FrameIndexPrecompute:
                 if self.cache.has(dataset.name, s["index"]):
                     q.put((s, "cached", None))
                     continue
+                # another question of this video already populated the
+                # video-level blob: skip the decode entirely
+                if self._share() and self.cache.has(
+                        dataset.name, self._video_key(s["video_path"])):
+                    q.put((s, "vidhit", None))
+                    continue
                 try:
                     q.put((s, "frames",
                            self._decode_candidates(s["video_path"])))
@@ -241,6 +288,11 @@ class FrameIndexPrecompute:
                             break
                         if self.cache.has(dataset.name, s["index"]):
                             window.append((s, "cached", None))
+                            continue
+                        if self._share() and self.cache.has(
+                                dataset.name,
+                                self._video_key(s["video_path"])):
+                            window.append((s, "vidhit", None))
                             continue
                         try:
                             sampled_idx = candidate_schedule(
@@ -296,16 +348,10 @@ class FrameIndexPrecompute:
                             blob["image_features"], blob["text_features"],
                             blob["clip_scores"], blob["sampled_idx"])
                     else:
-                        frames, sampled_idx = payload
-                        img, txt, csc = self.scorer.extract_features(
-                            frames, s["problem"])
-                        img = np.asarray(img, np.float32)
-                        txt = np.asarray(txt, np.float32)
-                        csc = np.asarray(csc, np.float32)
-                        self.cache.save(dataset.name, s["index"],
-                                        image_features=img, text_features=txt,
-                                        clip_scores=csc,
-                                        sampled_idx=sampled_idx)
+                        # "frames" (decoded payload) or "vidhit" (video-level
+                        # feature reuse, no decode)
+                        img, txt, csc, sampled_idx = self._compute_features(
+                            s, dataset.name, decoded=payload)
                     results[s["question_id"]] = self._select_abs_ids(
                         img, txt, csc, sampled_idx, dataset.name)
                 except Exception as e:  # noqa: BLE001 — recorded below

@@ -28,16 +28,21 @@ class FeatureCache:
         with np.load(self._path(dataset, index)) as z:
             return {k: z[k] for k in z.files}
 
-    def save(self, dataset: str, index, *, image_features, text_features,
-             clip_scores, sampled_idx=None, **extra):
+    def save(self, dataset: str, index, *, image_features, text_features=None,
+             clip_scores=None, sampled_idx=None, **extra):
+        """text_features/clip_scores are optional: video-level blobs
+        (question-independent image features shared across a video's
+        questions) carry image_features + sampled_idx only."""
         path = self._path(dataset, index)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = dict(
             image_features=np.asarray(image_features, np.float32),
-            text_features=np.asarray(text_features, np.float32),
-            clip_scores=np.asarray(clip_scores, np.float32),
             **{k: np.asarray(v) for k, v in extra.items()},
         )
+        if text_features is not None:
+            payload["text_features"] = np.asarray(text_features, np.float32)
+        if clip_scores is not None:
+            payload["clip_scores"] = np.asarray(clip_scores, np.float32)
         if sampled_idx is not None:
             payload["sampled_idx"] = np.asarray(sampled_idx, np.int64)
         tmp = path + ".tmp.npz"  # crash-safe: write-then-rename
