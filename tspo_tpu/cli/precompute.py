@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--rerun", action="store_true")
+    p.add_argument("--no-share-video-features", action="store_true",
+                   help="disable the video-level image-feature reuse across "
+                        "a video's questions (reference-style per-question "
+                        "encode; outputs are identical either way)")
     p.add_argument("--decode-workers", type=int, default=1,
                    help=">1 decodes videos concurrently through the native "
                         "C++ pool (multi-core hosts; see video/native.py)")
@@ -68,7 +72,8 @@ def main(argv=None):
         scorer, FeatureCache(args.cache_root),
         PrecomputeConfig(sample_num=args.sample_num,
                          window_size=args.window_size,
-                         max_frames=args.max_frames, method=args.method),
+                         max_frames=args.max_frames, method=args.method,
+                         share_video_features=not args.no_share_video_features),
         work_dir=args.work_dir, name=args.name,
         decode_workers=args.decode_workers)
     done = []
