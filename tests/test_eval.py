@@ -513,3 +513,45 @@ def test_precompute_vidhit_needs_no_decode(tmp_path):
              "problem": "Something new?"}
     ids = pre.frame_indices_for(new_q, "ShareBench")
     assert len(ids) == 8
+
+
+def test_precompute_video_grouped_sharding(tmp_path):
+    """With sharing on, a video's questions stay on ONE rank (exact cover,
+    no overlap), so multi-host phase-1 keeps the one-encode-per-video
+    economics; with sharing off the slicing is the reference's i%world."""
+    ds = _shared_video_bench(tmp_path)  # 3 questions, one video
+    s, calls = _counting_scorer()
+    pre = FrameIndexPrecompute(
+        s, FeatureCache(str(tmp_path / "c")),
+        PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=str(tmp_path / "w"), name="T")
+    structs = list(ds.iter_structs())
+    shards = [pre._shard_structs(structs, r, 2) for r in range(2)]
+    got = sorted(x["question_id"] for sh in shards for x in sh)
+    assert got == sorted(x["question_id"] for x in structs)
+    # all three land on the same rank (single video group)
+    assert sorted(map(len, shards)) == [0, 3]
+    # reference striping when sharing is disabled
+    pre_off = FrameIndexPrecompute(
+        s, FeatureCache(str(tmp_path / "c2")),
+        PrecomputeConfig(sample_num=8, max_frames=512,
+                         share_video_features=False),
+        work_dir=str(tmp_path / "w2"), name="T")
+    off = [pre_off._shard_structs(structs, r, 2) for r in range(2)]
+    assert [len(x) for x in off] == [2, 1]
+
+
+def test_precompute_video_grouped_sharding_balance():
+    """Many single-question videos still balance across ranks."""
+    from tspo_tpu.eval.precompute import FrameIndexPrecompute
+    from tspo_tpu.video.cache import FeatureCache
+    pre = FrameIndexPrecompute.__new__(FrameIndexPrecompute)
+    pre.cfg = PrecomputeConfig(sample_num=8)
+    structs = ([{"question_id": f"a{i}", "video_path": "big.mp4"}
+                for i in range(4)]
+               + [{"question_id": f"s{i}", "video_path": f"v{i}.mp4"}
+                  for i in range(4)])
+    shards = [pre._shard_structs(structs, r, 2) for r in range(2)]
+    assert sorted(map(len, shards)) == [4, 4]
+    got = sorted(x["question_id"] for sh in shards for x in sh)
+    assert got == sorted(x["question_id"] for x in structs)

@@ -150,6 +150,33 @@ class FrameIndexPrecompute:
                           f"candidate frames from {video_path}")
         return frames, sampled_idx
 
+    def _shard_structs(self, structs: list, rank: int, world: int) -> list:
+        """This rank's question slice.  Plain ``i % world`` striping (the
+        reference shards questions over GPU workers, run_hzf.py:107-133)
+        scatters a video's questions across ranks, defeating the video-level
+        feature reuse — so with share_video_features, questions are grouped
+        by video and whole GROUPS are dealt round-robin by size order
+        (largest-first greedy -> balanced question counts per rank)."""
+        if world <= 1:
+            return list(structs)
+        if not self._share():
+            return [s for i, s in enumerate(structs) if i % world == rank]
+        groups: dict = {}
+        for i, s in enumerate(structs):
+            groups.setdefault(str(s.get("video_path")), []).append((i, s))
+        loads = [0] * world
+        mine = []
+        # deterministic: sort by (size desc, first appearance) then greedy
+        # least-loaded; ties by rank index
+        for key in sorted(groups, key=lambda k: (-len(groups[k]),
+                                                 groups[k][0][0])):
+            r = loads.index(min(loads))
+            loads[r] += len(groups[key])
+            if r == rank:
+                mine.extend(groups[key])
+        mine.sort(key=lambda t: t[0])  # keep dataset order within the rank
+        return [s for _, s in mine]
+
     def _video_key(self, video_path) -> str:
         """Cache index for the question-independent video-level blob:
         basename stem + short path hash (stems can repeat across dirs)."""
@@ -238,8 +265,8 @@ class FrameIndexPrecompute:
         rank, world = shard
         results = {} if rerun else self.load_results(dataset.name, shard)
         errors = {} if rerun else self.load_errors(dataset.name, shard)
-        structs = [s for i, s in enumerate(dataset.iter_structs())
-                   if i % world == rank]
+        structs = self._shard_structs(list(dataset.iter_structs()),
+                                      rank, world)
         todo = [s for s in structs if s["question_id"] not in results
                 and s["question_id"] not in errors]
 
