@@ -289,3 +289,46 @@ def test_web_ui_index(server):
         assert r.headers["Content-Type"].startswith("text/html")
     # the page drives the real endpoints
     assert "/v1/" in body and "healthz" in body and "TSPO" in body
+
+
+def test_video_feature_cache(tmp_path):
+    """Second question on the same video skips the vision tower (LRU hit)
+    and selects the same frames as the cache-off fused path."""
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(120):
+        w.write(np.full((48, 48, 3), (i * 4) % 255, np.uint8))
+    w.release()
+
+    def make(cache):
+        scorer = build_random_scorer(
+            seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+            dtype=jnp.float32, tokenize=_tokenize, batch_frames=32,
+            frame_buckets=(64, 128))
+        return ScoringService(scorer=scorer, max_candidates=256,
+                              video_feature_cache=cache)
+
+    svc = make(2)
+    encodes = []
+    orig = svc.scorer.encode_frame_features
+    svc.scorer.encode_frame_features = \
+        lambda f: (encodes.append(len(f)) or orig(f))
+    r1 = svc.score(video_path=path, question="q one", sample_num=8)
+    r2 = svc.score(video_path=path, question="q two", sample_num=8)
+    assert len(encodes) == 1
+    assert svc.stats["feature_cache_hits"] == 1
+    off = make(0).score(video_path=path, question="q one", sample_num=8)
+    assert r1["frame_indices"] == off["frame_indices"]
+    assert r2["num_candidates"] == r1["num_candidates"]
+    # LRU evicts: two other videos push the first out
+    for i in range(2):
+        p2 = str(tmp_path / f"o{i}.mp4")
+        w = cv2.VideoWriter(p2, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+        for j in range(40):
+            w.write(np.full((48, 48, 3), j, np.uint8))
+        w.release()
+        svc.score(video_path=p2, question="q", sample_num=8)
+    assert len(svc._feat_cache) == 2
+    svc.score(video_path=path, question="q three", sample_num=8)
+    # 1 initial + one per other video + 1 re-encode after eviction
+    assert len(encodes) == 4

@@ -17,11 +17,13 @@ lock so concurrent requests overlap host IO with device compute.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..video.reader import load_video
@@ -40,12 +42,22 @@ class ScoringService:
     # B=2, bench_phase2_roofline).  0 disables (strictly serial decode).
     batch_window_s: float = 0.0
     max_batch: int = 4
+    # LRU of per-video image features (float32, keyed by (path, mtime)):
+    # interactive QA asks many questions of ONE video, and decode + the
+    # vision tower are ~98% of scoring cost (docs/KERNELS.md attribution) —
+    # warm questions run only text tower + cosine + selector.  Counted in
+    # videos; ~150 MB host RAM per 50k-frame video.  0 disables (every
+    # request uses the fused single-dispatch program).
+    video_feature_cache: int = 2
 
     def __post_init__(self):
         self._device_lock = threading.Lock()
         self._batch_lock = threading.Lock()
         self._pending = []          # [(event, payload dict, result dict)]
-        self.stats = {"requests": 0, "frames_scored": 0, "batched": 0}
+        self._feat_cache = {}       # (path, mtime) -> img_feat float32 [T, P]
+        self._feat_order = []       # LRU order, most recent last
+        self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
+                      "feature_cache_hits": 0}
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
@@ -66,26 +78,64 @@ class ScoringService:
             raise IOError(f"could not decode {video_path}")
         return frames
 
+    def _video_features(self, video_path: str, frames=None):
+        """(img_feat float32 [T, P], cache_hit) through the LRU.  Cold
+        videos decode + vision-encode (device lock held for the encode);
+        features are stored float32 so warm and cold scoring see identical
+        inputs — the same semantics as the phase-1 feature cache.
+        ``frames`` skips the decode when the caller already holds them."""
+        key = (video_path, os.path.getmtime(video_path))
+        if key in self._feat_cache:
+            self._feat_order.remove(key)
+            self._feat_order.append(key)
+            self.stats["feature_cache_hits"] += 1
+            return self._feat_cache[key], True
+        if frames is None:
+            frames = self._decode(video_path)
+        with self._device_lock:
+            img = np.asarray(self.scorer.encode_frame_features(frames),
+                             np.float32)
+        self._feat_cache[key] = img
+        self._feat_order.append(key)
+        while len(self._feat_order) > self.video_feature_cache:
+            self._feat_cache.pop(self._feat_order.pop(0), None)
+        return img, False
+
     def score(self, *, video_path: str, question: str, sample_num: int | None = None,
               method: str = "topk", window_size: int | None = None,
               return_scores: bool = False) -> dict:
         t0 = time.perf_counter()
-        frames = self._decode(video_path)          # outside the device lock
         sample_num = sample_num or self.default_sample_num
-        with self._device_lock:
-            if method == "topk" and hasattr(self.scorer, "score_video_fused"):
-                idx, logits = self.scorer.score_video_fused(
-                    frames, question, sample_num=sample_num,
+        use_cache = self.video_feature_cache > 0 \
+            and hasattr(self.scorer, "encode_frame_features")
+        if use_cache:
+            img, _hit = self._video_features(video_path)
+            from ..models.clip import cosine_scores
+            with self._device_lock:
+                txt = self.scorer.encode_text_features(question)
+                csc = cosine_scores(jnp.asarray(img), txt)
+                idx, logits = self.scorer.temporal_sampling(
+                    img, txt, csc, method=method, sample_num=sample_num,
                     window_size=window_size or self.default_window)
-            else:
-                idx, logits = self.scorer(
-                    frames, question, sample_num=sample_num,
-                    window_size=window_size or self.default_window,
-                    method=method)
+            n_frames = len(img)
+        else:
+            frames = self._decode(video_path)      # outside the device lock
+            with self._device_lock:
+                if method == "topk" and hasattr(self.scorer,
+                                                "score_video_fused"):
+                    idx, logits = self.scorer.score_video_fused(
+                        frames, question, sample_num=sample_num,
+                        window_size=window_size or self.default_window)
+                else:
+                    idx, logits = self.scorer(
+                        frames, question, sample_num=sample_num,
+                        window_size=window_size or self.default_window,
+                        method=method)
+            n_frames = len(frames)
         self.stats["requests"] += 1
-        self.stats["frames_scored"] += len(frames)
+        self.stats["frames_scored"] += n_frames
         out = {"frame_indices": [int(i) for i in idx],
-               "num_candidates": int(len(frames)),
+               "num_candidates": int(n_frames),
                "latency_s": round(time.perf_counter() - t0, 4)}
         if return_scores:
             out["scores"] = [float(x) for x in np.asarray(logits)]
@@ -188,12 +238,25 @@ class ScoringService:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
-        frames = self._decode(video_path)
+        frames = self._decode(video_path)   # pixels needed for the backbone
         sample_num = sample_num or self.default_sample_num
-        with self._device_lock:
-            idx, _ = self.scorer(frames, question, sample_num=sample_num,
-                                 window_size=window_size or self.default_window,
-                                 method=method)
+        if self.video_feature_cache > 0 and \
+                hasattr(self.scorer, "encode_frame_features"):
+            # scoring via the feature LRU: warm questions skip the vision
+            # tower (the frames above still feed the selected-frame gather)
+            img, _hit = self._video_features(video_path, frames=frames)
+            from ..models.clip import cosine_scores
+            with self._device_lock:
+                txt = self.scorer.encode_text_features(question)
+                csc = cosine_scores(jnp.asarray(img), txt)
+                idx, _ = self.scorer.temporal_sampling(
+                    img, txt, csc, method=method, sample_num=sample_num,
+                    window_size=window_size or self.default_window)
+        else:
+            with self._device_lock:
+                idx, _ = self.scorer(frames, question, sample_num=sample_num,
+                                     window_size=window_size or self.default_window,
+                                     method=method)
         sel = frames[np.asarray(idx)]
         if self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
