@@ -184,3 +184,19 @@ def test_quantized_scorer_refuses_save(tmp_path, scorer):
     q = TSPOScorer(**{k: v for k, v in scorer.__dict__.items()}).quantize()
     with pytest.raises(ValueError):
         q.save(str(tmp_path / "bad"))
+
+
+def test_fused_question_matches_full_paths(scorer):
+    """score_features_fused (the warm video-cache path: text + cosine +
+    selector + top-k in one dispatch) selects the same frames and logits as
+    both the chunked path and score_video_fused."""
+    frames = _frames(70, seed=17)
+    img = np.asarray(scorer.encode_frame_features(frames), np.float32)
+    idx_c, logits_c = scorer(frames, "q", sample_num=16)
+    idx_q, logits_q = scorer.score_features_fused(img, "q", sample_num=16)
+    np.testing.assert_allclose(logits_q, logits_c, rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(idx_q, idx_c)
+    # non-topk dispatch selects host-side from the same logits
+    idx_b, _ = scorer.score_features_fused(img, "q", sample_num=16,
+                                           method="bin-max")
+    assert len(idx_b) == 16

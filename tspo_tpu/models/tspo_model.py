@@ -115,6 +115,27 @@ def fused_score_program(clip_params, selector_params, frames_u8, text_ids,
     return idx, count, logits
 
 
+@partial(jax.jit, static_argnames=("text_cfg", "selector_cfg", "window_size",
+                                   "sample_num"))
+def fused_question_program(clip_params, selector_params, image_feat, text_ids,
+                           valid, score_tau, *, text_cfg, selector_cfg,
+                           window_size, sample_num):
+    """Per-question scoring against PRECOMPUTED image features: text encode +
+    cosine + selector + top-k in one dispatch — the warm path of the
+    video-level feature cache (phase-1 sharing / serve LRU), where the
+    vision tower already ran once for the video.  Same math as the tail of
+    ``fused_score_program``."""
+    txt = encode_text(clip_params, text_ids, cfg=text_cfg)
+    csc = cosine_scores(image_feat, txt)
+    logits, _ = score_frames(selector_params, image_feat.astype(jnp.float32),
+                             txt, csc, cfg=selector_cfg,
+                             window_size=window_size, score_tau=score_tau,
+                             valid=valid)
+    idx, count = topk_select(jnp.where(valid, logits, -1e30), sample_num,
+                             valid)
+    return idx, count, logits
+
+
 @dataclass
 class TSPOScorer:
     """Host-side orchestrator around the jitted scoring pipeline.
@@ -214,6 +235,36 @@ class TSPOScorer:
                                jnp.asarray(valid), self.selector_cfg, ws,
                                jnp.float32(tau))
         return np.asarray(logits)[:T]
+
+    def score_features_fused(self, image_feat, problem, *, sample_num=64,
+                             window_size=None, score_tau=None,
+                             method: str = "topk", **method_kwargs):
+        """Single-dispatch per-question scoring of PRECOMPUTED image
+        features (fused_question_program): the warm path of the video-level
+        feature cache.  Returns (indices, logits[:T]) like
+        ``score_video_fused``; non-topk methods select host-side from the
+        same logits."""
+        if isinstance(problem, str):
+            ids, _ = self.tokenize(problem)
+        else:
+            ids = problem
+        T = int(image_feat.shape[0])
+        bucket = bucket_for(T, self.frame_buckets)
+        feat_p, valid = pad_to_bucket(np.asarray(image_feat, np.float32),
+                                      bucket)
+        ws = self.selector_cfg.window_size if window_size is None \
+            else window_size
+        tau = self.selector_cfg.score_tau if score_tau is None else score_tau
+        idx, count, logits = fused_question_program(
+            self.clip_params, self.selector_params, jnp.asarray(feat_p),
+            jnp.asarray(ids), jnp.asarray(valid), jnp.float32(tau),
+            text_cfg=self.clip_cfg.text, selector_cfg=self.selector_cfg,
+            window_size=ws, sample_num=sample_num)
+        logits_t = np.asarray(logits)[:T]
+        if method == "topk":
+            return np.asarray(idx)[: int(count)], logits_t
+        return (self.select(logits_t, sample_num, method, **method_kwargs),
+                logits_t)
 
     def select(self, logits: np.ndarray, sample_num: int,
                method: str = "topk", **method_kwargs) -> np.ndarray:

@@ -23,7 +23,6 @@ import time
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..video.reader import load_video
@@ -110,13 +109,12 @@ class ScoringService:
             and hasattr(self.scorer, "encode_frame_features")
         if use_cache:
             img, _hit = self._video_features(video_path)
-            from ..models.clip import cosine_scores
             with self._device_lock:
-                txt = self.scorer.encode_text_features(question)
-                csc = cosine_scores(jnp.asarray(img), txt)
-                idx, logits = self.scorer.temporal_sampling(
-                    img, txt, csc, method=method, sample_num=sample_num,
-                    window_size=window_size or self.default_window)
+                # one dispatch: text tower + cosine + selector + top-k
+                idx, logits = self.scorer.score_features_fused(
+                    img, question, sample_num=sample_num,
+                    window_size=window_size or self.default_window,
+                    method=method)
             n_frames = len(img)
         else:
             frames = self._decode(video_path)      # outside the device lock
@@ -245,13 +243,11 @@ class ScoringService:
             # scoring via the feature LRU: warm questions skip the vision
             # tower (the frames above still feed the selected-frame gather)
             img, _hit = self._video_features(video_path, frames=frames)
-            from ..models.clip import cosine_scores
             with self._device_lock:
-                txt = self.scorer.encode_text_features(question)
-                csc = cosine_scores(jnp.asarray(img), txt)
-                idx, _ = self.scorer.temporal_sampling(
-                    img, txt, csc, method=method, sample_num=sample_num,
-                    window_size=window_size or self.default_window)
+                idx, _ = self.scorer.score_features_fused(
+                    img, question, sample_num=sample_num,
+                    window_size=window_size or self.default_window,
+                    method=method)
         else:
             with self._device_lock:
                 idx, _ = self.scorer(frames, question, sample_num=sample_num,
