@@ -55,6 +55,9 @@ class ScoringService:
         self._pending = []          # [(event, payload dict, result dict)]
         self._feat_cache = {}       # (path, mtime) -> img_feat float32 [T, P]
         self._feat_order = []       # LRU order, most recent last
+        self._feat_lock = threading.Lock()   # ThreadingHTTPServer: one
+        # mutator at a time for the LRU bookkeeping (reads of the stored
+        # arrays are safe — entries are immutable once inserted)
         self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
                       "feature_cache_hits": 0}
 
@@ -84,20 +87,23 @@ class ScoringService:
         inputs — the same semantics as the phase-1 feature cache.
         ``frames`` skips the decode when the caller already holds them."""
         key = (video_path, os.path.getmtime(video_path))
-        if key in self._feat_cache:
-            self._feat_order.remove(key)
-            self._feat_order.append(key)
-            self.stats["feature_cache_hits"] += 1
-            return self._feat_cache[key], True
+        with self._feat_lock:
+            if key in self._feat_cache:
+                self._feat_order.remove(key)
+                self._feat_order.append(key)
+                self.stats["feature_cache_hits"] += 1
+                return self._feat_cache[key], True
         if frames is None:
             frames = self._decode(video_path)
         with self._device_lock:
             img = np.asarray(self.scorer.encode_frame_features(frames),
                              np.float32)
-        self._feat_cache[key] = img
-        self._feat_order.append(key)
-        while len(self._feat_order) > self.video_feature_cache:
-            self._feat_cache.pop(self._feat_order.pop(0), None)
+        with self._feat_lock:
+            if key not in self._feat_cache:   # concurrent cold misses race
+                self._feat_cache[key] = img
+                self._feat_order.append(key)
+            while len(self._feat_order) > self.video_feature_cache:
+                self._feat_cache.pop(self._feat_order.pop(0), None)
         return img, False
 
     def score(self, *, video_path: str, question: str, sample_num: int | None = None,
