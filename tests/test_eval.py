@@ -555,3 +555,49 @@ def test_precompute_video_grouped_sharding_balance():
     assert sorted(map(len, shards)) == [4, 4]
     got = sorted(x["question_id"] for sh in shards for x in sh)
     assert got == sorted(x["question_id"] for x in structs)
+
+
+def test_precompute_producer_decodes_video_once(tmp_path):
+    """The prefetch producer must not decode the same video once per
+    question (the video blob is written by the consumer AFTER the producer
+    has raced ahead) — the in-flight video set makes later questions
+    vidhits."""
+    ds = _shared_video_bench(tmp_path)
+    s, _ = _counting_scorer()
+    pre = FrameIndexPrecompute(
+        s, FeatureCache(str(tmp_path / "c")),
+        PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=str(tmp_path / "w"), name="T")
+    decodes = []
+    orig = pre._decode_candidates
+    pre._decode_candidates = \
+        lambda p: (decodes.append(p) or orig(p))
+    pre.run(ds)
+    assert len(decodes) == 1, decodes
+
+
+def test_precompute_resume_across_shard_scheme_change(tmp_path):
+    """Questions finished under i%world striping are not recomputed when
+    the grouped sharding (or a different world size) re-assigns them."""
+    ds = _shared_video_bench(tmp_path)
+    s1, calls1 = _counting_scorer()
+    work, cache = str(tmp_path / "w"), FeatureCache(str(tmp_path / "c"))
+    cfg_off = PrecomputeConfig(sample_num=8, max_frames=512,
+                               share_video_features=False)
+    pre = FrameIndexPrecompute(s1, cache, cfg_off, work_dir=work, name="T")
+    # old-style striping, rank 0 of 2 -> q0, q2 done and checkpointed
+    pre.run(ds, shard=(0, 2))
+    # new run, sharing on: grouped sharding puts ALL questions on one rank;
+    # the merged-view filter must skip the two already-finished questions
+    s2, calls2 = _counting_scorer()
+    pre2 = FrameIndexPrecompute(
+        s2, cache, PrecomputeConfig(sample_num=8, max_frames=512),
+        work_dir=work, name="T")
+    scored = []
+    for r in range(2):
+        res = pre2.run(ds, shard=(r, 2))
+        scored.extend(res)
+    done = pre2.load_results("ShareBench")
+    assert sorted(done) == ["q0", "q1", "q2"]
+    # only the one missing question was computed (its features via cache)
+    assert len(calls2) <= 1

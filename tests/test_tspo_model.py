@@ -200,3 +200,13 @@ def test_fused_question_matches_full_paths(scorer):
     idx_b, _ = scorer.score_features_fused(img, "q", sample_num=16,
                                            method="bin-max")
     assert len(idx_b) == 16
+
+
+def test_fused_question_short_video_large_sample_num(scorer):
+    """sample_num larger than the frame bucket must not crash lax.top_k
+    (serve default path regression): returns all frames, sorted."""
+    frames = _frames(20, seed=19)
+    img = np.asarray(scorer.encode_frame_features(frames), np.float32)
+    idx, logits = scorer.score_features_fused(img, "q", sample_num=128)
+    assert len(idx) == 20
+    assert len(logits) == 20

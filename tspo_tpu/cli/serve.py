@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("--max-batch", type=int, default=4,
                    help="max requests per micro-batch (HBM-bound; B=4 at "
                         "64-frame prompts exceeds one v5e)")
+    p.add_argument("--video-feature-cache", type=int, default=2,
+                   help="per-video image-feature LRU size in videos (~150 MB "
+                        "host RAM per 50k-frame video); 0 = always run the "
+                        "fused single-dispatch video program")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the compile warmup before serving")
     p.add_argument("--tiny", action="store_true")
@@ -49,7 +53,8 @@ def main(argv=None):
     service = ScoringService(scorer=scorer, backbone=backbone,
                              max_candidates=args.max_candidates,
                              batch_window_s=args.batch_window,
-                             max_batch=args.max_batch)
+                             max_batch=args.max_batch,
+                             video_feature_cache=args.video_feature_cache)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")
         service.warmup()

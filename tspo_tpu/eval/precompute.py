@@ -201,22 +201,31 @@ class FrameIndexPrecompute:
 
         from ..models.clip import cosine_scores
         vkey = self._video_key(struct["video_path"]) if self._share() else None
-        if vkey is not None and self.cache.has(dataset, vkey):
+        memo = getattr(self, "_vid_memo", None)
+        if vkey is not None and memo is not None and memo[0] == vkey:
+            # grouped sharding processes a video's questions consecutively:
+            # keep the LAST video's features resident (device array + host
+            # float32) instead of re-reading the npz and re-uploading per
+            # question
+            _, img_j, img, sampled_idx = memo
+        elif vkey is not None and self.cache.has(dataset, vkey):
             blob = self.cache.load(dataset, vkey)
-            img_j = jnp.asarray(blob["image_features"])
+            img = blob["image_features"]
             sampled_idx = blob["sampled_idx"]
+            img_j = jnp.asarray(img)
         else:
             frames, sampled_idx = (decoded if decoded is not None
                                    else self._decode_candidates(
                                        struct["video_path"]))
             img_j = self.scorer.encode_frame_features(frames)
+            img = np.asarray(img_j, np.float32)
             if vkey is not None:
-                self.cache.save(dataset, vkey,
-                                image_features=np.asarray(img_j, np.float32),
+                self.cache.save(dataset, vkey, image_features=img,
                                 sampled_idx=sampled_idx)
+        if vkey is not None:
+            self._vid_memo = (vkey, img_j, img, sampled_idx)
         txt_j = self.scorer.encode_text_features(struct["problem"])
         csc_j = cosine_scores(img_j, txt_j)
-        img = np.asarray(img_j, np.float32)
         txt = np.asarray(txt_j, np.float32)
         csc = np.asarray(csc_j, np.float32)
         self.cache.save(dataset, struct["index"], image_features=img,
@@ -267,8 +276,16 @@ class FrameIndexPrecompute:
         errors = {} if rerun else self.load_errors(dataset.name, shard)
         structs = self._shard_structs(list(dataset.iter_structs()),
                                       rank, world)
+        # resume filter uses the MERGED view (all ranks + legacy): shard
+        # assignment can change between runs (world size, or the
+        # share_video_features grouped sharding), so a question finished by
+        # another rank's file must not be recomputed here
+        done_all = {} if rerun else self.load_results(dataset.name, None)
+        err_all = {} if rerun else self.load_errors(dataset.name, None)
         todo = [s for s in structs if s["question_id"] not in results
-                and s["question_id"] not in errors]
+                and s["question_id"] not in errors
+                and s["question_id"] not in done_all
+                and s["question_id"] not in err_all]
 
         # Host decode prefetch thread: ffmpeg overlaps with device compute.
         # The producer only touches the cache index and the decoder; all
@@ -276,16 +293,23 @@ class FrameIndexPrecompute:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def producer():
+            # videos already enqueued this run: by the time a later question
+            # of the same video reaches the consumer, the earlier one has
+            # populated the video blob / memo (and if it errored, the
+            # consumer's vidhit path decodes for itself) — so the producer
+            # must not decode the same video once per question
+            enqueued_vids = set()
             for s in todo:
                 if self.cache.has(dataset.name, s["index"]):
                     q.put((s, "cached", None))
                     continue
-                # another question of this video already populated the
-                # video-level blob: skip the decode entirely
-                if self._share() and self.cache.has(
-                        dataset.name, self._video_key(s["video_path"])):
-                    q.put((s, "vidhit", None))
-                    continue
+                if self._share():
+                    vkey = self._video_key(s["video_path"])
+                    if vkey in enqueued_vids or self.cache.has(dataset.name,
+                                                               vkey):
+                        q.put((s, "vidhit", None))
+                        continue
+                    enqueued_vids.add(vkey)
                 try:
                     q.put((s, "frames",
                            self._decode_candidates(s["video_path"])))
@@ -300,6 +324,7 @@ class FrameIndexPrecompute:
             import collections
 
             from ..video.native import DecodePool
+            enqueued_vids = set()   # same contract as producer()
             with DecodePool(self.decode_workers) as pool:
                 window: collections.deque = collections.deque()
                 it = iter(todo)
@@ -316,11 +341,13 @@ class FrameIndexPrecompute:
                         if self.cache.has(dataset.name, s["index"]):
                             window.append((s, "cached", None))
                             continue
-                        if self._share() and self.cache.has(
-                                dataset.name,
-                                self._video_key(s["video_path"])):
-                            window.append((s, "vidhit", None))
-                            continue
+                        if self._share():
+                            vkey = self._video_key(s["video_path"])
+                            if vkey in enqueued_vids or self.cache.has(
+                                    dataset.name, vkey):
+                                window.append((s, "vidhit", None))
+                                continue
+                            enqueued_vids.add(vkey)
                         try:
                             sampled_idx = candidate_schedule(
                                 s["video_path"], self.cfg.max_frames)

@@ -255,11 +255,14 @@ class TSPOScorer:
         ws = self.selector_cfg.window_size if window_size is None \
             else window_size
         tau = self.selector_cfg.score_tau if score_tau is None else score_tau
+        # lax.top_k needs k <= bucket; the valid-count in the program already
+        # truncates short videos, so clamping is lossless
+        k = min(int(sample_num), int(feat_p.shape[0]))
         idx, count, logits = fused_question_program(
             self.clip_params, self.selector_params, jnp.asarray(feat_p),
             jnp.asarray(ids), jnp.asarray(valid), jnp.float32(tau),
             text_cfg=self.clip_cfg.text, selector_cfg=self.selector_cfg,
-            window_size=ws, sample_num=sample_num)
+            window_size=ws, sample_num=k)
         logits_t = np.asarray(logits)[:T]
         if method == "topk":
             return np.asarray(idx)[: int(count)], logits_t

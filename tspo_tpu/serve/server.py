@@ -63,15 +63,28 @@ class ScoringService:
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
-        latency is compile-dominated)."""
+        latency is compile-dominated).  Warms whichever path requests will
+        actually take: the feature-LRU path (encode chunks + the fused
+        question program) when the cache is on, the fused video program
+        otherwise."""
         frames = np.zeros((self.scorer.batch_frames, *hw, 3), np.uint8)
         with self._device_lock:
-            if hasattr(self.scorer, "score_video_fused"):
+            if self._cache_usable():
+                img = np.asarray(self.scorer.encode_frame_features(frames),
+                                 np.float32)
+                self.scorer.score_features_fused(
+                    img, "warmup", sample_num=min(16, len(frames)))
+            elif hasattr(self.scorer, "score_video_fused"):
                 self.scorer.score_video_fused(frames, "warmup",
                                               sample_num=min(16, len(frames)))
             else:
                 self.scorer(frames, "warmup", sample_num=min(16, len(frames)))
         return self
+
+    def _cache_usable(self) -> bool:
+        return (self.video_feature_cache > 0
+                and hasattr(self.scorer, "encode_frame_features")
+                and hasattr(self.scorer, "score_features_fused"))
 
     def _decode(self, video_path: str):
         frames, _, _ = load_video(video_path, max_frames_num=self.max_candidates,
@@ -111,9 +124,7 @@ class ScoringService:
               return_scores: bool = False) -> dict:
         t0 = time.perf_counter()
         sample_num = sample_num or self.default_sample_num
-        use_cache = self.video_feature_cache > 0 \
-            and hasattr(self.scorer, "encode_frame_features")
-        if use_cache:
+        if self._cache_usable():
             img, _hit = self._video_features(video_path)
             with self._device_lock:
                 # one dispatch: text tower + cosine + selector + top-k
@@ -136,8 +147,9 @@ class ScoringService:
                         window_size=window_size or self.default_window,
                         method=method)
             n_frames = len(frames)
-        self.stats["requests"] += 1
-        self.stats["frames_scored"] += n_frames
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            self.stats["frames_scored"] += n_frames
         out = {"frame_indices": [int(i) for i in idx],
                "num_candidates": int(n_frames),
                "latency_s": round(time.perf_counter() - t0, 4)}
@@ -244,8 +256,7 @@ class ScoringService:
         t0 = time.perf_counter()
         frames = self._decode(video_path)   # pixels needed for the backbone
         sample_num = sample_num or self.default_sample_num
-        if self.video_feature_cache > 0 and \
-                hasattr(self.scorer, "encode_frame_features"):
+        if self._cache_usable():
             # scoring via the feature LRU: warm questions skip the vision
             # tower (the frames above still feed the selected-frame gather)
             img, _hit = self._video_features(video_path, frames=frames)
@@ -266,8 +277,9 @@ class ScoringService:
         else:
             with self._device_lock:
                 answer = self._generate_one(sel, question, max_new_tokens)
-        self.stats["requests"] += 1
-        self.stats["frames_scored"] += len(frames)
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            self.stats["frames_scored"] += len(frames)
         return {"answer": answer,
                 "frame_indices": [int(i) for i in idx],
                 "num_candidates": int(len(frames)),
