@@ -332,3 +332,28 @@ def test_video_feature_cache(tmp_path):
     svc.score(video_path=path, question="q three", sample_num=8)
     # 1 initial + one per other video + 1 re-encode after eviction
     assert len(encodes) == 4
+
+
+def test_warm_answer_skips_full_decode(tmp_path):
+    """Second /v1/answer on the same video gathers only the selected frames
+    (no full 1-fps decode) and returns the same answer + indices."""
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(120):
+        w.write(np.full((48, 48, 3), (i * 4) % 255, np.uint8))
+    w.release()
+    scorer = build_random_scorer(
+        seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG, dtype=jnp.float32,
+        tokenize=_tokenize, batch_frames=32, frame_buckets=(64, 128))
+    svc = ScoringService(scorer=scorer, backbone=StubBackbone(),
+                         max_candidates=256, video_feature_cache=2)
+    decodes = []
+    orig = svc._decode
+    svc._decode = lambda p: (decodes.append(p) or orig(p))
+    r1 = svc.answer(video_path=path, question="q", sample_num=8)
+    n_cold = len(decodes)
+    r2 = svc.answer(video_path=path, question="q", sample_num=8)
+    assert len(decodes) == n_cold  # warm: no additional full decode
+    assert r1["frame_indices"] == r2["frame_indices"]
+    assert r1["answer"] == r2["answer"] == "A"
+    assert r2["num_candidates"] == r1["num_candidates"]

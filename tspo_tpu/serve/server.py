@@ -94,7 +94,8 @@ class ScoringService:
         return frames
 
     def _video_features(self, video_path: str, frames=None):
-        """(img_feat float32 [T, P], cache_hit) through the LRU.  Cold
+        """(img_feat float32 [T, P], candidate_schedule, cache_hit) through
+        the LRU.  Cold
         videos decode + vision-encode (device lock held for the encode);
         features are stored float32 so warm and cold scoring see identical
         inputs — the same semantics as the phase-1 feature cache.
@@ -105,19 +106,25 @@ class ScoringService:
                 self._feat_order.remove(key)
                 self._feat_order.append(key)
                 self.stats["feature_cache_hits"] += 1
-                return self._feat_cache[key], True
+                img, sched = self._feat_cache[key]
+                return img, sched, True
+        from ..eval.precompute import candidate_schedule
+        sched = np.asarray(candidate_schedule(video_path,
+                                              self.max_candidates))
         if frames is None:
             frames = self._decode(video_path)
+        if len(frames) != len(sched):
+            sched = None    # misaligned decode: warm answers re-decode fully
         with self._device_lock:
             img = np.asarray(self.scorer.encode_frame_features(frames),
                              np.float32)
         with self._feat_lock:
             if key not in self._feat_cache:   # concurrent cold misses race
-                self._feat_cache[key] = img
+                self._feat_cache[key] = (img, sched)
                 self._feat_order.append(key)
             while len(self._feat_order) > self.video_feature_cache:
                 self._feat_cache.pop(self._feat_order.pop(0), None)
-        return img, False
+        return img, sched, False
 
     def score(self, *, video_path: str, question: str, sample_num: int | None = None,
               method: str = "topk", window_size: int | None = None,
@@ -125,7 +132,7 @@ class ScoringService:
         t0 = time.perf_counter()
         sample_num = sample_num or self.default_sample_num
         if self._cache_usable():
-            img, _hit = self._video_features(video_path)
+            img, _sched, _hit = self._video_features(video_path)
             with self._device_lock:
                 # one dispatch: text tower + cosine + selector + top-k
                 idx, logits = self.scorer.score_features_fused(
@@ -254,23 +261,32 @@ class ScoringService:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
-        frames = self._decode(video_path)   # pixels needed for the backbone
         sample_num = sample_num or self.default_sample_num
         if self._cache_usable():
-            # scoring via the feature LRU: warm questions skip the vision
-            # tower (the frames above still feed the selected-frame gather)
-            img, _hit = self._video_features(video_path, frames=frames)
+            # score from the feature LRU, then decode ONLY the selected
+            # frames (seek-gather): warm answers skip both the vision tower
+            # and the full 1-fps decode
+            img, sched, _hit = self._video_features(video_path)
             with self._device_lock:
                 idx, _ = self.scorer.score_features_fused(
                     img, question, sample_num=sample_num,
                     window_size=window_size or self.default_window,
                     method=method)
+            idx = np.asarray(idx)
+            if sched is not None and len(sched) == len(img):
+                from ..video.reader import load_video_indices
+                sel = load_video_indices(video_path, np.asarray(sched)[idx])
+            else:
+                sel = self._decode(video_path)[idx]
+            n_frames = len(img)
         else:
+            frames = self._decode(video_path)
             with self._device_lock:
                 idx, _ = self.scorer(frames, question, sample_num=sample_num,
                                      window_size=window_size or self.default_window,
                                      method=method)
-        sel = frames[np.asarray(idx)]
+            sel = frames[np.asarray(idx)]
+            n_frames = len(frames)
         if self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
             answer = self._answer_batched(sel, question, max_new_tokens)
@@ -279,10 +295,10 @@ class ScoringService:
                 answer = self._generate_one(sel, question, max_new_tokens)
         with self._feat_lock:
             self.stats["requests"] += 1
-            self.stats["frames_scored"] += len(frames)
+            self.stats["frames_scored"] += n_frames
         return {"answer": answer,
                 "frame_indices": [int(i) for i in idx],
-                "num_candidates": int(len(frames)),
+                "num_candidates": int(n_frames),
                 "latency_s": round(time.perf_counter() - t0, 4)}
 
 
