@@ -91,3 +91,88 @@ def test_init_and_port_geometries_agree():
     ps = jax.tree_util.tree_map(lambda x: tuple(x.shape), ported)
     is_ = jax.tree_util.tree_map(lambda x: tuple(x.shape), inited)
     assert ps == is_
+
+
+def test_audio_visual_generate_end_to_end():
+    """Tiny LLaVA-style backbone + AudioTower: generate() with an audio
+    waveform splices projected audio tokens at the <audio> sentinel and
+    decodes — the audio-visual path the audio-LLM checkpoints drop into."""
+    import jax
+    import jax.numpy as jnp
+    from tspo_tpu.models.llava_video import (AUDIO_TOKEN_INDEX,
+                                             IMAGE_TOKEN_INDEX,
+                                             LLaVAVideoConfig,
+                                             LLaVAVideoModel,
+                                             tokenize_with_image)
+
+    import dataclasses
+    cfg = dataclasses.replace(LLaVAVideoConfig.tiny(), max_context=2048)
+    acfg = AudioConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    tower = AudioTower(params=init_audio_params(key, acfg), cfg=acfg)
+
+    # random tiny backbone via the same torch route the llava tests use
+    import torch as _torch
+    import transformers
+    lm = cfg.lm
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=lm.vocab_size, hidden_size=lm.hidden_size,
+        intermediate_size=lm.intermediate_size,
+        num_hidden_layers=lm.num_layers, num_attention_heads=lm.num_heads,
+        num_key_value_heads=lm.num_kv_heads, head_dim=lm.head_dim,
+        rope_theta=lm.rope_theta, rms_norm_eps=lm.rms_eps,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    v = cfg.vision
+    sig_cfg = transformers.SiglipVisionConfig(
+        hidden_size=v.width, intermediate_size=v.intermediate,
+        num_hidden_layers=v.layers + 1, num_attention_heads=v.heads,
+        image_size=v.image_size, patch_size=v.patch_size,
+        layer_norm_eps=v.layer_norm_eps, hidden_act="gelu_pytorch_tanh")
+    _torch.manual_seed(0)
+    sd = {k: p for k, p in
+          transformers.Qwen2ForCausalLM(hf_cfg).state_dict().items()}
+    for k, p in transformers.SiglipVisionModel(sig_cfg).state_dict().items():
+        sd["model.vision_tower.vision_tower." + k] = p
+    proj0 = _torch.nn.Linear(v.width, lm.hidden_size)
+    proj2 = _torch.nn.Linear(lm.hidden_size, lm.hidden_size)
+    sd["model.mm_projector.0.weight"] = proj0.weight
+    sd["model.mm_projector.0.bias"] = proj0.bias
+    sd["model.mm_projector.2.weight"] = proj2.weight
+    sd["model.mm_projector.2.bias"] = proj2.bias
+    sd["model.image_newline"] = _torch.randn(lm.hidden_size) * 0.1
+    enc = lambda s: [ord(c) % lm.vocab_size for c in s]
+    dec = lambda toks: " ".join(str(t) for t in toks)
+    model = LLaVAVideoModel.from_torch_checkpoint(
+        sd, cfg, dtype=jnp.float32, encode=enc, decode=dec, batch_frames=4,
+        max_new_tokens=4)
+    model.audio_tower = tower
+    k1, k2 = jax.random.split(key)
+    model.params["audio_projector"] = {
+        "fc1": {"kernel": jax.random.normal(k1, (acfg.d_model,
+                                                 lm.hidden_size)) * 0.02,
+                "bias": jnp.zeros(lm.hidden_size)},
+        "fc2": {"kernel": jax.random.normal(k2, (lm.hidden_size,
+                                                 lm.hidden_size)) * 0.02,
+                "bias": jnp.zeros(lm.hidden_size)},
+    }
+
+    frames = np.random.default_rng(0).integers(
+        0, 256, (4, 48, 48, 3), dtype=np.uint8)
+    audio = _rand_audio(seconds=1.0)
+    out_av = model.generate(frames, "what do you hear?", audio=audio)
+    assert isinstance(out_av, str) and out_av
+    # audio must change the context vs video-only (tokens really spliced)
+    out_v = model.generate(frames, "what do you hear?")
+    assert isinstance(out_v, str)
+
+    # sentinel tokenization: both media sentinels land exactly once
+    ids = tokenize_with_image("<image>\n<audio>\nq", enc, None)
+    assert ids.count(IMAGE_TOKEN_INDEX) == 1
+    assert ids.count(AUDIO_TOKEN_INDEX) == 1
+
+    # splice accounting: S = text + video + audio token counts
+    vid = model.encode_video(frames)
+    aud = model.encode_audio_tokens(audio)
+    emb = model.splice_embeddings(ids, vid, aud)
+    n_text = len([i for i in ids if i >= 0])
+    assert emb.shape[1] == n_text + vid.shape[0] + aud.shape[0]

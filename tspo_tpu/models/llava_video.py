@@ -33,6 +33,10 @@ from .siglip import (SigLIPConfig, init_siglip_params, siglip_encode,
 
 IMAGE_TOKEN_INDEX = -200
 DEFAULT_IMAGE_TOKEN = "<image>"
+# audio modality (beyond the reference's video-only path): sentinel for
+# AudioTower features spliced like video tokens — see generate(audio=...)
+AUDIO_TOKEN_INDEX = -201
+DEFAULT_AUDIO_TOKEN = "<audio>"
 
 QWEN15_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
 
@@ -117,7 +121,20 @@ def tokenize_with_image(prompt: str, encode: Callable, bos_token_id=None) -> lis
     stripped via ``chunk[offset:]``; the separator is built as
     ``[img]*(offset+1)`` and ALSO sliced ``[offset:]`` — so exactly ONE
     image token lands per <image> either way."""
-    chunks = [encode(chunk) for chunk in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    def encode_with_audio(text):
+        """Encode one <image>-free chunk, splicing AUDIO_TOKEN_INDEX at
+        <audio> sentinels (audio extension; no-op without the sentinel)."""
+        if DEFAULT_AUDIO_TOKEN not in text:
+            return encode(text)
+        out = []
+        for j, sub in enumerate(text.split(DEFAULT_AUDIO_TOKEN)):
+            if j > 0:
+                out.append(AUDIO_TOKEN_INDEX)
+            out.extend(encode(sub))
+        return out
+
+    chunks = [encode_with_audio(chunk)
+              for chunk in prompt.split(DEFAULT_IMAGE_TOKEN)]
     input_ids = []
     offset = 0
     if chunks and chunks[0] and bos_token_id is not None and chunks[0][0] == bos_token_id:
@@ -228,6 +245,16 @@ class LLaVAVideoModel:
     # BOS id for tokenize_with_image's offset handling (vicuna/llama
     # tokenizers emit a leading BOS; qwen's does not — mm_utils.py:341-361)
     bos_token_id: int | None = None
+    # optional audio path (beyond the reference's video-only surface): an
+    # AudioTower (models/audio.py) whose features project into the LM
+    # embedding space via params["audio_projector"] (mlp2x_gelu layout like
+    # mm_projector) and splice at <audio> sentinels.  Enables the
+    # audio-visual benchmarks' audio tracks once an audio-LLM checkpoint is
+    # available (docs/STATUS.md)
+    audio_tower: object | None = None
+    # time-axis average pooling before the audio projector (Qwen2-Audio's
+    # avg_pooler: 1500 Whisper frames -> 750 tokens per 30 s)
+    audio_pool_stride: int = 2
 
     def _prompt(self, question: str) -> str:
         """Eval-adapter prompt: <image> + question wrapped in the conv
@@ -280,28 +307,66 @@ class LLaVAVideoModel:
             return add_token_per_frame(feat, self.params["image_newline"])
         return feat.reshape(-1, feat.shape[-1])   # no_token / one_token flat
 
-    def splice_embeddings(self, input_ids: list, video_tokens: jnp.ndarray):
+    def splice_embeddings(self, input_ids: list, video_tokens: jnp.ndarray,
+                          audio_tokens: jnp.ndarray | None = None):
         """Replace the IMAGE_TOKEN_INDEX slot with video tokens
-        (llava_arch.py:360-430 simplified to the single-video case)."""
+        (llava_arch.py:360-430 simplified to the single-video case);
+        AUDIO_TOKEN_INDEX slots splice ``audio_tokens`` the same way."""
         ids = np.asarray(input_ids)
-        (img_pos,) = np.where(ids == IMAGE_TOKEN_INDEX)
         lm = self.params["lm"]
-        if len(img_pos) == 0:
+        blocks = {IMAGE_TOKEN_INDEX: video_tokens}
+        if audio_tokens is not None:
+            blocks[AUDIO_TOKEN_INDEX] = audio_tokens
+        sentinel = np.isin(ids, list(blocks))
+        if not sentinel.any():
             return embed_tokens(lm, jnp.asarray(ids))[None]
-        p = int(img_pos[0])
-        pre = embed_tokens(lm, jnp.asarray(ids[:p]))
-        post = embed_tokens(lm, jnp.asarray(ids[p + 1:]))
-        emb = jnp.concatenate([pre, video_tokens.astype(pre.dtype), post], axis=0)
+        parts, start = [], 0
+        ref_dtype = lm["embedding"].dtype
+        for p in np.where(sentinel)[0]:
+            if p > start:
+                parts.append(embed_tokens(lm, jnp.asarray(ids[start:int(p)])))
+            parts.append(blocks[int(ids[p])])
+            start = int(p) + 1
+        if start < len(ids):
+            parts.append(embed_tokens(lm, jnp.asarray(ids[start:])))
+        emb = jnp.concatenate([x.astype(ref_dtype) for x in parts], axis=0)
         return emb[None]                                          # [1, S, D]
 
+    def encode_audio_tokens(self, audio: np.ndarray) -> jnp.ndarray:
+        """[T] 16 kHz waveform -> [S, hidden] LM-space audio tokens: tower
+        features through the mlp2x_gelu audio projector."""
+        if self.audio_tower is None or "audio_projector" not in self.params:
+            raise ValueError(
+                "audio input needs an AudioTower (models/audio.py) and "
+                "params['audio_projector'] from an audio-LLM checkpoint")
+        feats = jnp.asarray(self.audio_tower.encode(audio))
+        s = max(int(self.audio_pool_stride), 1)
+        if s > 1:
+            n = (feats.shape[0] // s) * s
+            feats = feats[:n].reshape(n // s, s, -1).mean(axis=1)
+        pj = self.params["audio_projector"]
+        h = feats @ pj["fc1"]["kernel"] + pj["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        return h @ pj["fc2"]["kernel"] + pj["fc2"]["bias"]
+
     def generate(self, frames: np.ndarray, question: str,
-                 max_new_tokens: int | None = None, prompt: str | None = None) -> str:
+                 max_new_tokens: int | None = None, prompt: str | None = None,
+                 audio: np.ndarray | None = None) -> str:
         """Full reference generate path (llava_qwen.py:178-197 +
-        tspo_trainer.py:527-534): greedy, temperature 0."""
+        tspo_trainer.py:527-534): greedy, temperature 0.  ``audio`` (16 kHz
+        waveform) splices AudioTower tokens at the <audio> sentinel —
+        inserted after the <image> line when the default prompt is used."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         max_new = max_new_tokens or self.max_new_tokens
         prompt = prompt if prompt is not None else self._prompt(question)
+        audio_tokens = None
+        if audio is not None:
+            if DEFAULT_AUDIO_TOKEN not in prompt:
+                prompt = prompt.replace(
+                    DEFAULT_IMAGE_TOKEN,
+                    DEFAULT_IMAGE_TOKEN + "\n" + DEFAULT_AUDIO_TOKEN, 1)
+            audio_tokens = self.encode_audio_tokens(audio)
         input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         if frames is None or len(frames) == 0:
             # text-only path (LLM-judge LocalBackboneProvider grades with no
@@ -310,7 +375,7 @@ class LLaVAVideoModel:
                                      jnp.bfloat16)
         else:
             video_tokens = self.encode_video(frames)
-        embeds = self.splice_embeddings(input_ids, video_tokens)
+        embeds = self.splice_embeddings(input_ids, video_tokens, audio_tokens)
 
         S = embeds.shape[1]
         max_len = min(self.cfg.max_context, S + max_new + 8)
