@@ -176,3 +176,61 @@ def test_audio_visual_generate_end_to_end():
     emb = model.splice_embeddings(ids, vid, aud)
     n_text = len([i for i in ids if i >= 0])
     assert emb.shape[1] == n_text + vid.shape[0] + aud.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Native audio decode (native/audio.cpp)
+# ---------------------------------------------------------------------------
+
+def _write_wav(path, sr=8000, seconds=2.0, hz=440.0):
+    import wave
+    t = np.arange(int(seconds * sr)) / sr
+    tone = (0.5 * np.sin(2 * np.pi * hz * t) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+
+
+def test_native_audio_decode_and_resample(tmp_path):
+    from tspo_tpu.video import native
+    if not native.audio_available():
+        pytest.skip("native audio decode unavailable")
+    p = tmp_path / "tone.wav"
+    _write_wav(p, sr=8000, seconds=2.0, hz=440.0)
+    a = native.load_audio(str(p), 16000)
+    assert a.dtype == np.float32
+    assert abs(len(a) - 32000) <= 64          # 2 s at 16 kHz
+    spec = np.abs(np.fft.rfft(a))
+    freq = np.fft.rfftfreq(len(a), 1 / 16000)
+    assert abs(freq[spec.argmax()] - 440.0) < 2.0
+
+
+def test_native_audio_no_stream_raises(tmp_path):
+    from tspo_tpu.video import native
+    if not native.audio_available():
+        pytest.skip("native audio decode unavailable")
+    import cv2
+    p = str(tmp_path / "mute.mp4")   # cv2 writes video-only containers
+    w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (32, 32))
+    for i in range(10):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    with pytest.raises(IOError):
+        native.load_audio(p, 16000)
+
+
+def test_audio_tower_encode_file(tmp_path):
+    from tspo_tpu.video import native
+    if not native.audio_available():
+        pytest.skip("native audio decode unavailable")
+    import jax
+    cfg = AudioConfig.tiny()
+    tower = AudioTower(params=init_audio_params(jax.random.PRNGKey(0), cfg),
+                       cfg=cfg)
+    p = tmp_path / "tone.wav"
+    _write_wav(p, sr=16000, seconds=1.0)
+    feats = tower.encode_file(str(p))
+    assert feats.shape == (1500, cfg.d_model)   # one 30 s chunk
+    assert np.isfinite(feats).all()

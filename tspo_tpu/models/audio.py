@@ -325,6 +325,13 @@ class AudioTower:
             outs.append(np.asarray(feats[0], np.float32))
         return np.concatenate(outs, axis=0)
 
+    def encode_file(self, path: str) -> np.ndarray:
+        """Media file (wav/mp4/mkv/...) -> features, via the native ffmpeg
+        audio decoder (native/audio.cpp: demux + decode + resample to mono
+        float32 at the tower's sampling rate)."""
+        from ..video.native import load_audio
+        return self.encode(load_audio(path, self.cfg.sampling_rate))
+
     @classmethod
     def from_torch(cls, model_or_sd, cfg: AudioConfig, dtype=jnp.float32):
         return cls(params=audio_params_from_torch(model_or_sd, cfg, dtype),

@@ -60,6 +60,18 @@ def _load():
                 lib._has_pool = True
             except AttributeError:
                 lib._has_pool = False
+            try:  # audio path (audio.cpp) — absent in stale builds
+                lib.tspo_audio_probe.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.tspo_audio_probe.restype = ctypes.c_int
+                lib.tspo_audio.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
+                lib.tspo_audio.restype = ctypes.c_longlong
+                lib._has_audio = True
+            except AttributeError:
+                lib._has_audio = False
             _lib = lib
         except Exception:
             _lib = None
@@ -180,3 +192,34 @@ def gather(path: str, indices: np.ndarray) -> np.ndarray:
     if got != n:
         raise IOError(f"native gather failed ({got}): {path}")
     return out
+
+
+def audio_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_audio", False)
+
+
+def load_audio(path: str, target_sr: int = 16000,
+               max_seconds: float = 3600.0) -> np.ndarray:
+    """Decode a container's audio stream to mono float32 at ``target_sr``
+    (native/audio.cpp: demux + decode + swresample) — the waveform the
+    Whisper-geometry AudioTower (models/audio.py) consumes.  Raises when the
+    native lib is unavailable or the file has no audio stream."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_audio", False):
+        raise RuntimeError("native audio decode unavailable "
+                           "(build native/libtspo_decode.so)")
+    ns = ctypes.c_longlong()
+    sr = ctypes.c_int()
+    if lib.tspo_audio_probe(path.encode(), ctypes.byref(ns),
+                            ctypes.byref(sr)) != 0:
+        raise IOError(f"no audio stream in {path}")
+    est = int(max(ns.value, 1) * (target_sr / max(sr.value, 1)))
+    cap = min(est + target_sr, int(max_seconds * target_sr))
+    out = np.empty(cap, np.float32)
+    got = lib.tspo_audio(path.encode(), target_sr,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         cap)
+    if got < 0:
+        raise IOError(f"audio decode failed: {path}")
+    return out[: int(got)].copy()
