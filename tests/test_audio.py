@@ -67,10 +67,13 @@ def test_audio_tower_chunks_long_audio():
     import jax
     tower = AudioTower(params=init_audio_params(jax.random.PRNGKey(0), cfg),
                        cfg=cfg)
-    # 35 s -> two 30 s chunks -> 2 * 1500 frames
+    # 35 s -> one full 30 s chunk (1500) + a 5 s chunk trimmed to its real
+    # length: 5 s = 500 mel frames -> (500 - 1) // 2 + 1 = 250 features
     feats = tower.encode(_rand_audio(seconds=35.0))
-    assert feats.shape == (3000, cfg.d_model)
+    assert feats.shape == (1750, cfg.d_model)
     assert np.isfinite(feats).all()
+    # exact multiple keeps full chunks
+    assert tower.encode(_rand_audio(seconds=30.0)).shape[0] == 1500
 
 
 def test_init_and_port_geometries_agree():
@@ -232,5 +235,6 @@ def test_audio_tower_encode_file(tmp_path):
     p = tmp_path / "tone.wav"
     _write_wav(p, sr=16000, seconds=1.0)
     feats = tower.encode_file(str(p))
-    assert feats.shape == (1500, cfg.d_model)   # one 30 s chunk
+    # 1 s of real audio -> 100 mel frames -> 50 features (padding trimmed)
+    assert feats.shape == (50, cfg.d_model)
     assert np.isfinite(feats).all()

@@ -313,7 +313,13 @@ class AudioTower:
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         """[T] waveform (16 kHz) -> [frames, d_model] float32; long audio is
-        processed in 30 s chunks and concatenated."""
+        processed in 30 s chunks and concatenated.
+
+        Features are TRIMMED to the real audio length per chunk (the conv
+        stride-2 output-length rule ``(mel_frames - 1) // 2 + 1`` the
+        audio-LLM checkpoints use, e.g. Qwen2-Audio's
+        _get_feat_extract_output_lengths) — the 30 s zero-padding never
+        reaches the LM context."""
         n = self.cfg.chunk_length_s * self.cfg.sampling_rate
         audio = np.asarray(audio, np.float32)
         chunks = [audio[i:i + n] for i in range(0, max(len(audio), 1), n)]
@@ -322,7 +328,10 @@ class AudioTower:
             mel = log_mel_spectrogram(c, self.cfg)[None]
             feats = encode_audio(self.params, jnp.asarray(mel), self.cfg,
                                  self.dtype)
-            outs.append(np.asarray(feats[0], np.float32))
+            mel_frames = min(mel.shape[-1],
+                             max(len(c) // self.cfg.hop_length, 1))
+            t_real = (mel_frames - 1) // 2 + 1
+            outs.append(np.asarray(feats[0][:t_real], np.float32))
         return np.concatenate(outs, axis=0)
 
     def encode_file(self, path: str) -> np.ndarray:

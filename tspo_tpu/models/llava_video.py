@@ -123,14 +123,21 @@ def tokenize_with_image(prompt: str, encode: Callable, bos_token_id=None) -> lis
     image token lands per <image> either way."""
     def encode_with_audio(text):
         """Encode one <image>-free chunk, splicing AUDIO_TOKEN_INDEX at
-        <audio> sentinels (audio extension; no-op without the sentinel)."""
+        <audio> sentinels (audio extension; no-op without the sentinel).
+        BOS-emitting tokenizers prepend BOS to EVERY encode() call — strip
+        it from sub-chunks after the first so no stray BOS lands mid-stream
+        after an audio sentinel."""
         if DEFAULT_AUDIO_TOKEN not in text:
             return encode(text)
         out = []
         for j, sub in enumerate(text.split(DEFAULT_AUDIO_TOKEN)):
             if j > 0:
                 out.append(AUDIO_TOKEN_INDEX)
-            out.extend(encode(sub))
+            toks = encode(sub)
+            if j > 0 and bos_token_id is not None and toks \
+                    and toks[0] == bos_token_id:
+                toks = toks[1:]
+            out.extend(toks)
         return out
 
     chunks = [encode_with_audio(chunk)
@@ -317,6 +324,11 @@ class LLaVAVideoModel:
         blocks = {IMAGE_TOKEN_INDEX: video_tokens}
         if audio_tokens is not None:
             blocks[AUDIO_TOKEN_INDEX] = audio_tokens
+        elif (ids == AUDIO_TOKEN_INDEX).any():
+            # never let the sentinel reach the embedding table (negative ids
+            # would silently wrap to a random vocab row)
+            raise ValueError("prompt contains <audio> but no audio tokens "
+                             "were provided (pass audio= to generate)")
         sentinel = np.isin(ids, list(blocks))
         if not sentinel.any():
             return embed_tokens(lm, jnp.asarray(ids))[None]
@@ -366,6 +378,11 @@ class LLaVAVideoModel:
                 prompt = prompt.replace(
                     DEFAULT_IMAGE_TOKEN,
                     DEFAULT_IMAGE_TOKEN + "\n" + DEFAULT_AUDIO_TOKEN, 1)
+            if DEFAULT_AUDIO_TOKEN not in prompt:
+                # custom prompt without any media sentinel: refuse rather
+                # than silently dropping the audio
+                raise ValueError("audio= given but the prompt has no "
+                                 "<audio> (or <image> to auto-insert after)")
             audio_tokens = self.encode_audio_tokens(audio)
         input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         if frames is None or len(frames) == 0:

@@ -94,12 +94,12 @@ class ScoringService:
         return frames
 
     def _video_features(self, video_path: str, frames=None):
-        """(img_feat float32 [T, P], candidate_schedule, cache_hit) through
-        the LRU.  Cold
-        videos decode + vision-encode (device lock held for the encode);
-        features are stored float32 so warm and cold scoring see identical
-        inputs — the same semantics as the phase-1 feature cache.
-        ``frames`` skips the decode when the caller already holds them."""
+        """(img_feat float32 [T, P], candidate_schedule, cache_hit,
+        cold_frames_or_None) through the LRU.  Cold videos decode via the
+        schedule gather (ONE container probe; the frames come back to the
+        caller so nothing decodes twice) + vision-encode under the device
+        lock; features are stored float32 so warm and cold scoring see
+        identical inputs — the same semantics as the phase-1 cache."""
         key = (video_path, os.path.getmtime(video_path))
         with self._feat_lock:
             if key in self._feat_cache:
@@ -107,12 +107,15 @@ class ScoringService:
                 self._feat_order.append(key)
                 self.stats["feature_cache_hits"] += 1
                 img, sched = self._feat_cache[key]
-                return img, sched, True
+                return img, sched, True, None
         from ..eval.precompute import candidate_schedule
         sched = np.asarray(candidate_schedule(video_path,
                                               self.max_candidates))
         if frames is None:
-            frames = self._decode(video_path)
+            from ..video.reader import load_video_indices
+            frames = load_video_indices(video_path, sched)
+            if frames.shape[0] != len(sched) or                     (len(frames) and frames.sum() == 0):
+                frames = self._decode(video_path)   # tolerant fallback
         if len(frames) != len(sched):
             sched = None    # misaligned decode: warm answers re-decode fully
         with self._device_lock:
@@ -124,7 +127,7 @@ class ScoringService:
                 self._feat_order.append(key)
             while len(self._feat_order) > self.video_feature_cache:
                 self._feat_cache.pop(self._feat_order.pop(0), None)
-        return img, sched, False
+        return img, sched, False, frames
 
     def score(self, *, video_path: str, question: str, sample_num: int | None = None,
               method: str = "topk", window_size: int | None = None,
@@ -132,7 +135,7 @@ class ScoringService:
         t0 = time.perf_counter()
         sample_num = sample_num or self.default_sample_num
         if self._cache_usable():
-            img, _sched, _hit = self._video_features(video_path)
+            img, _sched, _hit, _frames = self._video_features(video_path)
             with self._device_lock:
                 # one dispatch: text tower + cosine + selector + top-k
                 idx, logits = self.scorer.score_features_fused(
@@ -265,15 +268,18 @@ class ScoringService:
         if self._cache_usable():
             # score from the feature LRU, then decode ONLY the selected
             # frames (seek-gather): warm answers skip both the vision tower
-            # and the full 1-fps decode
-            img, sched, _hit = self._video_features(video_path)
+            # and the full 1-fps decode; cold answers reuse the frames the
+            # feature pass already decoded
+            img, sched, _hit, cold_frames = self._video_features(video_path)
             with self._device_lock:
                 idx, _ = self.scorer.score_features_fused(
                     img, question, sample_num=sample_num,
                     window_size=window_size or self.default_window,
                     method=method)
             idx = np.asarray(idx)
-            if sched is not None and len(sched) == len(img):
+            if cold_frames is not None:
+                sel = cold_frames[idx]
+            elif sched is not None and len(sched) == len(img):
                 from ..video.reader import load_video_indices
                 sel = load_video_indices(video_path, np.asarray(sched)[idx])
             else:

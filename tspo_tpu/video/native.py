@@ -214,8 +214,13 @@ def load_audio(path: str, target_sr: int = 16000,
     if lib.tspo_audio_probe(path.encode(), ctypes.byref(ns),
                             ctypes.byref(sr)) != 0:
         raise IOError(f"no audio stream in {path}")
-    est = int(max(ns.value, 1) * (target_sr / max(sr.value, 1)))
-    cap = min(est + target_sr, int(max_seconds * target_sr))
+    if ns.value > 0:
+        est = int(ns.value * (target_sr / max(sr.value, 1)))
+        cap = min(est + target_sr, int(max_seconds * target_sr))
+    else:
+        # probe couldn't see a duration (live-remuxed/streaming containers):
+        # budget the full max_seconds instead of silently truncating
+        cap = int(max_seconds * target_sr)
     out = np.empty(cap, np.float32)
     got = lib.tspo_audio(path.encode(), target_sr,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
