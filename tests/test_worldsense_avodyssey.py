@@ -279,3 +279,92 @@ def test_av_odyssey_process_and_aggregate_match_reference():
 def test_av_odyssey_registry_list_path():
     task = get_task("AV-Odyssey")
     assert task.resolve_video(AVO_DOC, "/data") == "/data/v/clip7.mp4"
+
+
+def test_harness_feeds_audio_to_capable_backbone(tmp_path):
+    """WorldSense (wants_audio) + a backbone with supports_audio: the
+    harness extracts no audio from a silent mp4 (graceful) but passes the
+    waveform through when the container carries one (wav here); video-only
+    backbones never see an audio kwarg."""
+    import cv2
+    from tspo_tpu.eval.harness import evaluate_task
+    from tspo_tpu.video import native
+
+    (tmp_path / "videos").mkdir()
+    vid = str(tmp_path / "videos" / "v0.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (32, 32))
+    for i in range(25):
+        w.write(np.full((32, 32, 3), i * 9 % 255, np.uint8))
+    w.release()
+    doc = {**WS_DOC, "index": "q0", "video_path": "v0.mp4",
+           "frame_idx": [0, 5, 10, 15]}
+
+    class AVBackbone:
+        supports_audio = True
+
+        def __init__(self):
+            self.audio_seen = []
+
+        def generate(self, frames, prompt, audio=None):
+            self.audio_seen.append(audio)
+            return "B"
+
+    bb = AVBackbone()
+    res = evaluate_task("WorldSense", [doc], bb,
+                        video_root=str(tmp_path / "videos"),
+                        max_frames_num=4)
+    assert res.metrics["overall"] == 100.0
+    # cv2 writes no audio stream -> graceful frames-only call
+    assert bb.audio_seen == [None]
+
+    if native.audio_available():
+        # a wav container IS an audio stream: the harness must deliver it
+        import wave
+        wav = str(tmp_path / "videos" / "a0.wav")
+        tone = (0.3 * np.sin(np.linspace(0, 880 * np.pi, 16000))
+                * 32767).astype(np.int16)
+        with wave.open(wav, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(tone.tobytes())
+        # frame loading of a wav fails -> use an mp4 WITH pretend audio by
+        # monkeypatching load_audio instead: assert the wiring passes audio
+        import tspo_tpu.eval.harness as H
+        from tspo_tpu.video.native import load_audio as real_load
+        wavform = real_load(wav, 16000)
+        import tspo_tpu.video.native as N
+        orig = N.load_audio
+        N.load_audio = lambda p, sr=16000: wavform
+        try:
+            bb2 = AVBackbone()
+            evaluate_task("WorldSense", [doc], bb2,
+                          video_root=str(tmp_path / "videos"),
+                          max_frames_num=4)
+            assert bb2.audio_seen[0] is not None
+            assert len(bb2.audio_seen[0]) == 16000
+        finally:
+            N.load_audio = orig
+
+
+def test_video_only_backbone_unaffected(tmp_path):
+    """A backbone without supports_audio gets the plain generate call."""
+    import cv2
+    from tspo_tpu.eval.harness import evaluate_task
+    (tmp_path / "videos").mkdir()
+    vid = str(tmp_path / "videos" / "v0.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (32, 32))
+    for i in range(25):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    doc = {**WS_DOC, "index": "q0", "video_path": "v0.mp4",
+           "frame_idx": [0, 5, 10]}
+
+    class VideoOnly:
+        def generate(self, frames, prompt):   # no audio kwarg at all
+            return "B"
+
+    res = evaluate_task("WorldSense", [doc], VideoOnly(),
+                        video_root=str(tmp_path / "videos"),
+                        max_frames_num=4)
+    assert res.metrics["overall"] == 100.0

@@ -7,10 +7,10 @@ each tag with a ``<media_i>`` placeholder.  The letter parse / subfield
 aggregation is identical machinery to WorldSense (the reference files carry
 the same function verbatim) — reused from eval.worldsense.
 
-Video/image media are consumable by this framework's backbones; audio clips
-require an audio-capable backbone this framework does not model — they are
-still resolved and surfaced by :func:`doc_to_media` so an adapter can reject
-or consume them explicitly (docs/STATUS.md gaps).
+Video/image media are consumable by this framework's backbones; audio media
+resolve through :func:`doc_to_media`, and the registered task is
+``wants_audio`` — audio-capable backbones (supports_audio) receive the
+waveform via generate(audio=...), video-only backbones run as before.
 """
 
 from __future__ import annotations
@@ -128,7 +128,7 @@ def register_av_odyssey() -> None:
     TASK_REGISTRY["AV-Odyssey"] = BenchmarkTask(
         name="AV-Odyssey", doc_to_text=av_odyssey_doc_to_text,
         process_response=av_odyssey_process, aggregate=aggregate_av_odyssey,
-        video_path_keys=("video_path",))
+        video_path_keys=("video_path",), wants_audio=True)
 
 
 register_av_odyssey()

@@ -96,6 +96,11 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     (llava_vid_tspo.py:335-360 ``load_video_sampled``)."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
+    # audio-visual tasks + audio-capable backbone: decode the video's audio
+    # track (native/audio.cpp) and hand it to generate(audio=...); absent
+    # audio streams or video-only backbones degrade to frames-only
+    use_audio = bool(getattr(task, "wants_audio", False)
+                     and getattr(backbone, "supports_audio", False))
     id_key = DOC_ID_KEY.get(task_name, "question_id")
     rank, world = shard
 
@@ -135,7 +140,14 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                     continue
                 else:
                     frames, frame_idx = load_frames_uniform(path, max_frames_num)
-                q.put((doc, "frames", (frames, frame_idx)))
+                audio_wave = None
+                if use_audio:
+                    try:
+                        from ..video.native import load_audio
+                        audio_wave = load_audio(path)
+                    except Exception:
+                        audio_wave = None   # no audio stream: frames-only
+                q.put((doc, "frames", (frames, frame_idx, audio_wave)))
             except Exception as e:
                 q.put((doc, "error", e))
         q.put(None)
@@ -168,7 +180,11 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                     else:
                         frames, frame_idx = cands, [int(i) for i in cand_idx]
                     payload = (frames, frame_idx)
-                frames, frame_idx = payload
+                audio_wave = None
+                if len(payload) == 3:
+                    frames, frame_idx, audio_wave = payload
+                else:
+                    frames, frame_idx = payload
                 if task.transform_frames is not None:
                     frames = task.transform_frames(doc, frames, frame_idx)
                 prompt = task.doc_to_text(doc, specific_kwargs)
@@ -209,6 +225,9 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                             ll = ll / max(len(enc(c)), 1)
                         lls.append(ll)
                     response = chr(ord("A") + int(np.argmax(lls)))
+                elif audio_wave is not None:
+                    response = backbone.generate(frames, prompt,
+                                                 audio=audio_wave)
                 else:
                     response = backbone.generate(frames, prompt)
                 if response_cache is not None and \

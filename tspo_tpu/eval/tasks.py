@@ -244,6 +244,10 @@ class BenchmarkTask:
     # replaced by "MP4" everywhere, exactly like cuva_doc_to_visual
     # (cuva/utils.py:108-118)
     upper_ext_fallback: bool = False
+    # audio-visual tasks (WorldSense / AV-Odyssey): the harness extracts the
+    # video's audio track (native/audio.cpp) and passes it to audio-capable
+    # backbones (generate(audio=...)); video-only backbones run as before
+    wants_audio: bool = False
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os

@@ -6,8 +6,10 @@ and subtitles; the *task layer* (prompts, MMMU-style letter parse, the
 category x domain x duration x audio-class aggregation) is model-agnostic —
 the reference drives it with video-only backbones too, whose audio-dependent
 categories simply score lower.  This module rebuilds that task layer with
-byte/value parity; audio *feature* input would need an audio-capable
-backbone this framework does not model (docs/STATUS.md gaps).
+byte/value parity; the tasks are registered ``wants_audio`` — the harness
+extracts the video's audio track (native/audio.cpp) and feeds it to
+audio-capable backbones (models/llava_video.py supports_audio), while
+video-only backbones run frames-only like the reference's.
 
 Parity notes:
   - ``worldsense_doc_to_text`` (utils.py:188-196) uses FRAMES_TMPL_AUDIO even
@@ -202,12 +204,12 @@ def register_worldsense() -> None:
     TASK_REGISTRY["WorldSense"] = BenchmarkTask(
         name="WorldSense", doc_to_text=worldsense_doc_to_text,
         process_response=worldsense_process, aggregate=aggregate_worldsense,
-        video_path_keys=("video_path",))
+        video_path_keys=("video_path",), wants_audio=True)
     TASK_REGISTRY["WorldSense-subtitles"] = BenchmarkTask(
         name="WorldSense-subtitles",
         doc_to_text=worldsense_doc_to_text_subtitle,
         process_response=worldsense_process, aggregate=aggregate_worldsense,
-        video_path_keys=("video_path",))
+        video_path_keys=("video_path",), wants_audio=True)
 
 
 register_worldsense()

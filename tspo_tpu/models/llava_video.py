@@ -344,6 +344,14 @@ class LLaVAVideoModel:
         emb = jnp.concatenate([x.astype(ref_dtype) for x in parts], axis=0)
         return emb[None]                                          # [1, S, D]
 
+    @property
+    def supports_audio(self) -> bool:
+        """True when an AudioTower + audio projector are attached — the
+        eval harness then feeds audio-visual tasks' audio tracks to
+        generate(audio=...) (eval/harness.py)."""
+        return (self.audio_tower is not None
+                and "audio_projector" in self.params)
+
     def encode_audio_tokens(self, audio: np.ndarray) -> jnp.ndarray:
         """[T] 16 kHz waveform -> [S, hidden] LM-space audio tokens: tower
         features through the mlp2x_gelu audio projector."""
