@@ -22,9 +22,13 @@ Run detached: nohup python scripts/bench_decode_batched.py &
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +94,10 @@ def main():
     if "--sweep" in sys.argv:
         # attribution: P=64 isolates the weight-read cost from KV/attention
         shapes = [(8, 64), (8, 3200), (1, 3200)]
+    if "--cross" in sys.argv:
+        # cross-sample rollout batching (cfg.cross_batch_rollouts): two
+        # samples' G=8 rollouts decode as ONE B=16 ragged batch
+        shapes = [(8, 3200), (16, 3200)]
     rng = np.random.default_rng(0)
     results = {}
     for B, P in shapes:
@@ -135,6 +143,11 @@ def main():
         gain = (results[(8, 3200)]["tok_s_aggregate"]
                 / results[(1, 3200)]["tok_s_aggregate"])
         print(json.dumps({"batched_gain_x": round(gain, 2)}), flush=True)
+    if (8, 3200) in results and (16, 3200) in results:
+        gain = (results[(16, 3200)]["tok_s_aggregate"]
+                / results[(8, 3200)]["tok_s_aggregate"])
+        print(json.dumps({"cross_batch_gain_x_over_B8": round(gain, 2)}),
+              flush=True)
 
 
 if __name__ == "__main__":
