@@ -89,15 +89,15 @@ def main():
     NEW_LO, NEW_HI = 16, 80
     print(json.dumps({"weights_gb": round(wb / 1e9, 2)}), flush=True)
 
-    import sys
     shapes = [(1, 3200), (8, 3200)]
     if "--sweep" in sys.argv:
         # attribution: P=64 isolates the weight-read cost from KV/attention
         shapes = [(8, 64), (8, 3200), (1, 3200)]
     if "--cross" in sys.argv:
         # cross-sample rollout batching (cfg.cross_batch_rollouts): two
-        # samples' G=8 rollouts decode as ONE B=16 ragged batch
-        shapes = [(8, 3200), (16, 3200)]
+        # samples' G=8 rollouts decode as ONE B=16 ragged batch (extends,
+        # so --sweep --cross keeps the sweep points)
+        shapes = shapes + [(16, 3200)]
     rng = np.random.default_rng(0)
     results = {}
     for B, P in shapes:

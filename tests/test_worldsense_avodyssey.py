@@ -368,3 +368,45 @@ def test_video_only_backbone_unaffected(tmp_path):
                         video_root=str(tmp_path / "videos"),
                         max_frames_num=4)
     assert res.metrics["overall"] == 100.0
+
+
+def test_av_odyssey_resolve_audio_standalone_clip(tmp_path):
+    """AV-Odyssey's audio comes from doc['audio_path'] clips, not the
+    video's soundtrack — the harness resolver returns the first clip."""
+    from tspo_tpu.eval.av_odyssey import av_odyssey_resolve_audio
+    cache = tmp_path
+    for rel in AVO_DOC["video_path"] + AVO_DOC["audio_path"]:
+        p = cache / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+    got = av_odyssey_resolve_audio(AVO_DOC, str(cache))
+    assert got == str(cache / "a/clip7.wav")
+    task = get_task("AV-Odyssey")
+    assert task.resolve_audio is av_odyssey_resolve_audio
+
+
+def test_harness_refuses_broken_audio_decoder(tmp_path, monkeypatch):
+    """wants_audio + supports_audio + no native audio decoder must fail
+    loudly, not silently run video-only."""
+    import cv2
+    from tspo_tpu.eval.harness import evaluate_task
+    import tspo_tpu.video.native as N
+    (tmp_path / "videos").mkdir()
+    vid = str(tmp_path / "videos" / "v0.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (32, 32))
+    for i in range(10):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    doc = {**WS_DOC, "index": "q0", "video_path": "v0.mp4",
+           "frame_idx": [0, 2, 4]}
+
+    class AV:
+        supports_audio = True
+
+        def generate(self, frames, prompt, audio=None):
+            return "B"
+
+    monkeypatch.setattr(N, "audio_available", lambda: False)
+    with pytest.raises(RuntimeError, match="native audio decoder"):
+        evaluate_task("WorldSense", [doc], AV(),
+                      video_root=str(tmp_path / "videos"), max_frames_num=4)

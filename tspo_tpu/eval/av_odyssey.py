@@ -8,9 +8,11 @@ aggregation is identical machinery to WorldSense (the reference files carry
 the same function verbatim) — reused from eval.worldsense.
 
 Video/image media are consumable by this framework's backbones; audio media
-resolve through :func:`doc_to_media`, and the registered task is
-``wants_audio`` — audio-capable backbones (supports_audio) receive the
-waveform via generate(audio=...), video-only backbones run as before.
+resolve through :func:`doc_to_media` and :func:`av_odyssey_resolve_audio`
+(the STANDALONE audio clips of doc['audio_path'], not the video's track) —
+the registered task is ``wants_audio``, so audio-capable backbones
+(supports_audio) receive the first referenced clip via generate(audio=...),
+and video-only backbones run as before.
 """
 
 from __future__ import annotations
@@ -124,11 +126,23 @@ def aggregate_av_odyssey(results: list) -> dict:
     return out
 
 
+def av_odyssey_resolve_audio(doc, root: str = "") -> str | None:
+    """AV-Odyssey's audio stimuli are STANDALONE clips (doc['audio_path']),
+    not the video's soundtrack — the harness feeds the first referenced
+    audio clip (single-waveform surface; multi-clip questions get their
+    primary stimulus)."""
+    for path, mtype in doc_to_media(doc, root):
+        if mtype == "audio":
+            return path
+    return None
+
+
 def register_av_odyssey() -> None:
     TASK_REGISTRY["AV-Odyssey"] = BenchmarkTask(
         name="AV-Odyssey", doc_to_text=av_odyssey_doc_to_text,
         process_response=av_odyssey_process, aggregate=aggregate_av_odyssey,
-        video_path_keys=("video_path",), wants_audio=True)
+        video_path_keys=("video_path",), wants_audio=True,
+        resolve_audio=av_odyssey_resolve_audio)
 
 
 register_av_odyssey()

@@ -28,7 +28,11 @@ from .tasks import BenchmarkTask, get_task
 
 class BackboneAdapter(Protocol):
     def generate(self, frames: np.ndarray, prompt: str) -> str:
-        """Greedy answer for a frame set + question prompt."""
+        """Greedy answer for a frame set + question prompt.
+
+        Backbones exposing ``supports_audio = True`` are additionally called
+        with ``audio=<float32 mono 16 kHz waveform>`` on wants_audio tasks
+        and MUST accept that keyword (models/llava_video.py generate)."""
         ...
 
 
@@ -96,11 +100,24 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     (llava_vid_tspo.py:335-360 ``load_video_sampled``)."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
-    # audio-visual tasks + audio-capable backbone: decode the video's audio
-    # track (native/audio.cpp) and hand it to generate(audio=...); absent
-    # audio streams or video-only backbones degrade to frames-only
+    # audio-visual tasks + audio-capable backbone: decode the task's audio
+    # (the video's own track, or task.resolve_audio's standalone clip) and
+    # hand it to generate(audio=...).  Only the generate_until path consumes
+    # audio; absent audio streams degrade to frames-only per doc, but a
+    # BROKEN audio decoder fails loudly up front instead of silently
+    # producing a video-only run that looks audio-fed
+    _reqtype = request_type or task.output_type
     use_audio = bool(getattr(task, "wants_audio", False)
-                     and getattr(backbone, "supports_audio", False))
+                     and getattr(backbone, "supports_audio", False)
+                     and _reqtype == "generate_until")
+    if use_audio:
+        from ..video.native import audio_available
+        if not audio_available():
+            raise RuntimeError(
+                "task wants audio and the backbone supports it, but the "
+                "native audio decoder is unavailable — build "
+                "native/libtspo_decode.so (or evaluate with a video-only "
+                "backbone for a frames-only run)")
     id_key = DOC_ID_KEY.get(task_name, "question_id")
     rank, world = shard
 
@@ -113,6 +130,28 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    _audio_warned = []
+
+    def _audio_for(doc, video_path):
+        """Waveform for this doc or None: task.resolve_audio's standalone
+        clip (AV-Odyssey's audio_path files) else the video's own track
+        (WorldSense).  Per-doc failures (no audio stream) degrade to
+        frames-only with one warning per run."""
+        if not use_audio:
+            return None
+        from ..video.native import load_audio
+        try:
+            resolver = getattr(task, "resolve_audio", None)
+            src = resolver(doc, video_root) if resolver else video_path
+            return load_audio(src) if src else None
+        except Exception as e:  # noqa: BLE001 — per-doc degrade
+            if not _audio_warned:
+                _audio_warned.append(1)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "audio decode failed for %s (%r) — continuing "
+                    "frames-only (warning once)", video_path, e)
+            return None
 
     def producer():
         for doc in picked:
@@ -136,18 +175,13 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                     cands, _, _ = load_video(path,
                                              max_frames_num=live_max_candidates,
                                              fps=1, min_frames_num=0)
-                    q.put((doc, "candidates", (cands, cand_idx)))
+                    q.put((doc, "candidates",
+                           (cands, cand_idx, _audio_for(doc, path))))
                     continue
                 else:
                     frames, frame_idx = load_frames_uniform(path, max_frames_num)
-                audio_wave = None
-                if use_audio:
-                    try:
-                        from ..video.native import load_audio
-                        audio_wave = load_audio(path)
-                    except Exception:
-                        audio_wave = None   # no audio stream: frames-only
-                q.put((doc, "frames", (frames, frame_idx, audio_wave)))
+                q.put((doc, "frames",
+                       (frames, frame_idx, _audio_for(doc, path))))
             except Exception as e:
                 q.put((doc, "error", e))
         q.put(None)
@@ -169,7 +203,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 raise payload
             else:
                 if kind == "candidates":
-                    cands, cand_idx = payload
+                    cands, cand_idx, cand_audio = payload
                     if len(cands) > max_frames_num:
                         # the CLIP query is the bare question (gen_id_tspo.py:62-65)
                         sel, _ = scorer(cands, doc.get("question", ""),
@@ -179,7 +213,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                         frame_idx = [int(cand_idx[i]) for i in sel]
                     else:
                         frames, frame_idx = cands, [int(i) for i in cand_idx]
-                    payload = (frames, frame_idx)
+                    payload = (frames, frame_idx, cand_audio)
                 audio_wave = None
                 if len(payload) == 3:
                     frames, frame_idx, audio_wave = payload

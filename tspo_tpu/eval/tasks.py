@@ -248,6 +248,10 @@ class BenchmarkTask:
     # video's audio track (native/audio.cpp) and passes it to audio-capable
     # backbones (generate(audio=...)); video-only backbones run as before
     wants_audio: bool = False
+    # (doc, video_root) -> audio file path or None, for tasks whose audio is
+    # a STANDALONE clip rather than the video's own track (AV-Odyssey
+    # audio_path files); None = use the video's track
+    resolve_audio: Callable | None = None
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os
