@@ -410,3 +410,22 @@ def test_harness_refuses_broken_audio_decoder(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="native audio decoder"):
         evaluate_task("WorldSense", [doc], AV(),
                       video_root=str(tmp_path / "videos"), max_frames_num=4)
+
+
+def test_worldsense_parser_fuzz_parity():
+    """500 random response strings through ours vs the reference parser."""
+    import random as _r
+    ref = _load_ref("worldsense/utils.py")
+    rng = _r.Random(7)
+    vocab = ["A", "B", "C", "D", "(A)", "(C)", "piano", "violin", "the",
+             "answer", "is", ",", ".", "maybe", "Drums", "guitar",
+             "honestly", "?", "'", ":", "b", "d"]
+    index2ans = {"A": "Piano", "B": "Violin", "C": "Drums", "D": "Guitar"}
+    for _ in range(500):
+        resp = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 12)))
+        ours = parse_multi_choice_response(resp, ["A", "B", "C", "D"],
+                                           dict(index2ans))
+        theirs = ref.parse_multi_choice_response(resp, ["A", "B", "C", "D"],
+                                                 dict(index2ans))
+        assert ours == theirs, repr(resp)
