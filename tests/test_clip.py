@@ -185,3 +185,33 @@ def test_vit_attention_rejects_bad_width():
     q = jnp.zeros((1, 8, 100))
     with pytest.raises(ValueError):
         vit_attention(q, q, q, 16)
+
+
+def test_cls_fast_matches_full_encoder(jax_params):
+    """cls_fast (last layer computed for the class token only) is an exact
+    algebraic identity of the full-encoder path — only the pooled CLS state
+    is consumed downstream (ref temporal_agent.py:151-169)."""
+    rng = np.random.default_rng(3)
+    pixels = jnp.asarray(rng.normal(
+        size=(4, 3, CFG.vision.image_size, CFG.vision.image_size)), jnp.float32)
+    fast = np.asarray(encode_images(jax_params, pixels, CFG.vision,
+                                    cls_fast=True))
+    full = np.asarray(encode_images(jax_params, pixels, CFG.vision,
+                                    cls_fast=False))
+    np.testing.assert_allclose(fast, full, rtol=1e-5, atol=1e-5)
+
+
+def test_cls_fast_single_layer_tower(jax_params):
+    """layers == 1 falls back to the full path (no head layers to scan)."""
+    import dataclasses
+    import jax as _jax
+    cfg1 = dataclasses.replace(CFG.vision, layers=1)
+    p1 = {"vision": {**jax_params["vision"],
+                     "layers": _jax.tree_util.tree_map(
+                         lambda a: a[:1], jax_params["vision"]["layers"])}}
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.normal(
+        size=(2, 3, cfg1.image_size, cfg1.image_size)), jnp.float32)
+    fast = np.asarray(encode_images(p1, pixels, cfg1, cls_fast=True))
+    full = np.asarray(encode_images(p1, pixels, cfg1, cls_fast=False))
+    np.testing.assert_allclose(fast, full, rtol=1e-6, atol=1e-6)

@@ -98,14 +98,53 @@ def _encoder(x, layers_params, heads, eps, mask=None, attn_impl: str = "xla"):
 # Towers
 # ---------------------------------------------------------------------------
 
+def _cls_only_last_layer(x, lp, heads, eps):
+    """Final vision encoder layer evaluated for the class token only.
+
+    The scoring tower consumes ONLY the pooled class token (HF
+    ``get_image_features`` = projection of the post-LN CLS state; reference
+    temporal_agent.py:151-169), so in the LAST layer the q/o projections,
+    attention rows, and MLP of the 256 patch tokens are dead compute —
+    ~4% of tower FLOPs plus one full lane-attention dispatch.  K/V still
+    cover every token (the CLS query attends to all of them), so this is
+    algebraically the full layer's CLS row: same fp32 softmax / fp32
+    matmul-accumulate numerics as the lane kernel (ops/vit_attention.py).
+    """
+    B, S, W = x.shape
+    hd = W // heads
+    a = lp["attn"]
+    h = _layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
+    q = h[:, :1] @ a["q"]["kernel"] + a["q"]["bias"]                  # [B, 1, W]
+    k = h @ a["k"]["kernel"] + a["k"]["bias"]
+    v = h @ a["v"]["kernel"] + a["v"]["bias"]
+    qh = q.reshape(B, 1, heads, hd)
+    kh = k.reshape(B, S, heads, hd)
+    vh = v.reshape(B, S, heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * (1.0 / np.sqrt(hd))
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, vh,
+                     preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(B, 1, W)
+    cls = x[:, :1] + (ctx @ a["o"]["kernel"] + a["o"]["bias"])
+    r = cls
+    cls = _layer_norm(cls, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
+    cls = _quick_gelu(cls @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
+    cls = cls @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+    return (r + cls)[:, 0]
+
+
 def encode_images(params: Mapping, pixel_values: jnp.ndarray,
                   cfg: CLIPVisionConfig = CLIPVisionConfig(),
-                  attn_impl: str = "auto") -> jnp.ndarray:
+                  attn_impl: str = "auto", cls_fast: bool = True) -> jnp.ndarray:
     """[B, 3, H, W] preprocessed pixels -> [B, projection_dim] image features.
 
     Patchify-as-GEMM: unfold into [B, grid^2, 3*P*P] and hit the MXU once.
     ``attn_impl``: "auto" routes attention through the fused Pallas kernel on
-    TPU (ops/vit_attention.py), XLA einsum elsewhere.
+    TPU (ops/vit_attention.py), XLA einsum elsewhere.  ``cls_fast`` (default)
+    computes the last encoder layer for the class token only — identical
+    output (tests/test_clip.py::test_cls_fast_matches_full_encoder), ~4%
+    fewer tower FLOPs; pass False for the layer-by-layer oracle path.
     """
     vp = params["vision"]
     B = pixel_values.shape[0]
@@ -117,9 +156,16 @@ def encode_images(params: Mapping, pixel_values: jnp.ndarray,
     cls = jnp.broadcast_to(vp["class_embedding"], (B, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1) + vp["position_embedding"]
     x = _layer_norm(x, vp["pre_ln"]["scale"], vp["pre_ln"]["bias"], cfg.layer_norm_eps)
-    x = _encoder(x, vp["layers"], cfg.heads, cfg.layer_norm_eps,
-                 attn_impl=attn_impl)
-    pooled = x[:, 0]                                                      # class token
+    if cls_fast and cfg.layers > 1:
+        head = jax.tree_util.tree_map(lambda a: a[:-1], vp["layers"])
+        last = jax.tree_util.tree_map(lambda a: a[-1], vp["layers"])
+        x = _encoder(x, head, cfg.heads, cfg.layer_norm_eps,
+                     attn_impl=attn_impl)
+        pooled = _cls_only_last_layer(x, last, cfg.heads, cfg.layer_norm_eps)
+    else:
+        x = _encoder(x, vp["layers"], cfg.heads, cfg.layer_norm_eps,
+                     attn_impl=attn_impl)
+        pooled = x[:, 0]                                                  # class token
     pooled = _layer_norm(pooled, vp["post_ln"]["scale"], vp["post_ln"]["bias"],
                          cfg.layer_norm_eps)
     return pooled @ vp["projection"]
