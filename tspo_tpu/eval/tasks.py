@@ -43,10 +43,13 @@ CONCAT_QUIRK_ANSWER_PREFIXES = [
 
 def extract_answer_letter(response: str, letters: str = "ABCD",
                           prefixes=None) -> str:
-    """VideoMME/MLVU-style parse (tasks/videomme/utils.py:230-249): strip
+    """Letter parse shared by the extract_characters_regex family: strip
     known prefixes, fail to "" on long answers without a letter, else first
-    letter.  The same structure serves the egoplan-family parsers via
-    ``prefixes=CONCAT_QUIRK_ANSWER_PREFIXES`` and wider letter ranges."""
+    letter.  The DEFAULT separate prefix list matches video-tt/utils.py:126;
+    videomme/mlvu (utils.py:232-239) and the egoplan family carry the
+    concatenated prefix-pair quirk — those call sites pass
+    ``prefixes=CONCAT_QUIRK_ANSWER_PREFIXES`` (fuzz-verified per flavor,
+    tests/test_parser_fuzz.py)."""
     s = response.strip()
     for prefix in (prefixes if prefixes is not None else _ANSWER_PREFIXES):
         s = s.replace(prefix, "")
@@ -59,15 +62,20 @@ def extract_answer_letter(response: str, letters: str = "ABCD",
 def parse_multi_choice_response(response: str, all_choices: list,
                                 rng: random.Random | None = None) -> str:
     """LongVideoBench-style parse (tasks/longvideobench/utils.py:196-223):
-    random choice fallback when no letter found (original paper behavior)."""
+    random choice fallback when no letter found (original paper behavior).
+
+    The regex class is the FIXED ``[ABCDE]`` of the reference — even a
+    4-option doc parses a stray capital E (e.g. "Either...") as the
+    prediction "E" rather than falling to the random choice
+    (longvideobench/utils.py:218-222); ``all_choices`` only feeds the
+    fallback (fuzz-verified, tests/test_parser_fuzz.py)."""
     rng = rng or random
     s = response.strip()
     for prefix in _ANSWER_PREFIXES:
         s = s.replace(prefix, "")
-    letters = "".join(all_choices)
-    if len(s.split()) > 10 and not re.search(f"[{letters}]", s):
+    if len(s.split()) > 10 and not re.search("[ABCDE]", s):
         return rng.choice(all_choices)
-    m = re.search(f"[{letters}]", s)
+    m = re.search("[ABCDE]", s)
     if m is None:
         return rng.choice(all_choices)
     return m[0]
@@ -174,19 +182,25 @@ def _lvb_process(doc, response, rng=None) -> dict:
 
 
 def _mlvu_process(doc, response, rng=None) -> dict:
+    # mlvu's extract_characters_regex carries the CONCATENATED prefix-pair
+    # quirk (mlvu/utils.py:71-78): "Best answer: C" parses as "B" from the
+    # unstripped "Best" — preserved (tests/test_parser_fuzz.py)
     return {"question_id": doc.get("question_id"),
             "task_type": doc.get("task_type"),
-            "pred_answer": extract_answer_letter(response),
+            "pred_answer": extract_answer_letter(
+                response, "ABCD", CONCAT_QUIRK_ANSWER_PREFIXES),
             "answer": doc.get("answer")}
 
 
 def _videomme_process(doc, response, rng=None) -> dict:
+    # videomme/utils.py:232-239 has the same concatenated prefix-pair quirk
     return {"question_id": doc.get("question_id"),
             "duration": doc.get("duration"),
             "category": doc.get("domain"),
             "sub_category": doc.get("sub_category"),
             "task_type": doc.get("task_type"),
-            "pred_answer": extract_answer_letter(response),
+            "pred_answer": extract_answer_letter(
+                response, "ABCD", CONCAT_QUIRK_ANSWER_PREFIXES),
             "answer": doc.get("answer")}
 
 
