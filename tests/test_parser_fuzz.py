@@ -168,3 +168,33 @@ def test_video_tt_letter_parse_fuzz():
     for resp in _responses(rng, LETTER_VOCAB):
         ours = extract_answer_letter(resp, "ABCDE")
         assert ours == ref(resp), repr(resp)
+
+
+def test_videommmu_open_response_fuzz():
+    """MMMU open-response parser (videommmu/utils.py:476-530): key-phrase
+    subresponse split + number extraction + quote/string normalization."""
+    import string as _string
+    from tspo_tpu.eval.videommmu import parse_open_response
+    path = os.path.join(REF_TASKS, "videommmu/utils.py")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(path).read())
+    want = {"extract_numbers", "check_is_number", "normalize_str",
+            "parse_open_response"}
+    fns = [n for n in tree.body
+           if isinstance(n, ast.FunctionDef) and n.name in want]
+    assert len(fns) == len(want)
+    ns = {"re": re, "np": np, "random": random,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(fns, []), path, "exec"), ns)
+    ref = ns["parse_open_response"]
+
+    vocab = ["The", "answer", "is", "12.5", "so", "therefore", "3",
+             "equals", "1,000", "-4.2", "'quoted'", "total", "area",
+             "7%", "thus", "value is", "final", ".", "\n", "counted as",
+             "Big", "it", "square", "units", "e.g", "A", "zero"]
+    rng = random.Random(81)
+    for resp in _responses(rng, vocab, n=400, maxlen=12):
+        theirs = ref(resp)
+        ours = parse_open_response(resp)
+        assert sorted(map(str, ours)) == sorted(map(str, theirs)), repr(resp)
