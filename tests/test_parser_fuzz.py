@@ -198,3 +198,103 @@ def test_videommmu_open_response_fuzz():
         theirs = ref(resp)
         ours = parse_open_response(resp)
         assert sorted(map(str, ours)) == sorted(map(str, theirs)), repr(resp)
+
+
+def _ref_fn_with_ast(relpath: str, name: str):
+    """Like _ref_fn but with ``ast`` and an eval_logger stub in namespace
+    (the judge-review parsers literal_eval dict strings and log failures)."""
+    import ast as _ast_mod
+
+    class _Log:
+        def error(self, *a, **k):
+            pass
+
+    path = os.path.join(REF_TASKS, relpath)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(path).read())
+    fns = [n for n in tree.body
+           if isinstance(n, ast.FunctionDef) and n.name == name]
+    assert fns, f"{name} not found in {relpath}"
+    ns = {"re": re, "np": np, "ast": _ast_mod, "eval_logger": _Log(),
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(fns, []), path, "exec"), ns)
+    return ns[name]
+
+
+def _review_strings(rng, n=400):
+    """Randomized judge replies: well-formed dicts, broken dicts, prose with
+    embedded dicts, non-dict literals — every parse branch."""
+    preds = ["'yes'", "'no'", "'Yes definitely'", "'nope'", "'maybe'",
+             "'correct'", "'incorrect'", "'A. cat'", "123"]
+    scores = ["4", "'4'", "0", "4.7", "'high'", "-1", "None"]
+    out = []
+    for _ in range(n):
+        kind = rng.randrange(6)
+        p, s = rng.choice(preds), rng.choice(scores)
+        if kind == 0:
+            out.append(f"{{'pred': {p}, 'score': {s}}}")
+        elif kind == 1:
+            out.append(f"Sure! Here is the result: {{'pred': {p}, "
+                       f"'score': {s}}} Hope that helps.")
+        elif kind == 2:
+            out.append(f"{{'score': {s}}}")
+        elif kind == 3:
+            out.append(f"{{'pred': {p}, 'score': {s}, 'reason': 'because "
+                       "{nested} braces'}")
+        elif kind == 4:
+            out.append(rng.choice(["not a dict at all", "", "score: 3",
+                                   "{broken", "}{", "3", "['yes', 2]"]))
+        else:
+            out.append(f"{{'pred': {p}, 'score': {s}")  # unclosed
+    return out
+
+
+def test_activitynet_review_parse_fuzz():
+    from tspo_tpu.eval.tasks_activitynet import parse_review
+    ref = _ref_fn_with_ast("activitynetqa/utils.py", "parse_score")
+    rng = random.Random(91)
+    for review in _review_strings(rng):
+        assert parse_review(review) == ref(review), repr(review)
+
+
+def test_videochatgpt_score_parse_fuzz():
+    from tspo_tpu.eval.videochatgpt import parse_vcg_score
+    ref = _ref_fn_with_ast("videochatgpt/utils.py", "parse_score")
+    rng = random.Random(92)
+    for review in _review_strings(rng):
+        assert parse_vcg_score(review) == ref(review), repr(review)
+
+
+def test_cvrr_review_parse_fuzz():
+    from tspo_tpu.eval.worldqa_cvrr import parse_cvrr_review
+    ref = _ref_fn_with_ast("cvrr/utils.py", "parse_score")
+    rng = random.Random(93)
+    for review in _review_strings(rng):
+        assert parse_cvrr_review(review) == ref(review), repr(review)
+
+
+def test_camerabench_extract_answer_fuzz():
+    from tspo_tpu.eval.camerabench import extract_answer
+    ref = _ref_fn_with_ast("camerabench_vqa/utils.py", "extract_answer")
+    vocab = ["yes", "no", "Yes", "No.", "NO", "maybe", "the", "answer",
+             "notably", "yesterday", "nothing", "A", "B", ",", "."]
+    rng = random.Random(94)
+    for resp in _responses(rng, vocab, maxlen=10):
+        assert extract_answer(resp) == ref(resp), repr(resp)
+
+
+def test_tempcompass_captioning_parse_fuzz():
+    from tspo_tpu.eval.tempcompass import parse_captioning_reply
+    ref = _ref_fn_with_ast("tempcompass/utils.py",
+                           "parse_llm_output_for_captioning")
+    pieces = ["Reasoning: the clip shows X", "Answer: A. a cat",
+              "Answer: B. a dog", "Reasoning matters", "Answer",
+              "A. a cat", "B. a dog jumping A. again", "", "some prose"]
+    rng = random.Random(95)
+    for _ in range(300):
+        reply = "\n".join(rng.choice(pieces)
+                          for _ in range(rng.randint(0, 4)))
+        gt = rng.choice(["A. a cat", "B. a dog"])
+        assert parse_captioning_reply(reply, gt) == ref(reply, gt), \
+            repr((reply, gt))
