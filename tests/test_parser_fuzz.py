@@ -298,3 +298,69 @@ def test_tempcompass_captioning_parse_fuzz():
         gt = rng.choice(["A. a cat", "B. a dog"])
         assert parse_captioning_reply(reply, gt) == ref(reply, gt), \
             repr((reply, gt))
+
+
+def _ref_aggregate(relpath: str, name: str, consts=()):
+    """AST-extract an aggregate function plus the module constants it uses."""
+
+    class _Log:
+        def info(self, *a, **k):
+            pass
+
+        def error(self, *a, **k):
+            pass
+
+    path = os.path.join(REF_TASKS, relpath)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(path).read())
+    nodes = [n for n in tree.body
+             if (isinstance(n, ast.FunctionDef) and n.name == name)
+             or (isinstance(n, ast.Assign) and any(
+                 isinstance(t, ast.Name) and t.id in consts
+                 for t in n.targets))]
+    ns = {"re": re, "np": np, "eval_logger": _Log(),
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(nodes, []), path, "exec"), ns)
+    return ns[name]
+
+
+def test_videomme_aggregate_fuzz():
+    """Random result grids: our out['overall'] must equal the reference's
+    returned micro-average (the per-bucket grids the reference only logs)."""
+    from tspo_tpu.eval.tasks import aggregate_videomme
+    ref = _ref_aggregate("videomme/utils.py", "videomme_aggregate_results",
+                         consts=("VIDEO_TYPE", "CATEGORIES",
+                                 "SUB_CATEGORIES", "TASK_CATEGORIES"))
+    rng = random.Random(101)
+    durations = ["short", "medium", "long"]
+    cats = ["Knowledge", "Multilingual", "Life Record"]
+    subs = ["Multilingual", "News Report", "Daily Life"]
+    tasks = ["Temporal Perception", "Counting Problem", "OCR Problems"]
+    for _ in range(50):
+        results = [{"duration": rng.choice(durations),
+                    "category": rng.choice(cats),
+                    "sub_category": rng.choice(subs),
+                    "task_category": rng.choice(tasks),
+                    "task_type": "t", "question_id": str(i),
+                    "pred_answer": rng.choice("ABCD"),
+                    "answer": rng.choice("ABCD")}
+                   for i in range(rng.randint(1, 40))]
+        ours = aggregate_videomme([dict(r) for r in results])
+        theirs = ref([dict(r) for r in results])
+        assert ours["overall"] == pytest.approx(theirs)
+
+
+def test_mlvu_aggregate_fuzz():
+    from tspo_tpu.eval.tasks import MLVU_DEV_TASK_TYPES, aggregate_mlvu_dev
+    ref = _ref_aggregate("mlvu/utils.py", "mlvu_aggregate_results_dev")
+    rng = random.Random(102)
+    for _ in range(50):
+        results = [{"task_type": rng.choice(MLVU_DEV_TASK_TYPES),
+                    "question_id": str(i),
+                    "pred_answer": rng.choice("ABCD"),
+                    "answer": rng.choice("ABCD")}
+                   for i in range(rng.randint(1, 40))]
+        ours = aggregate_mlvu_dev([dict(r) for r in results])
+        theirs = ref([dict(r) for r in results])
+        assert ours["overall"] == pytest.approx(theirs)
