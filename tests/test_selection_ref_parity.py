@@ -97,3 +97,47 @@ def test_generate_uniform_integers_matches_reference(ref):
         for l in [0, 1, 2, 3, 16, 64]:
             assert generate_uniform_integers(t, l) == \
                 ref.generate_uniform_integers(t, l), (t, l)
+
+
+@pytest.fixture(scope="module")
+def ref_inference_ts(ref):
+    """The reference ``TSPOModel.inference_ts`` method body (temporal_agent
+    .py:185-212) extracted standalone — it touches no model state, only
+    torch + the two utils helpers, so it runs without building a CLIP."""
+    import ast
+    path = "/root/reference/model/temporal_agent.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(path).read())
+    fn = None
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            for item in node.body:
+                if isinstance(item, ast.FunctionDef) and \
+                        item.name == "inference_ts":
+                    fn = item
+    assert fn is not None
+    ns = {"torch": torch,
+          "generate_uniform_integers": ref.generate_uniform_integers,
+          "group_features_by_cluster": ref.group_features_by_cluster,
+          "AKS_sampling": ref.AKS_sampling,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module([fn], []), path, "exec"), ns)
+    return lambda conf, method, k: ns["inference_ts"](None, conf, method, k)
+
+
+@pytest.mark.parametrize("T", [64, 65, 100, 333, 1000])
+@pytest.mark.parametrize("k", [16, 64])
+def test_topk_and_binmax_match_reference(ref_inference_ts, T, k):
+    import jax.numpy as jnp
+    from tspo_tpu.ops.selection import bin_max_select, topk_select
+    rng = np.random.default_rng(T * 31 + k)
+    for scores in _score_landscapes(rng, T):
+        conf = torch.from_numpy(scores.copy())
+        ref_topk = ref_inference_ts(conf, "topk", k)[0].numpy()
+        ours_topk = np.asarray(topk_select(jnp.asarray(scores), min(T, k))[0])
+        assert list(ours_topk[: len(ref_topk)]) == list(ref_topk), ("topk", T, k)
+        if T >= k:
+            ref_bm = ref_inference_ts(conf, "bin-max", k)[0].numpy()
+            ours_bm = np.asarray(bin_max_select(jnp.asarray(scores), k)[0])
+            assert list(ours_bm) == list(ref_bm), ("bin-max", T, k)
