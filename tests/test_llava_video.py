@@ -385,3 +385,16 @@ def test_generate_multi_round(jax_model):
     assert solo in p2 and p2.endswith("assistant\n")
     out2 = jax_model.generate_multi_round(frames, turns, max_new_tokens=3)
     assert isinstance(out2, str) and out2
+
+
+def test_generate_speculative_matches_plain(jax_model):
+    """speculative=True must produce the identical answer string (exact
+    greedy verification; drafts come from the prompt text + history)."""
+    import dataclasses
+    frames = np.random.default_rng(9).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    q = "What color is the square? A. red B. blue"
+    plain = jax_model.generate(frames, q, max_new_tokens=10)
+    spec_model = dataclasses.replace(jax_model, speculative=True, draft_len=4)
+    spec = spec_model.generate(frames, q, max_new_tokens=10)
+    assert spec == plain

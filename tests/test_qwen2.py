@@ -262,3 +262,91 @@ def test_quantized_tp_shardings_resolve(params):
     placed = jax.device_put(qparams, sh)
     assert len(jax.tree_util.tree_leaves(placed)) == \
         len(jax.tree_util.tree_leaves(qparams))
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup speculative decode
+# ---------------------------------------------------------------------------
+
+def _spec_setup(params, seed, S=9, max_new=12, d=4):
+    from tspo_tpu.models.qwen2 import greedy_decode_speculative
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, S))
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, S), bool)
+    T = S + max_new + d + 2
+    base_cache = lambda: KVCache.create(CFG, 1, T, jnp.float32)
+    return greedy_decode_speculative, ids, embeds, valid, base_cache, max_new
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_speculative_matches_greedy_random_lookup(params, seed):
+    """Arbitrary lookup ids (drafts mostly rejected): token-for-token equal."""
+    spec, ids, embeds, valid, mk_cache, max_new = _spec_setup(params, seed)
+    want, n_want = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                                 max_new, eos_token_id=-7)
+    lookup = jnp.asarray(ids[0], jnp.int32)
+    toks, n, n_fwd = spec(params, embeds, valid, mk_cache(), CFG, max_new,
+                          lookup, jnp.ones_like(lookup, bool),
+                          eos_token_id=-7, draft_len=4)
+    assert int(n) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+    assert int(n_fwd) <= int(n)
+
+
+def test_speculative_accepts_on_oracle_lookup(params):
+    """Lookup containing the exact continuation (greedy's own output):
+    near-total acceptance -> far fewer forward passes, identical tokens."""
+    spec, ids, embeds, valid, mk_cache, max_new = _spec_setup(params, 6)
+    want, n_want = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                                 max_new, eos_token_id=-7)
+    lookup = jnp.concatenate([jnp.asarray(ids[0], jnp.int32),
+                              np.asarray(want, np.int32)])
+    toks, n, n_fwd = spec(params, embeds, valid, mk_cache(), CFG, max_new,
+                          lookup, jnp.ones_like(lookup, bool),
+                          eos_token_id=-7, draft_len=4)
+    assert int(n) == int(n_want) == max_new
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+    # 12 tokens with draft_len=4 and a perfect corpus: the first token is
+    # free (prefill argmax), then ceil(11/5)=3 passes suffice; allow slack
+    # for the warmup steps before a 2-gram exists
+    assert int(n_fwd) <= 6, int(n_fwd)
+
+
+def test_speculative_eos_parity(params):
+    """EOS mid-stream: same early stop, same EOS padding after it."""
+    spec, ids, embeds, valid, mk_cache, max_new = _spec_setup(params, 7)
+    free, _ = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                            max_new, eos_token_id=-7)
+    eos = int(np.asarray(free)[min(5, max_new - 1)])  # a token it does emit
+    want, n_want = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                                 max_new, eos_token_id=eos)
+    lookup = jnp.concatenate([jnp.asarray(ids[0], jnp.int32),
+                              np.asarray(free, np.int32)])
+    toks, n, n_fwd = spec(params, embeds, valid, mk_cache(), CFG, max_new,
+                          lookup, jnp.ones_like(lookup, bool),
+                          eos_token_id=eos, draft_len=4)
+    assert int(n) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+
+
+def test_speculative_ragged_prompt_and_empty_lookup(params):
+    """Right-padded prompt + all-invalid lookup: drafts never match, output
+    still exact."""
+    from tspo_tpu.models.qwen2 import greedy_decode_speculative
+    rng = np.random.default_rng(8)
+    S, pad, max_new, d = 6, 3, 7, 3
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, S))
+    ids_p = np.concatenate([ids, np.zeros((1, pad), np.int64)], axis=1)
+    embeds = embed_tokens(params, jnp.asarray(ids_p)).astype(jnp.float32)
+    valid = jnp.asarray([[True] * S + [False] * pad])
+    T = S + pad + max_new + d + 2
+    want, n_want = greedy_decode(params, embeds, valid,
+                                 KVCache.create(CFG, 1, T, jnp.float32),
+                                 CFG, max_new, eos_token_id=-7)
+    lookup = jnp.zeros(5, jnp.int32)
+    toks, n, n_fwd = greedy_decode_speculative(
+        params, embeds, valid, KVCache.create(CFG, 1, T, jnp.float32), CFG,
+        max_new, lookup, jnp.zeros(5, bool), eos_token_id=-7, draft_len=d)
+    assert int(n) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))

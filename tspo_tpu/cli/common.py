@@ -116,10 +116,13 @@ def _stub_tokenizer(eos: int = 49407, length: int = 16, vocab: int | None = None
 def load_backbone(kind: str, model_path: str | None = None, **kw):
     """Backbone adapter factory: 'stub' (testing), 'llava_video' (jax),
     'qwen2_5_vl' (jax)."""
-    # conv_template only applies to the llava family; strip it for others
+    # conv_template/speculative only apply to the llava family; strip for
+    # others (qwen2_5_vl's adapter has its own kwargs)
     _conv_template = kw.pop("conv_template", None)
+    _speculative = kw.pop("speculative", False)
     if kind == "llava_video":
         kw["conv_template"] = _conv_template
+        kw["speculative"] = _speculative
     if kind == "stub":
         class Stub:
             def generate(self, frames, prompt):
@@ -152,11 +155,13 @@ def load_backbone(kind: str, model_path: str | None = None, **kw):
                     cfg = dataclasses.replace(cfg, lm=dataclasses.replace(
                         cfg.lm, rope_scaling_factor=over["rope_scaling"]
                         ["factor"]))
+        speculative = kw.pop("speculative", False)
         model = _load_llava_dir(model_path, cfg, **kw)
         model.encode = lambda s: tok(s).input_ids
         model.decode = lambda toks: tok.decode(toks, skip_special_tokens=True)
         model.conv_template = conv_template or "qwen_1_5"
         model.bos_token_id = tok.bos_token_id
+        model.speculative = speculative
         return model
     if kind == "qwen2_5_vl":
         from ..models.qwen25vl import load_qwen25vl_adapter

@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--backbone", default="stub",
                    choices=["stub", "llava_video", "qwen2_5_vl"])
     p.add_argument("--backbone-path", default=None)
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding on the "
+                        "llava_video backbone (exact greedy, fewer weight "
+                        "passes; models/qwen2.greedy_decode_speculative)")
     p.add_argument("--quantize-backbone", action="store_true",
                    help="weight-only int8 decoder (bandwidth-bound decode)")
     p.add_argument("--max-frames-num", type=int, default=64)
@@ -188,7 +192,8 @@ def _run(args):
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard(len(docs))
     backbone = load_backbone(args.backbone, args.backbone_path,
-                             conv_template=args.conv_template)
+                             conv_template=args.conv_template,
+                             speculative=args.speculative)
     _register_judged_task(args, backbone)
     scorer = None
     if args.live_model_path:

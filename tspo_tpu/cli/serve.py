@@ -16,6 +16,9 @@ def build_parser():
     p.add_argument("--backbone", default=None,
                    choices=[None, "stub", "llava_video", "qwen2_5_vl"])
     p.add_argument("--backbone-path", default=None)
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding for /v1/answer "
+                        "B=1 requests (exact greedy, fewer weight passes)")
     p.add_argument("--quantize", action="store_true",
                    help="int8 vision tower")
     p.add_argument("--host", default="0.0.0.0")
@@ -48,7 +51,8 @@ def main(argv=None):
     scorer = load_scorer(args.model_path, tiny=args.tiny)
     if args.quantize:
         scorer.quantize()
-    backbone = (load_backbone(args.backbone, args.backbone_path)
+    backbone = (load_backbone(args.backbone, args.backbone_path,
+                               speculative=args.speculative)
                 if args.backbone else None)
     service = ScoringService(scorer=scorer, backbone=backbone,
                              max_candidates=args.max_candidates,

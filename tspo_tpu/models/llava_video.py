@@ -262,6 +262,13 @@ class LLaVAVideoModel:
     # time-axis average pooling before the audio projector (Qwen2-Audio's
     # avg_pooler: 1500 Whisper frames -> 750 tokens per 30 s)
     audio_pool_stride: int = 2
+    # prompt-lookup speculative decoding for the single-question generate
+    # path (qwen2.greedy_decode_speculative): exact same greedy tokens,
+    # fewer weight passes — single-row decode is weight-read-bound at 95%
+    # of the HBM roofline (docs/KERNELS.md), so drafting from the prompt
+    # text (answers restate option text) is the remaining lever
+    speculative: bool = False
+    draft_len: int = 8
 
     def _prompt(self, question: str) -> str:
         """Eval-adapter prompt: <image> + question wrapped in the conv
@@ -403,11 +410,26 @@ class LLaVAVideoModel:
         embeds = self.splice_embeddings(input_ids, video_tokens, audio_tokens)
 
         S = embeds.shape[1]
-        max_len = min(self.cfg.max_context, S + max_new + 8)
-        cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
         valid = jnp.ones((1, S), bool)
-        toks, n = greedy_decode(self.params["lm"], embeds, valid, cache,
-                                self.cfg.lm, max_new)
+        if self.speculative:
+            from .qwen2 import greedy_decode_speculative
+            d = self.draft_len
+            lk = np.asarray([t for t in input_ids if t >= 0], np.int32)
+            Lb = max(128, -(-len(lk) // 128) * 128)   # bucket: few recompiles
+            lookup = np.zeros(Lb, np.int32)
+            lookup[: len(lk)] = lk
+            lvalid = np.arange(Lb) < len(lk)
+            max_len = min(self.cfg.max_context, S + max_new + d + 10)
+            cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
+            toks, n, _ = greedy_decode_speculative(
+                self.params["lm"], embeds, valid, cache, self.cfg.lm,
+                max_new, jnp.asarray(lookup), jnp.asarray(lvalid),
+                draft_len=d)
+        else:
+            max_len = min(self.cfg.max_context, S + max_new + 8)
+            cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
+            toks, n = greedy_decode(self.params["lm"], embeds, valid, cache,
+                                    self.cfg.lm, max_new)
         toks = np.asarray(toks)[: int(n)]
         eos = self.cfg.lm.eos_token_id
         toks = toks[toks != eos]

@@ -450,6 +450,124 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
 
 
 # ---------------------------------------------------------------------------
+# Prompt-lookup speculative decode (B=1, exact greedy)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "draft_len"),
+         donate_argnames=("cache",))
+def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
+                              cache: KVCache, cfg: Qwen2Config,
+                              max_new_tokens: int,
+                              lookup_ids, lookup_valid,
+                              eos_token_id: int | None = None,
+                              draft_len: int = 8):
+    """Greedy decode with prompt-lookup speculation — exact same tokens as
+    :func:`greedy_decode`, fewer weight passes.
+
+    Single-row decode is weight-read-bound (docs/KERNELS.md: 95% of the HBM
+    roofline), so the only remaining lever is emitting >1 token per weight
+    pass.  Drafts are checkpoint-free: the most recent 2-gram match of the
+    last two emitted tokens inside [``lookup_ids`` ++ generated-so-far]
+    proposes the following ``draft_len`` tokens (answers to multiple-choice
+    video questions largely restate option text from the prompt), and ONE
+    forward over [current, draft_1..draft_d] verifies them — the longest
+    prefix whose argmax agrees is accepted, so the output is greedy-exact by
+    construction (token-for-token test vs greedy_decode).  Rejected draft
+    positions are rewound by resetting ``cache.length``; their stale k/v
+    slots are overwritten by the next verify block before ever becoming
+    attendable.
+
+    lookup_ids/lookup_valid: [L] int32 / bool — the prompt's TEXT token ids
+    (the vision span has no ids; the question+options text is where answer
+    tokens come from).  B must be 1 (per-question answering; batched rollout
+    decode already amortizes weight reads across rows).  The cache must hold
+    S + max_new_tokens + draft_len + 1 positions.
+
+    Returns (tokens [max_new_tokens], n_valid, n_forward_passes).
+    """
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    B, S, D = prompt_embeds.shape
+    if B != 1:
+        raise ValueError("speculative decode is single-row (B=1)")
+    T = cache.k.shape[2]
+    d = draft_len
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)        # [1]
+    pos0 = n_prompt[0]
+
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache,
+                                  jnp.arange(S), attn_valid, cfg)
+    last_h = hidden[0, n_prompt[0] - 1]
+    first_tok = jnp.argmax(lm_logits(params, last_h[None], cfg),
+                           axis=-1)[0].astype(jnp.int32)
+
+    Lp = lookup_ids.shape[0]
+    OUT = max_new_tokens + d + 2                  # slack: block writes never clamp
+    lookup_ids = lookup_ids.astype(jnp.int32)
+    lv_idx = jnp.max(jnp.where(lookup_valid, jnp.arange(Lp), -1))
+    prev0 = jnp.where(lv_idx >= 0, lookup_ids[jnp.maximum(lv_idx, 0)], -1)
+
+    key_valid_tail = jnp.concatenate(
+        [prompt_valid, jnp.ones((B, T - S), bool)], axis=1)           # [1, T]
+
+    def cond(state):
+        i, tok, cache, out, done, nf = state
+        return (i < max_new_tokens) & ~done
+
+    def body(state):
+        i, tok, cache, out, done, nf = state
+        # ---- draft: most recent (prev, tok) 2-gram in lookup ++ out[:i] ----
+        hist = jnp.concatenate([lookup_ids, out])                     # [H]
+        hvalid = jnp.concatenate([lookup_valid, jnp.arange(OUT) < i])
+        H = Lp + OUT
+        prev = jnp.where(i > 0, out[jnp.maximum(i - 1, 0)], prev0)
+        p = jnp.arange(H - 1)
+        m = hvalid[:-1] & hvalid[1:] & (hist[:-1] == prev) & (hist[1:] == tok)
+        p_best = jnp.max(jnp.where(m, p, -1))
+        found = p_best >= 0
+        didx = jnp.clip(p_best + 2 + jnp.arange(d), 0, H - 1)
+        drafts = jnp.where(found & (p_best + 2 + jnp.arange(d) < H)
+                           & hvalid[didx], hist[didx], eos)           # [d]
+
+        # ---- one verify forward over [tok, drafts] ----
+        emb = jnp.concatenate(
+            [embed_tokens(params, tok[None]),
+             embed_tokens(params, drafts)], axis=0)[None]             # [1, d+1, D]
+        emb = emb.astype(prompt_embeds.dtype)
+        pos = pos0 + i + jnp.arange(d + 1)
+        av = (jnp.arange(T)[None, :] < cache.length + (d + 1)) & key_valid_tail
+        h, cache2 = qwen2_forward(params, emb, cache, pos, av, cfg)
+        nxt = jnp.argmax(lm_logits(params, h[0], cfg),
+                         axis=-1).astype(jnp.int32)                   # [d+1]
+
+        # ---- emit tok + the longest agreeing draft prefix ----
+        # nxt[j] = model's token after consuming position j (0=tok, j=D_j);
+        # accepted drafts D_1..D_a (D_j == nxt[j-1]) ARE the next outputs,
+        # and the following round's tok is nxt[a] (not yet written).
+        ok = (drafts == nxt[:-1]).astype(jnp.int32)                   # [d]
+        acc = jnp.cumprod(ok)                                         # prefix
+        done_tok = done | (tok == eos)
+        is_eos_d = drafts == eos
+        pre_eos = jnp.cumsum(is_eos_d.astype(jnp.int32)) - is_eos_d
+        take = (acc == 1) & (pre_eos == 0) & ~done_tok                # [d]
+        a_eff = jnp.sum(take.astype(jnp.int32))
+
+        blk = jnp.concatenate([jnp.where(done, eos, tok)[None],
+                               jnp.where(take, drafts, eos)])         # [d+1]
+        out = jax.lax.dynamic_update_slice(out, blk, (i,))
+        done2 = done_tok | jnp.any(take & is_eos_d)
+        tok_next = jnp.where(done2, tok, nxt[a_eff])
+        cache2 = cache2._replace(length=cache.length + 1 + a_eff)
+        return i + 1 + a_eff, tok_next, cache2, out, done2, nf + 1
+
+    out = jnp.full((OUT,), eos, jnp.int32)
+    state = (jnp.int32(0), first_tok, cache, out, jnp.zeros((), bool),
+             jnp.int32(0))
+    i, tok, cache, out, done, n_fwd = jax.lax.while_loop(cond, body, state)
+    return out[:max_new_tokens], jnp.minimum(i, max_new_tokens), n_fwd
+
+
+# ---------------------------------------------------------------------------
 # Weight port / init / sharding
 # ---------------------------------------------------------------------------
 
