@@ -251,3 +251,15 @@ def test_config_from_hf_dict(torch_model):
     assert cfg.vision.fullatt_block_indexes == CFG.vision.fullatt_block_indexes
     assert cfg.mrope_section == CFG.mrope_section
     assert cfg.video_token_id == CFG.video_token_id
+
+
+def test_generate_speculative_matches_plain(jax_model, video_inputs):
+    """speculative=True under mrope prefill + delta decode positions:
+    identical output (exact-greedy verification)."""
+    import dataclasses
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    plain = jax_model.generate(video_inputs, "What?", max_new_tokens=6)
+    spec = dataclasses.replace(jax_model, speculative=True, draft_len=3)
+    spec.encode, spec.decode = jax_model.encode, jax_model.decode
+    assert spec.generate(video_inputs, "What?", max_new_tokens=6) == plain

@@ -165,7 +165,9 @@ def load_backbone(kind: str, model_path: str | None = None, **kw):
         return model
     if kind == "qwen2_5_vl":
         from ..models.qwen25vl import load_qwen25vl_adapter
-        return load_qwen25vl_adapter(model_path, **kw)
+        model = load_qwen25vl_adapter(model_path, **kw)
+        model.speculative = _speculative
+        return model
     raise ValueError(f"unknown backbone: {kind}")
 
 

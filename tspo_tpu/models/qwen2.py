@@ -460,7 +460,9 @@ def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
                               max_new_tokens: int,
                               lookup_ids, lookup_valid,
                               eos_token_id: int | None = None,
-                              draft_len: int = 8):
+                              draft_len: int = 8,
+                              prompt_rope_cos_sin: tuple | None = None,
+                              decode_pos_start=None):
     """Greedy decode with prompt-lookup speculation — exact same tokens as
     :func:`greedy_decode`, fewer weight passes.
 
@@ -492,11 +494,15 @@ def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
     T = cache.k.shape[2]
     d = draft_len
     n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)        # [1]
-    pos0 = n_prompt[0]
+    # mrope prefill (Qwen2.5-VL): decode positions are 1-D from the mrope
+    # delta, same convention as greedy_decode's decode_pos_start
+    pos0 = n_prompt[0] if decode_pos_start is None else \
+        jnp.asarray(decode_pos_start)
 
     attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
     hidden, cache = qwen2_forward(params, prompt_embeds, cache,
-                                  jnp.arange(S), attn_valid, cfg)
+                                  jnp.arange(S), attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
     last_h = hidden[0, n_prompt[0] - 1]
     first_tok = jnp.argmax(lm_logits(params, last_h[None], cfg),
                            axis=-1)[0].astype(jnp.int32)

@@ -370,6 +370,11 @@ class Qwen25VLModel:
     second_per_grid_t: float = 2.0  # temporal_patch_size / fps with the
                                     # nominal 1-fps frames TSPO feeds
                                     # (qwen_vl_utils video metadata convention)
+    # prompt-lookup speculative decoding (qwen2.greedy_decode_speculative):
+    # exact greedy, fewer weight passes; drafts come from the prompt's text
+    # ids (the video-token span carries no ids)
+    speculative: bool = False
+    draft_len: int = 8
 
     def encode_video(self, frames: np.ndarray):
         v = self.cfg.vision
@@ -428,10 +433,27 @@ class Qwen25VLModel:
 
         S = emb.shape[0]
         max_new = max_new_tokens or self.max_new_tokens
-        cache = KVCache.create(c.lm, 1, min(c.max_context, S + max_new + 8),
-                               emb.dtype)
-        toks, n = greedy_decode(lm, emb[None], jnp.ones((1, S), bool), cache,
-                                c.lm, max_new, **rope_kwargs)
+        if self.speculative:
+            from .qwen2 import greedy_decode_speculative
+            d = self.draft_len
+            lk = np.asarray([t for t in ids
+                             if t != c.video_token_id], np.int32)
+            Lb = max(128, -(-len(lk) // 128) * 128)
+            lookup = np.zeros(Lb, np.int32)
+            lookup[: len(lk)] = lk
+            lvalid = np.arange(Lb) < len(lk)
+            cache = KVCache.create(
+                c.lm, 1, min(c.max_context, S + max_new + d + 10), emb.dtype)
+            toks, n, _ = greedy_decode_speculative(
+                lm, emb[None], jnp.ones((1, S), bool), cache, c.lm, max_new,
+                jnp.asarray(lookup), jnp.asarray(lvalid), draft_len=d,
+                **rope_kwargs)
+        else:
+            cache = KVCache.create(c.lm, 1,
+                                   min(c.max_context, S + max_new + 8),
+                                   emb.dtype)
+            toks, n = greedy_decode(lm, emb[None], jnp.ones((1, S), bool),
+                                    cache, c.lm, max_new, **rope_kwargs)
         toks = np.asarray(toks)[: int(n)]
         toks = toks[toks != c.lm.eos_token_id]
         return self.decode(toks.tolist())
