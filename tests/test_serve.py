@@ -357,3 +357,43 @@ def test_warm_answer_skips_full_decode(tmp_path):
     assert r1["frame_indices"] == r2["frame_indices"]
     assert r1["answer"] == r2["answer"] == "A"
     assert r2["num_candidates"] == r1["num_candidates"]
+
+
+def test_microbatch_lone_request_uses_speculative_path(tmp_path_factory):
+    """With a speculative backbone, a size-1 micro-batch routes through
+    generate() (prompt-lookup speculation engaged) instead of the ragged
+    batch path."""
+    from tspo_tpu.serve.server import ScoringService
+
+    root = tmp_path_factory.mktemp("mbs")
+    path = str(root / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(60):
+        w.write(np.full((48, 48, 3), (i * 8) % 255, np.uint8))
+    w.release()
+
+    class SpecBackbone:
+        speculative = True
+
+        def __init__(self):
+            self.single_calls = 0
+            self.multi_calls = 0
+
+        def generate(self, frames, q, max_new_tokens=None):
+            self.single_calls += 1
+            return "S:" + q
+
+        def generate_batch_multi(self, frame_sets, qs, max_new_tokens=None):
+            self.multi_calls += 1
+            return ["M:" + q for q in qs]
+
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG,
+                                 selector_cfg=SEL_CFG, dtype=jnp.float32,
+                                 tokenize=_tokenize, batch_frames=32,
+                                 frame_buckets=(64, 128))
+    svc = ScoringService(scorer=scorer, backbone=SpecBackbone(),
+                         max_candidates=128, batch_window_s=0.05, max_batch=4)
+    out = svc.answer(video_path=path, question="solo", sample_num=8)
+    assert out["answer"] == "S:solo"
+    assert svc.backbone.single_calls == 1
+    assert svc.backbone.multi_calls == 0

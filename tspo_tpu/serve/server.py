@@ -240,10 +240,18 @@ class ScoringService:
                                      if id(p) not in taken]
                 try:
                     with self._device_lock:
-                        outs = self.backbone.generate_batch_multi(
-                            [s["frames"] for _, s in batch],
-                            [s["q"] for _, s in batch],
-                            max_new_tokens=cap)
+                        if len(batch) == 1 and getattr(
+                                self.backbone, "speculative", False):
+                            # a lone request gains nothing from the ragged
+                            # batch path; the B=1 generate() route keeps
+                            # prompt-lookup speculation engaged
+                            outs = [self._generate_one(
+                                batch[0][1]["frames"], batch[0][1]["q"], cap)]
+                        else:
+                            outs = self.backbone.generate_batch_multi(
+                                [s["frames"] for _, s in batch],
+                                [s["q"] for _, s in batch],
+                                max_new_tokens=cap)
                     if len(batch) > 1:
                         self.stats["batched"] += len(batch)
                     for (e, s), out in zip(batch, outs):
