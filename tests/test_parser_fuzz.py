@@ -216,8 +216,8 @@ def _ref_fn_with_ast(relpath: str, name: str):
     fns = [n for n in tree.body
            if isinstance(n, ast.FunctionDef) and n.name == name]
     assert fns, f"{name} not found in {relpath}"
-    ns = {"re": re, "np": np, "ast": _ast_mod, "eval_logger": _Log(),
-          "print": lambda *a, **k: None}
+    ns = {"re": re, "np": np, "ast": _ast_mod, "random": random,
+          "eval_logger": _Log(), "print": lambda *a, **k: None}
     exec(compile(ast.Module(fns, []), path, "exec"), ns)
     return ns[name]
 
@@ -364,3 +364,41 @@ def test_mlvu_aggregate_fuzz():
         ours = aggregate_mlvu_dev([dict(r) for r in results])
         theirs = ref([dict(r) for r in results])
         assert ours["overall"] == pytest.approx(theirs)
+
+
+def test_mix_evals_judge_score_fuzz():
+    """mix_evals get_score_from_judge ([[x]] then [x]); the reference's
+    unparseable branch returns a RANDOM score (utils.py:98) where ours
+    returns None for the caller to handle — compare parseable strings
+    exactly and check the fallback's contract separately."""
+    import random as _r
+    from tspo_tpu.eval.mix_evals import parse_judge_score
+    ref = _ref_fn_with_ast("mix_evals/video2text/utils.py",
+                           "get_score_from_judge")
+    vocab = ["Rating:", "[[4]]", "[[4.5]]", "[3]", "[0.5]", "[[bad]]",
+             "good", "answer", "[[", "]]", "7", "[x]", "score"]
+    rng = random.Random(103)
+    for resp in _responses(rng, vocab, n=300, maxlen=8):
+        ours = parse_judge_score(resp)
+        theirs = ref(resp)
+        if ours is None:
+            assert 0.0 <= theirs <= 1.0   # reference random fallback
+        else:
+            assert ours == theirs, repr(resp)
+
+
+def test_moviechat_and_vdd_review_parse_fuzz():
+    """moviechat parse_score+parse_acc composition and
+    video_detail_description's int-score parse vs our re-implementations."""
+    from tspo_tpu.eval.more_judged_tasks import (parse_pred_score,
+                                                 parse_score_only)
+    ref_score = _ref_fn_with_ast("moviechat/utils.py", "parse_score")
+    ref_acc = _ref_fn_with_ast("moviechat/utils.py", "parse_acc")
+    ref_vdd = _ref_fn_with_ast("video_detail_description/utils.py",
+                               "parse_score")
+    rng = random.Random(104)
+    for review in _review_strings(rng, n=300):
+        ours = parse_pred_score(review)
+        assert ours[1] == ref_score(review), repr(review)
+        assert ours[0] == str(ref_acc(review)), repr(review)
+        assert parse_score_only(review) == ref_vdd(review), repr(review)
