@@ -402,3 +402,87 @@ def test_moviechat_and_vdd_review_parse_fuzz():
         assert ours[1] == ref_score(review), repr(review)
         assert ours[0] == str(ref_acc(review)), repr(review)
         assert parse_score_only(review) == ref_vdd(review), repr(review)
+
+
+def _ref_tempcompass(name, helpers=()):
+    """Extract a tempcompass process fn + its rule helpers; the judge
+    fallback (get_eval_result) is stubbed with a sentinel so rule-path vs
+    fallback decisions are observable."""
+    path = os.path.join(REF_TASKS, "tempcompass/utils.py")
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(path).read())
+    want = set(helpers) | {name}
+    fns = [n for n in tree.body
+           if isinstance(n, ast.FunctionDef) and n.name in want]
+    assert len(fns) == len(want)
+    ns = {"re": re, "np": np, "random": random,
+          "get_eval_result": lambda prompt: ("JUDGED", 7),
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(fns, []), path, "exec"), ns)
+    return ns[name]
+
+
+def test_tempcompass_mc_rules_fuzz():
+    from tspo_tpu.eval.tempcompass import mc_rule_rating
+    ref = _ref_tempcompass("tempcompass_process_results_multi_choice")
+    answer = "B. a dog"
+    vocab = ["A", "B", "C", "D", "A.", "B.", "C)", "B)", "a", "dog",
+             "B. a dog", "A. a cat", "the", "answer", "maybe", ".", "b"]
+    rng = random.Random(111)
+    for _ in range(300):
+        pred = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 4))) or rng.choice(vocab)
+        doc = {"video_id": "v", "question": "q?", "answer": answer,
+               "dim": "order"}
+        rec = ref(dict(doc), [pred])["avg_accuracy"]
+        ours = mc_rule_rating(pred, answer)
+        if rec["match_success"]:
+            assert ours == rec["rating"], repr(pred)
+        else:
+            assert ours is None, repr(pred)   # our judge-fallback signal
+
+
+def test_tempcompass_yes_no_rules_fuzz():
+    from tspo_tpu.eval.tempcompass import extract_yes_no
+    ref = _ref_tempcompass("tempcompass_process_results_yes_no",
+                           helpers=("extract_pred",))
+    vocab = ["yes", "no", "Yes", "No,", "maybe", "the", "answer", "is",
+             "yes.", "no!", "Not", "yesterday", ""]
+    rng = random.Random(112)
+    for ans in ("yes", "no"):
+        for _ in range(200):
+            pred = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(0, 5)))
+            doc = {"video_id": "v", "question": "q?", "answer": ans,
+                   "dim": "speed"}
+            rec = ref(dict(doc), [pred])["avg_accuracy"]
+            got = extract_yes_no(pred)
+            if rec["match_success"]:
+                assert got, repr(pred)
+                assert (got == ans) == (rec["rating"] == 1), repr(pred)
+            else:
+                assert not got, repr(pred)
+
+
+def test_tempcompass_caption_matching_rules_fuzz():
+    from tspo_tpu.eval.tempcompass import caption_matching_rule
+    ref = _ref_tempcompass("tempcompass_process_results_caption_matching",
+                           helpers=("eval_rule",))
+    question = ("Which caption matches the video?\n"
+                "Caption A: a cat sits\nCaption B: a dog runs")
+    answer = "Caption B: a dog runs"
+    vocab = ["Caption A", "Caption B", "A", "B", "a dog runs", "a cat sits",
+             "the", "caption", "matches", ":", ".", "A:", "B:"]
+    rng = random.Random(113)
+    for _ in range(300):
+        pred = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 5)))
+        doc = {"video_id": "v", "question": question, "answer": answer,
+               "dim": "order"}
+        rec = ref(dict(doc), [pred])["avg_accuracy"]
+        ours = caption_matching_rule(pred, question, answer)
+        if rec["match_success"]:
+            assert ours == rec["rating"], repr(pred)
+        else:
+            assert ours is None, repr(pred)
