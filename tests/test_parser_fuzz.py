@@ -486,3 +486,22 @@ def test_tempcompass_caption_matching_rules_fuzz():
             assert ours == rec["rating"], repr(pred)
         else:
             assert ours is None, repr(pred)
+
+
+def test_charades_extract_time_fuzz():
+    """Temporal-grounding time parse (charades_sta/eval_tvg.py:26-60):
+    sentence split, keyword filter, float extraction, ordering fallback."""
+    from tspo_tpu.eval.grounding_tasks import extract_time
+    ref = _ref_fn("charades_sta/eval_tvg.py", "extract_time")
+    vocab = ["The event", "starts", "ends", "at", "20.8", "30.0", "-", "to",
+             "seconds", "happens in", "5", "0.5", "start time", "end time",
+             "!", "?", "\n", "around", "clip", "from", "12.25", "then",
+             "A specific example is : 20.8 - 30.0 seconds"]
+    rng = random.Random(121)
+    for _ in range(400):
+        text = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 12)))
+        ours = extract_time(text)
+        theirs = ref(text)
+        assert [list(map(float, p)) for p in ours] == \
+            [list(map(float, p)) for p in theirs], repr(text)
