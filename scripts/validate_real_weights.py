@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--video-root")
     p.add_argument("--out-dir", default="/tmp/tspo_validation")
     p.add_argument("--sample-num", type=int, default=64)
+    p.add_argument("--speculative-probe", type=int, default=0,
+                   help="N questions to re-answer with --speculative to "
+                        "measure live prompt-lookup acceptance/speedup")
     p.add_argument("--limit", type=int, default=None,
                    help="validate a subset first (e.g. 50)")
     args = p.parse_args(argv)
@@ -125,6 +128,25 @@ def main(argv=None):
                                                  "metrics.json"), "w"))
         if args.limit is None and acc is not None and acc < 62.9:
             failures.append(f"accuracy {acc:.2f}% more than 1pt below 63.9%")
+        if args.speculative_probe:
+            # live acceptance rate of prompt-lookup speculation: answers to
+            # multiple-choice questions restate option text, so acceptance
+            # (and the answer identity guarantee) can only be measured with
+            # real weights.  scripts/bench_spec_decode.py brackets the
+            # throughput; this probes the real acceptance point.
+            import dataclasses
+            import time as _time
+            probe = emitted[: args.speculative_probe]
+            spec_bb = dataclasses.replace(backbone, speculative=True)
+            spec_bb.encode, spec_bb.decode = backbone.encode, backbone.decode
+            for name, bb in (("plain", backbone), ("speculative", spec_bb)):
+                t0 = _time.perf_counter()
+                r = evaluate_task("LongVideoBench", probe, bb,
+                                  video_root=args.video_root,
+                                  max_frames_num=args.sample_num)
+                dt = _time.perf_counter() - t0
+                print(f"      {name}: {dt/max(len(probe),1):.2f} s/question "
+                      f"acc={r.metrics.get('overall'):.1f}")
     else:
         print("[4/4] SKIP (needs backbone + emitted indices)")
 
