@@ -350,3 +350,55 @@ def test_speculative_ragged_prompt_and_empty_lookup(params):
         max_new, lookup, jnp.zeros(5, bool), eos_token_id=-7, draft_len=d)
     assert int(n) == int(n_want)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+
+
+def test_speculative_eos_in_lookup_corpus(params):
+    """A lookup corpus laced with EOS tokens: drafted EOS must never be
+    falsely emitted (verification gates every draft)."""
+    from tspo_tpu.models.qwen2 import greedy_decode_speculative
+    spec, ids, embeds, valid, mk_cache, max_new = _spec_setup(params, 9)
+    eos = -7
+    want, n_want = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                                 max_new, eos_token_id=eos)
+    # corpus laced with a constant token so 2-gram matches abound but the
+    # drafted continuations are wrong; out-of-range masked drafts use the
+    # eos sentinel (-7 here), which argmax can never produce -> always
+    # rejected, never falsely emitted
+    base = np.asarray(ids[0], np.int32)
+    lookup = np.empty(base.size * 2, np.int32)
+    lookup[0::2] = base
+    lookup[1::2] = 0
+    toks, n, n_fwd = greedy_decode_speculative(
+        params, embeds, valid, mk_cache(), CFG, max_new,
+        jnp.asarray(lookup), jnp.ones(lookup.size, bool),
+        eos_token_id=eos, draft_len=4)
+    assert int(n) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+
+
+def test_speculative_match_at_corpus_end(params):
+    """The 2-gram match lands at the very end of the corpus: drafts run off
+    the end (masked to eos) and must not corrupt the output."""
+    from tspo_tpu.models.qwen2 import greedy_decode_speculative
+    spec, ids, embeds, valid, mk_cache, max_new = _spec_setup(params, 10)
+    want, n_want = greedy_decode(params, embeds, valid, mk_cache(), CFG,
+                                 max_new, eos_token_id=-7)
+    first_two = np.asarray(want, np.int32)[:2]
+    # corpus ENDS exactly at the first generated 2-gram: p_best+2 == len
+    lookup = np.concatenate([np.asarray(ids[0], np.int32), first_two])
+    toks, n, _ = greedy_decode_speculative(
+        params, embeds, valid, mk_cache(), CFG, max_new,
+        jnp.asarray(lookup), jnp.ones(lookup.size, bool),
+        eos_token_id=-7, draft_len=4)
+    assert int(n) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(want))
+
+
+def test_speculative_rejects_small_cache(params):
+    from tspo_tpu.models.qwen2 import greedy_decode_speculative
+    _, ids, embeds, valid, _, _ = _spec_setup(params, 11)
+    small = KVCache.create(CFG, 1, embeds.shape[1] + 4, jnp.float32)
+    with pytest.raises(ValueError, match="cache too small"):
+        greedy_decode_speculative(params, embeds, valid, small, CFG, 12,
+                                  jnp.zeros(8, jnp.int32),
+                                  jnp.zeros(8, bool), draft_len=4)

@@ -493,6 +493,13 @@ def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
         raise ValueError("speculative decode is single-row (B=1)")
     T = cache.k.shape[2]
     d = draft_len
+    if T < S + max_new_tokens + d:
+        # the verify block writes d+1 kv slots at the running length; a
+        # too-small cache would CLAMP the dynamic_update_slice offset and
+        # silently corrupt earlier slots (all operands are static: fail now)
+        raise ValueError(
+            f"cache too small for speculation: need >= S+max_new+draft_len "
+            f"= {S + max_new_tokens + d}, got {T}")
     n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)        # [1]
     # mrope prefill (Qwen2.5-VL): decode positions are 1-D from the mrope
     # delta, same convention as greedy_decode's decode_pos_start
