@@ -65,7 +65,6 @@ def test_aks_videomme_profile_matches_reference(ref, monkeypatch):
     reference by patching its hardcoded constants the way a user would edit
     them; ours takes them as arguments."""
     import ast
-    import re as _re
     src = open(REF_UTILS).read()
     src = src.replace("t1 = 0.2", "t1 = 0.8").replace(
         "all_depth = 3", "all_depth = 5")
