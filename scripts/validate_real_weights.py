@@ -138,7 +138,6 @@ def main(argv=None):
             import time as _time
             probe = emitted[: args.speculative_probe]
             spec_bb = dataclasses.replace(backbone, speculative=True)
-            spec_bb.encode, spec_bb.decode = backbone.encode, backbone.decode
             for name, bb in (("plain", backbone), ("speculative", spec_bb)):
                 t0 = _time.perf_counter()
                 r = evaluate_task("LongVideoBench", probe, bb,

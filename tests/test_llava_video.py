@@ -398,3 +398,25 @@ def test_generate_speculative_matches_plain(jax_model):
     spec_model = dataclasses.replace(jax_model, speculative=True, draft_len=4)
     spec = spec_model.generate(frames, q, max_new_tokens=10)
     assert spec == plain
+
+def test_speculative_capacity_clamp_and_fallback(jax_model):
+    """Near max_context, speculation clamps draft_len to the remaining cache
+    headroom; at zero headroom it falls back to plain greedy.  A prompt that
+    plain greedy handles must never raise the static capacity guard under
+    speculative=True (and the answer stays greedy-exact either way)."""
+    import dataclasses
+    frames = np.random.default_rng(3).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    q = "Pick one: A. up B. down"
+    plain = jax_model.generate(frames, q, max_new_tokens=8)
+    ids = tokenize_with_image(jax_model._prompt(q), jax_model.encode,
+                              jax_model.bos_token_id)
+    emb = jax_model.splice_embeddings(ids, jax_model.encode_video(frames),
+                                      None)
+    S = emb.shape[1]
+    # headroom 0 -> plain-greedy fallback; headroom 2 -> draft clamps to 2
+    for ctx in (S + 8, S + 8 + 2):
+        tight = dataclasses.replace(
+            jax_model, speculative=True, draft_len=4,
+            cfg=dataclasses.replace(jax_model.cfg, max_context=ctx))
+        assert tight.generate(frames, q, max_new_tokens=8) == plain

@@ -263,3 +263,21 @@ def test_generate_speculative_matches_plain(jax_model, video_inputs):
     spec = dataclasses.replace(jax_model, speculative=True, draft_len=3)
     spec.encode, spec.decode = jax_model.encode, jax_model.decode
     assert spec.generate(video_inputs, "What?", max_new_tokens=6) == plain
+
+def test_speculative_capacity_clamp_and_fallback(jax_model, video_inputs):
+    """Same capacity contract as the llava backbone: near max_context the
+    draft clamps to the cache headroom, and at zero headroom the call falls
+    back to plain greedy instead of raising the static capacity guard."""
+    import dataclasses
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    plain = jax_model.generate(video_inputs, "What?", max_new_tokens=6)
+    feats, _ = jax_model.encode_video(video_inputs)
+    pre, vid, post = jax_model.build_prompt_ids("What?", feats.shape[0])
+    S = len(pre) + len(vid) + len(post)
+    for ctx in (S + 6, S + 6 + 1):   # fallback, then clamp to d=1
+        tight = dataclasses.replace(
+            jax_model, speculative=True, draft_len=3,
+            cfg=dataclasses.replace(jax_model.cfg, max_context=ctx))
+        tight.encode, tight.decode = jax_model.encode, jax_model.decode
+        assert tight.generate(video_inputs, "What?", max_new_tokens=6) == plain

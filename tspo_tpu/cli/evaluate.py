@@ -35,8 +35,9 @@ def build_parser():
     p.add_argument("--backbone-path", default=None)
     p.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative decoding on the "
-                        "llava_video backbone (exact greedy, fewer weight "
-                        "passes; models/qwen2.greedy_decode_speculative)")
+                        "llava_video and qwen2_5_vl backbones (exact greedy, "
+                        "fewer weight passes; "
+                        "models/qwen2.greedy_decode_speculative)")
     p.add_argument("--quantize-backbone", action="store_true",
                    help="weight-only int8 decoder (bandwidth-bound decode)")
     p.add_argument("--max-frames-num", type=int, default=64)

@@ -142,9 +142,13 @@ def encode_images(params: Mapping, pixel_values: jnp.ndarray,
     Patchify-as-GEMM: unfold into [B, grid^2, 3*P*P] and hit the MXU once.
     ``attn_impl``: "auto" routes attention through the fused Pallas kernel on
     TPU (ops/vit_attention.py), XLA einsum elsewhere.  ``cls_fast`` (default)
-    computes the last encoder layer for the class token only — identical
-    output (tests/test_clip.py::test_cls_fast_matches_full_encoder), ~4%
-    fewer tower FLOPs; pass False for the layer-by-layer oracle path.
+    computes the last encoder layer for the class token only — an exact
+    algebraic identity (only the pooled CLS state is consumed downstream);
+    floating-point results can differ from the full path at reduction-order
+    level, ~1e-5 in fp32 (tests/test_clip.py::test_cls_fast_matches_full_
+    encoder), the same scale as the pre-existing lane-kernel-vs-einsum
+    last-layer drift between TPU and CPU.  ~4% fewer tower FLOPs; pass False
+    for the layer-by-layer oracle path.
     """
     vp = params["vision"]
     B = pixel_values.shape[0]

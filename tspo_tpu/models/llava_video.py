@@ -411,20 +411,19 @@ class LLaVAVideoModel:
 
         S = embeds.shape[1]
         valid = jnp.ones((1, S), bool)
-        if self.speculative:
-            from .qwen2 import greedy_decode_speculative
-            d = self.draft_len
-            lk = np.asarray([t for t in input_ids if t >= 0], np.int32)
-            Lb = max(128, -(-len(lk) // 128) * 128)   # bucket: few recompiles
-            lookup = np.zeros(Lb, np.int32)
-            lookup[: len(lk)] = lk
-            lvalid = np.arange(Lb) < len(lk)
+        # clamp the draft to the cache headroom: the speculative verify block
+        # needs S + max_new + d slots, so near max_context shrink d (and at
+        # zero headroom fall back to plain greedy, which tolerates truncation)
+        d = min(self.draft_len, self.cfg.max_context - (S + max_new))
+        if self.speculative and d >= 1:
+            from .qwen2 import build_spec_lookup, greedy_decode_speculative
+            lookup, lvalid = build_spec_lookup(
+                t for t in input_ids if t >= 0)
             max_len = min(self.cfg.max_context, S + max_new + d + 10)
             cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
             toks, n, _ = greedy_decode_speculative(
                 self.params["lm"], embeds, valid, cache, self.cfg.lm,
-                max_new, jnp.asarray(lookup), jnp.asarray(lvalid),
-                draft_len=d)
+                max_new, lookup, lvalid, draft_len=d)
         else:
             max_len = min(self.cfg.max_context, S + max_new + 8)
             cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)

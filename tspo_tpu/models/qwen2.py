@@ -453,6 +453,20 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
 # Prompt-lookup speculative decode (B=1, exact greedy)
 # ---------------------------------------------------------------------------
 
+def build_spec_lookup(text_ids):
+    """Pad a prompt's text token ids into the lookup corpus for
+    :func:`greedy_decode_speculative` — bucketed to 128 multiples so repeated
+    calls with nearby prompt lengths share one compiled program.  ``text_ids``
+    is the prompt's id sequence with media sentinels already filtered out.
+    Returns (lookup_ids [Lb] int32, lookup_valid [Lb] bool)."""
+    lk = np.asarray(list(text_ids), np.int32)
+    Lb = max(128, -(-len(lk) // 128) * 128)
+    lookup = np.zeros(Lb, np.int32)
+    lookup[: len(lk)] = lk
+    lvalid = np.arange(Lb) < len(lk)
+    return jnp.asarray(lookup), jnp.asarray(lvalid)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "draft_len"),
          donate_argnames=("cache",))
 def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
@@ -483,7 +497,7 @@ def greedy_decode_speculative(params, prompt_embeds, prompt_valid,
     (the vision span has no ids; the question+options text is where answer
     tokens come from).  B must be 1 (per-question answering; batched rollout
     decode already amortizes weight reads across rows).  The cache must hold
-    S + max_new_tokens + draft_len + 1 positions.
+    S + max_new_tokens + draft_len positions (the guard below).
 
     Returns (tokens [max_new_tokens], n_valid, n_forward_passes).
     """

@@ -433,21 +433,19 @@ class Qwen25VLModel:
 
         S = emb.shape[0]
         max_new = max_new_tokens or self.max_new_tokens
-        if self.speculative:
-            from .qwen2 import greedy_decode_speculative
-            d = self.draft_len
-            lk = np.asarray([t for t in ids
-                             if t != c.video_token_id], np.int32)
-            Lb = max(128, -(-len(lk) // 128) * 128)
-            lookup = np.zeros(Lb, np.int32)
-            lookup[: len(lk)] = lk
-            lvalid = np.arange(Lb) < len(lk)
+        # same capacity clamp as llava_video.generate: the speculative guard
+        # needs S + max_new + d cache slots; shrink d near max_context and
+        # fall back to plain greedy at zero headroom
+        d = min(self.draft_len, c.max_context - (S + max_new))
+        if self.speculative and d >= 1:
+            from .qwen2 import build_spec_lookup, greedy_decode_speculative
+            lookup, lvalid = build_spec_lookup(
+                t for t in ids if t != c.video_token_id)
             cache = KVCache.create(
                 c.lm, 1, min(c.max_context, S + max_new + d + 10), emb.dtype)
             toks, n, _ = greedy_decode_speculative(
                 lm, emb[None], jnp.ones((1, S), bool), cache, c.lm, max_new,
-                jnp.asarray(lookup), jnp.asarray(lvalid), draft_len=d,
-                **rope_kwargs)
+                lookup, lvalid, draft_len=d, **rope_kwargs)
         else:
             cache = KVCache.create(c.lm, 1,
                                    min(c.max_context, S + max_new + 8),
