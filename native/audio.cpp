@@ -83,6 +83,9 @@ int tspo_audio_probe(const char* path, long long* nsamples,
 
 long long tspo_audio(const char* path, int target_sr, float* out,
                      long long out_cap) {
+  // target_sr <= 0 would skip swr allocation and drain() would dereference
+  // a null SwrContext — reject up front.
+  if (target_sr <= 0 || !out || out_cap <= 0) return -1;
   AudioReader r;
   if (!r.open(path, target_sr)) return -1;
   AVPacket* pkt = av_packet_alloc();

@@ -23,11 +23,17 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <atomic>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Per-decoder ffmpeg thread budget.  0 = use all hardware threads (the
+// standalone-gather default).  The DecodePool sets cores/workers here so
+// concurrent gathers don't multiply to workers x cores frame threads.
+std::atomic<int> g_thread_budget{0};
 
 struct Reader {
   AVFormatContext* fmt = nullptr;
@@ -56,7 +62,9 @@ struct Reader {
     codec = avcodec_alloc_context3(dec);
     if (!codec || avcodec_parameters_to_context(codec, st->codecpar) < 0)
       return false;
-    codec->thread_count = std::max(1u, std::thread::hardware_concurrency());
+    int budget = g_thread_budget.load(std::memory_order_relaxed);
+    codec->thread_count =
+        budget > 0 ? budget : std::max(1u, std::thread::hardware_concurrency());
     codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (avcodec_open2(codec, dec, nullptr) < 0) return false;
 
@@ -74,6 +82,10 @@ struct Reader {
 }  // namespace
 
 extern "C" {
+
+void tspo_set_decode_threads(int n) {
+  g_thread_budget.store(n > 0 ? n : 0, std::memory_order_relaxed);
+}
 
 int tspo_probe(const char* path, long long* nframes, double* fps, int* w,
                int* h) {
@@ -113,8 +125,43 @@ long long tspo_gather(const char* path, const long long* indices, long long n,
   // order, so write directly into a per-sorted-position buffer.
   std::vector<std::vector<unsigned char>> frames_by_pos(sorted.size());
 
-  int64_t decode_pos = 0;  // next display-order frame index
-  size_t want_pos = 0;     // next sorted[] entry to satisfy
+  int64_t decode_pos = 0;    // next display-order frame index
+  size_t want_pos = 0;       // next sorted[] entry to satisfy
+  int64_t seeked_for = -1;   // wanted index the last seek targeted
+  // (MPEG-PS reports index entries yet still lands off-target, so gate on
+  // the demuxer name rather than avformat_index_get_entries_count.)
+  const char* fmt_name = r.fmt->iformat ? r.fmt->iformat->name : "";
+  const bool can_seek =
+      strstr(fmt_name, "mp4") || strstr(fmt_name, "mov") ||
+      strstr(fmt_name, "matroska") || strstr(fmt_name, "webm") ||
+      strstr(fmt_name, "avi");
+  // Streams whose timestamps don't start at zero (MPEG-TS/PS): frame index
+  // after a seek = (pts - anchor) * fps, and seek targets get the anchor
+  // added back.  st->start_time is not reliable for MPEG-PS (measured 3
+  // frames before the first video pts), so when it is nonzero, probe the
+  // first video packet's own pts through a second demuxer open — the main
+  // context must not be disturbed (rewind via av_seek_frame is itself
+  // imprecise on these containers).
+  int64_t start_ts =
+      (st->start_time != AV_NOPTS_VALUE && st->start_time > 0)
+          ? st->start_time : 0;
+  if (start_ts > 0) {
+    AVFormatContext* probe = nullptr;
+    if (avformat_open_input(&probe, path, nullptr, nullptr) >= 0) {
+      AVPacket* ppkt = av_packet_alloc();
+      while (av_read_frame(probe, ppkt) >= 0) {
+        if (ppkt->stream_index == r.stream_index) {
+          int64_t t = ppkt->pts != AV_NOPTS_VALUE ? ppkt->pts : ppkt->dts;
+          if (t != AV_NOPTS_VALUE) start_ts = t;
+          av_packet_unref(ppkt);
+          break;
+        }
+        av_packet_unref(ppkt);
+      }
+      av_packet_free(&ppkt);
+      avformat_close_input(&probe);
+    }
+  }
 
   auto store = [&](AVFrame* f, size_t pos_in_sorted) {
     uint8_t* dst[1] = {rgb.data()};
@@ -128,20 +175,39 @@ long long tspo_gather(const char* path, const long long* indices, long long n,
   while (want_pos < sorted.size() && !eof) {
     // Large gap to the next wanted frame: seek to its keyframe.  150 frames
     // (~5s at 30fps) is past the typical GOP, where streaming loses to a seek.
-    if (sorted[want_pos] > decode_pos + 150) {
-      int64_t ts = av_rescale_q(
-          (int64_t)(sorted[want_pos] / (r.fps > 0 ? r.fps : 30.0) * AV_TIME_BASE),
-          AVRational{1, AV_TIME_BASE}, st->time_base);
+    // Seek AT MOST ONCE per wanted index, and never while decode_pos is still
+    // unknown from a previous seek: a backward seek always lands at the same
+    // keyframe, so re-firing it (audio packet interleave, GOPs longer than
+    // the 150-frame gap) would loop forever without progressing.  Seeks are
+    // only frame-exact in index-backed containers (mp4/mkv); index-less ones
+    // (MPEG-TS/PS) byte-interpolate and drop frames around the landing point
+    // (measured ±3-7 on MPEG-PS), so those stream-decode instead.
+    if (can_seek && decode_pos >= 0 && sorted[want_pos] > decode_pos + 150 &&
+        sorted[want_pos] != seeked_for) {
+      // Aim 1s early: index-less containers (MPEG-TS) seek by byte-position
+      // interpolation and can land PAST the target even with
+      // AVSEEK_FLAG_BACKWARD; the margin costs ~one GOP of extra decode.
+      double target_sec =
+          sorted[want_pos] / (r.fps > 0 ? r.fps : 30.0) - 1.0;
+      if (target_sec < 0) target_sec = 0;
+      int64_t ts = av_rescale_q((int64_t)(target_sec * AV_TIME_BASE),
+                                AVRational{1, AV_TIME_BASE}, st->time_base) +
+                   start_ts;
       if (av_seek_frame(r.fmt, r.stream_index, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
         avcodec_flush_buffers(r.codec);
         decode_pos = -1;  // unknown until first pts
+        seeked_for = sorted[want_pos];
       }
     }
 
     int ret = av_read_frame(r.fmt, pkt);
     if (ret < 0) {
-      avcodec_send_packet(r.codec, nullptr);  // flush
-      eof = true;
+      // Enter drain mode.  send_packet(nullptr) returns EAGAIN while the
+      // decoder still holds undelivered output (frame-threading buffers
+      // ~thread_count frames): receive below, then retry next iteration —
+      // setting eof before drain mode is entered silently drops the tail.
+      int s = avcodec_send_packet(r.codec, nullptr);
+      if (s != AVERROR(EAGAIN)) eof = true;
     } else if (pkt->stream_index != r.stream_index) {
       av_packet_unref(pkt);
       continue;
@@ -152,10 +218,12 @@ long long tspo_gather(const char* path, const long long* indices, long long n,
 
     while (avcodec_receive_frame(r.codec, frame) >= 0) {
       if (decode_pos < 0) {
-        // Recover display index from pts after a seek.
+        // Recover display index from pts after a seek (start_time-relative).
         int64_t pts = frame->best_effort_timestamp;
-        double sec = pts * av_q2d(st->time_base);
+        if (pts == AV_NOPTS_VALUE) pts = start_ts;
+        double sec = (pts - start_ts) * av_q2d(st->time_base);
         decode_pos = (int64_t)(sec * (r.fps > 0 ? r.fps : 30.0) + 0.5);
+        if (decode_pos < 0) decode_pos = 0;
       }
       while (want_pos < sorted.size() && sorted[want_pos] <= decode_pos) {
         store(frame, want_pos);

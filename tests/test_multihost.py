@@ -26,7 +26,7 @@ _WORKER = textwrap.dedent("""
     from tspo_tpu.parallel.multihost import (barrier, gather_host_objects,
                                              process_shard)
     assert jax.process_count() == 2
-    assert process_shard(10) == (rank, 2)
+    assert process_shard() == (rank, 2)
     out = gather_host_objects({{"rank": rank, "metrics": {{"acc": rank * 0.5}}}})
     if rank == 0:
         assert out is not None and [o["rank"] for o in out] == [0, 1]

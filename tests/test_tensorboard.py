@@ -58,3 +58,17 @@ def test_metrics_jsonl_conversion(tmp_path):
     assert len(scalars["train/reward"]) == 3
     assert "train/rewards/accuracy_reward" in scalars
     assert "train/type" not in scalars  # non-numeric fields skipped
+
+
+def test_long_tag_round_trip(tmp_path):
+    """Tags >= 128 bytes: the tag-string length is a protobuf varint, not a
+    single raw byte (review finding r3) — a long reward name written by our
+    own writer must read back intact."""
+    tag = "train/rewards/" + "x" * 140
+    with TensorBoardWriter(str(tmp_path)) as tb:
+        tb.add_scalar(tag, 0.25, 3)
+        tb.add_scalar("short", 0.5, 4)
+        path = tb.path
+    scalars = read_scalars(path)
+    assert scalars[tag] == [(3, 0.25)]
+    assert scalars["short"] == [(4, 0.5)]

@@ -77,6 +77,6 @@ def test_response_cache_in_harness(tmp_path):
 
 
 def test_multihost_single_process():
-    rank, world = process_shard(10)
+    rank, world = process_shard()
     assert (rank, world) == (0, 1)
     assert gather_host_objects({"x": 1}) == [{"x": 1}]

@@ -282,3 +282,51 @@ def test_decode_pool_bench_jobs_scale_and_deliver(tmp_path):
         exp = np.array([(j * 131 + i * 17) & 0xFF for i in range(32)],
                        np.uint8)
         np.testing.assert_array_equal(out, exp)
+
+def test_native_offset_timestamp_container(tmp_path):
+    """MPEG-TS streams carry a nonzero start_time (~1.4s PCR offset); the
+    gather must map frame indices start_time-relative AND avoid seeking in
+    index-less containers (byte-interpolated seeks land off-target and the
+    old seek loop could re-fire forever on A/V files or long GOPs — review
+    findings r3).  Exactness is checked frame-for-frame against cv2."""
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    path = str(tmp_path / "seq.ts")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MPEG"), 25.0, (64, 48))
+    assert w.isOpened()
+    for i in range(400):
+        w.write(np.full((48, 64, 3), i % 256, np.uint8))
+    w.release()
+    idx = np.array([0, 5, 180, 350, 399])   # >150 gaps: old code would seek
+    a = native.gather(path, idx)
+    cap = cv2.VideoCapture(path)
+    ref, i, want = {}, 0, set(idx.tolist())
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if i in want:
+            ref[i] = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        i += 1
+    cap.release()
+    assert i == 400
+    for k, j in enumerate(idx):
+        # mpeg2 is lossy: compare mean intensity (frame fill = j%256)
+        assert abs(float(a[k].mean()) - float(ref[int(j)].mean())) < 1.5, j
+
+
+def test_decode_pool_thread_budget(video_path):
+    """The pool divides the ffmpeg thread budget across workers (so N
+    concurrent gathers don't multiply to N x cores threads) and resets it on
+    close; results stay identical to the standalone gather."""
+    if not native.pool_available():
+        pytest.skip("native decode pool unavailable")
+    idx = np.array([0, 10, 200, 299])
+    solo = native.gather(video_path, idx)
+    with native.DecodePool(workers=4) as pool:
+        job = pool.submit(video_path, idx)
+        pooled = pool.result(job)
+        # double-consume must be a loud IOError, not a KeyError
+        with pytest.raises(IOError):
+            pool.result(job)
+    np.testing.assert_array_equal(solo, pooled)

@@ -191,7 +191,7 @@ def _run(args):
     docs = load_json(args.frame_idx_json)
     if args.world == 1:
         from ..parallel.multihost import process_shard
-        args.rank, args.world = process_shard(len(docs))
+        args.rank, args.world = process_shard()
     backbone = load_backbone(args.backbone, args.backbone_path,
                              conv_template=args.conv_template,
                              speculative=args.speculative)

@@ -67,7 +67,7 @@ def main(argv=None):
     ds = VideoQuestionDataset.from_tsv(args.data, args.tsv, args.video_root)
     if args.world == 1:
         from ..parallel.multihost import process_shard
-        args.rank, args.world = process_shard(len(ds))
+        args.rank, args.world = process_shard()
     pre = FrameIndexPrecompute(
         scorer, FeatureCache(args.cache_root),
         PrecomputeConfig(sample_num=args.sample_num,

@@ -26,12 +26,18 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Swallow ONLY the double-init case.  Anything else (unreachable
+        # coordinator, peer down) must raise: XlaRuntimeError subclasses
+        # RuntimeError, and silently degrading to single-host mode would
+        # make every host run the full work list as "host 0".
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
+            raise
 
 
-def process_shard(n_items: int) -> tuple:
-    """(rank, world) slice for host-side work lists."""
+def process_shard() -> tuple:
+    """(rank, world) for sharding host-side work lists."""
     return jax.process_index(), jax.process_count()
 
 

@@ -121,9 +121,16 @@ def load(path: str):
     raise ValueError(f"unsupported extension: {path}")
 
 
-def dump_json_withlock(data, path: str, timeout: float = 5, **kw):
+def dump_json_withlock(data, path: str, timeout: float = 5,
+                       stale: float = 30, **kw):
     """Locked json write (reference files.py:167-177, portalocker): safe for
-    concurrent per-rank writers appending to a shared results file."""
+    concurrent per-rank writers appending to a shared results file.
+
+    The reference's portalocker released its OS lock on process death; an
+    O_EXCL lockfile does not, so a writer SIGKILLed mid-hold would deadlock
+    every future writer.  A lockfile older than ``stale`` seconds (legit
+    holds are sub-second json dumps) is treated as orphaned and broken.
+    """
     lock_path = path + ".lock"
     deadline = time.time() + timeout
     fd = None
@@ -132,6 +139,12 @@ def dump_json_withlock(data, path: str, timeout: float = 5, **kw):
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_path) > stale:
+                    os.unlink(lock_path)   # orphaned by a dead writer
+                    continue
+            except OSError:
+                continue                   # holder released it meanwhile
             if time.time() > deadline:
                 raise TimeoutError(f"lock {lock_path} held past {timeout}s")
             time.sleep(0.05)
@@ -189,6 +202,13 @@ def track_progress(func, tasks, nproc: int = 1, description: str = "Processing",
         raise ValueError("keys must parallel tasks")
     results: list = [None] * len(tasks)
     saved = load(save) if save and os.path.exists(save) else {}
+    # json round-trips keys as strings: normalize so a resumed run updates
+    # the same entries instead of adding int-keyed duplicates of "0", "1", …
+    json_save = bool(save) and save.lower().endswith(".json")
+
+    def save_key(i):
+        k = keys[i] if keys else i
+        return str(k) if json_save else k
 
     def call(i):
         t = tasks[i]
@@ -210,7 +230,7 @@ def track_progress(func, tasks, nproc: int = 1, description: str = "Processing",
                 _, res = call(i)
                 results[i] = res
                 if save:
-                    saved[keys[i] if keys else i] = res
+                    saved[save_key(i)] = res
                     dump(saved, save)
                 update()
         else:
@@ -219,7 +239,7 @@ def track_progress(func, tasks, nproc: int = 1, description: str = "Processing",
                                        chunksize=chunksize):
                     results[i] = res
                     if save:
-                        saved[keys[i] if keys else i] = res
+                        saved[save_key(i)] = res
                         dump(saved, save)
                     update()
 

@@ -165,6 +165,18 @@ def metrics_jsonl_to_tensorboard(metrics_path: str, logdir: str,
         return tb.path
 
 
+def _read_varint(buf, pos):
+    """Decode a protobuf varint at ``pos``; returns (value, new_pos)."""
+    v = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
+
+
 def read_scalars(path: str) -> dict:
     """Parse an event file back into {tag: [(step, value)]} — the
     scripts/read_tensorboard.py capability, TF-free (C11)."""
@@ -188,27 +200,11 @@ def read_scalars(path: str) -> dict:
                 if field == 1:
                     wall = v
             elif wire == 0:
-                v = 0
-                shift = 0
-                while True:
-                    b = payload[p]
-                    p += 1
-                    v |= (b & 0x7F) << shift
-                    shift += 7
-                    if not b & 0x80:
-                        break
+                v, p = _read_varint(payload, p)
                 if field == 2:
                     step = v
             elif wire == 2:
-                ln = 0
-                shift = 0
-                while True:
-                    b = payload[p]
-                    p += 1
-                    ln |= (b & 0x7F) << shift
-                    shift += 7
-                    if not b & 0x80:
-                        break
+                ln, p = _read_varint(payload, p)
                 sub = payload[p:p + ln]
                 p += ln
                 if field == 5:  # summary -> values
@@ -216,15 +212,7 @@ def read_scalars(path: str) -> dict:
                     while q < len(sub):
                         k2 = sub[q]
                         q += 1
-                        l2 = 0
-                        shift = 0
-                        while True:
-                            b = sub[q]
-                            q += 1
-                            l2 |= (b & 0x7F) << shift
-                            shift += 7
-                            if not b & 0x80:
-                                break
+                        l2, q = _read_varint(sub, q)
                         if k2 >> 3 == 1:
                             vmsg = sub[q:q + l2]
                             q += l2
@@ -233,8 +221,9 @@ def read_scalars(path: str) -> dict:
                                 k3 = vmsg[r]
                                 r += 1
                                 if k3 >> 3 == 1 and k3 & 7 == 2:
-                                    l3 = vmsg[r]
-                                    r += 1
+                                    # tag length is a varint: one raw byte
+                                    # breaks on tags >= 128 chars
+                                    l3, r = _read_varint(vmsg, r)
                                     tag = vmsg[r:r + l3].decode()
                                     r += l3
                                 elif k3 >> 3 == 2 and k3 & 7 == 5:

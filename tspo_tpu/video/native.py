@@ -60,6 +60,12 @@ def _load():
                 lib._has_pool = True
             except AttributeError:
                 lib._has_pool = False
+            try:  # per-decoder ffmpeg thread budget — absent in stale builds
+                lib.tspo_set_decode_threads.argtypes = [ctypes.c_int]
+                lib.tspo_set_decode_threads.restype = None
+                lib._has_thread_budget = True
+            except AttributeError:
+                lib._has_thread_budget = False
             try:  # audio path (audio.cpp) — absent in stale builds
                 lib.tspo_audio_probe.argtypes = [
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
@@ -118,6 +124,12 @@ class DecodePool:
         self._lib = lib
         self._pool = lib.tspo_pool_create(int(workers))
         self._bufs = {}          # job id -> (out array, idx array, n)
+        if getattr(lib, "_has_thread_budget", False):
+            # split the host's cores across the pool's concurrent gathers:
+            # without this every gather frame-threads to ALL cores, and the
+            # pool multiplies to workers x cores ffmpeg threads
+            budget = max(1, (os.cpu_count() or 1) // max(int(workers), 1))
+            lib.tspo_set_decode_threads(budget)
 
     def submit(self, path: str, indices: np.ndarray) -> int:
         nframes, _, w, h = info(path)
@@ -151,7 +163,11 @@ class DecodePool:
 
     def result(self, job: int) -> np.ndarray:
         got = self._lib.tspo_pool_wait(self._pool, job)
-        out, _idx, n = self._bufs.pop(job)
+        entry = self._bufs.pop(job, None)
+        if entry is None:
+            raise IOError(f"unknown or already-consumed pool job {job} "
+                          f"({got})")
+        out, _idx, n = entry
         if got != n:
             raise IOError(f"native pool gather failed ({got})")
         return out
@@ -166,6 +182,8 @@ class DecodePool:
                 self._bufs.pop(job, None)
             self._lib.tspo_pool_destroy(self._pool)
             self._pool = None
+            if getattr(self._lib, "_has_thread_budget", False):
+                self._lib.tspo_set_decode_threads(0)   # back to all cores
 
     def __enter__(self):
         return self
