@@ -332,6 +332,24 @@ def test_llava_config_from_llama_hf_dict():
     assert cfg_m.lm.sliding_window == 4096 and cfg_m.lm.num_kv_heads == 2
 
 
+def test_llava_config_rejects_nonlinear_rope_scaling():
+    """Only HF 'linear' rope scaling is implemented; a yarn/llama3 config
+    must fail loudly instead of misapplying its factor as a position
+    divisor (silent garbage generations otherwise)."""
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig
+    hf = {"model_type": "llava",
+          "vocab_size": 32000, "hidden_size": 64, "intermediate_size": 128,
+          "num_hidden_layers": 2, "num_attention_heads": 4}
+    for bad in ({"rope_type": "llama3", "factor": 8.0},
+                {"type": "yarn", "factor": 4.0}):
+        with pytest.raises(ValueError, match="rope_scaling"):
+            LLaVAVideoConfig.from_hf_config(dict(hf, rope_scaling=bad))
+    # both spellings of linear are accepted
+    cfg = LLaVAVideoConfig.from_hf_config(
+        dict(hf, rope_scaling={"rope_type": "linear", "factor": 2.0}))
+    assert cfg.lm.rope_scaling_factor == 2.0
+
+
 def test_harness_loglikelihood_dispatch_tiny_backbone(jax_model, tmp_path):
     """evaluate_task with request_type='loglikelihood' reaches the backbone's
     loglikelihood and answers by argmax choice (VERDICT r1 Missing #2)."""
@@ -420,3 +438,46 @@ def test_speculative_capacity_clamp_and_fallback(jax_model):
             jax_model, speculative=True, draft_len=4,
             cfg=dataclasses.replace(jax_model.cfg, max_context=ctx))
         assert tight.generate(frames, q, max_new_tokens=8) == plain
+
+
+def test_generate_cache_capacity_guard(jax_model):
+    """Writes past max_context would be silently clamped onto the last KV
+    slot by dynamic_update_slice: a prompt that fills the whole context must
+    raise, and an over-budget max_new must truncate to the headroom (prefix-
+    exact vs asking for exactly the headroom)."""
+    import dataclasses
+    frames = np.random.default_rng(4).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    q = "Pick one: A. up B. down"
+    ids = tokenize_with_image(jax_model._prompt(q), jax_model.encode,
+                              jax_model.bos_token_id)
+    S = jax_model.splice_embeddings(ids, jax_model.encode_video(frames),
+                                    None).shape[1]
+    full = dataclasses.replace(
+        jax_model, cfg=dataclasses.replace(jax_model.cfg, max_context=S))
+    with pytest.raises(ValueError, match="no cache slot"):
+        full.generate(frames, q, max_new_tokens=4)
+    want = jax_model.generate(frames, q, max_new_tokens=3)
+    tight = dataclasses.replace(
+        jax_model, cfg=dataclasses.replace(jax_model.cfg, max_context=S + 3))
+    assert tight.generate(frames, q, max_new_tokens=10) == want
+    # batched path shares the guard
+    with pytest.raises(ValueError, match="no cache slot"):
+        full.generate_batch([frames, frames], q, max_new_tokens=4)
+
+
+def test_generate_rejects_zero_max_new(jax_model):
+    frames = np.random.default_rng(5).integers(
+        0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        jax_model.generate(frames, "q", max_new_tokens=0)
+
+
+def test_generate_custom_prompt_without_image_raises(jax_model):
+    """A custom prompt missing <image> used to silently drop the video
+    (text-only embeddings, hallucinated answer); it must refuse instead,
+    matching the audio path's missing-sentinel error."""
+    frames = np.random.default_rng(6).integers(
+        0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="<image>"):
+        jax_model.generate(frames, "", prompt="Describe the video.")

@@ -9,7 +9,8 @@ import optax
 
 from tspo_tpu.models.qwen2 import (KVCache, Qwen2Config, add_lora,
                                    embed_tokens, init_qwen2_params,
-                                   lora_param_mask, merge_lora, qwen2_forward)
+                                   lora_param_mask, merge_lora,
+                                   quantize_qwen2_params, qwen2_forward)
 from tspo_tpu.train.finetune import IGNORE_INDEX, lora_optimizer, sft_loss
 
 
@@ -82,3 +83,40 @@ def test_merge_lora_matches_adapter_forward():
     np.testing.assert_allclose(_forward(params, cfg, ids),
                                _forward(merged, cfg, ids),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_merge_lora_on_quantized_base():
+    """quantize -> add_lora -> merge_lora used to KeyError on 'kernel';
+    now the delta folds into a dequant/requant round-trip and the merged
+    model stays int8 with a forward close to the runtime-adapter one."""
+    cfg = Qwen2Config.tiny()
+    params = quantize_qwen2_params(
+        init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    lp = add_lora(params, jax.random.PRNGKey(1), rank=4)
+    lp = jax.tree_util.tree_map_with_path(
+        lambda path, x: (jnp.ones_like(x) * 0.01
+                         if str(getattr(path[-1], "key", "")) == "lora_b"
+                         else x), lp)
+    merged = merge_lora(lp)
+    q = merged["layers"]["q"]
+    assert "lora_a" not in q and "kernel" not in q
+    assert q["kernel_q"].dtype == jnp.int8
+    ids = [5, 6, 7, 8]
+    ref = _forward(lp, cfg, ids)
+    got = _forward(merged, cfg, ids)
+    # requantization noise bounds the diff, not exact equality
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.05
+
+
+def test_merge_lora_quantized_zero_delta_roundtrip():
+    """With B=0 the quantized merge is a pure dequant->requant round-trip:
+    the int8 codes must come back essentially unchanged."""
+    cfg = Qwen2Config.tiny()
+    params = quantize_qwen2_params(
+        init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    merged = merge_lora(add_lora(params, jax.random.PRNGKey(1), rank=4))
+    for name in ("q", "gate"):
+        a = np.asarray(params["layers"][name]["kernel_q"], np.int32)
+        b = np.asarray(merged["layers"][name]["kernel_q"], np.int32)
+        assert np.abs(a - b).max() <= 1

@@ -56,6 +56,18 @@ def test_positional_encoding_matches_oracle():
     np.testing.assert_allclose(got, oracle_pe(T, C), atol=1e-5)  # fp32 sin/cos
 
 
+def test_positional_encoding_odd_channels():
+    # odd C used to shape-mismatch on the cos lane (floor(C/2) columns vs
+    # ceil(C/2) angle columns); must build and keep the sin/cos split
+    pe = np.asarray(sinusoidal_positional_encoding(8, 5))
+    assert pe.shape == (8, 5)
+    assert np.isfinite(pe).all()
+    # column 0 is sin of freq-0 angles, column 1 the matching cos
+    pos = np.arange(8, dtype=np.float32) / 8.0
+    np.testing.assert_allclose(pe[:, 0], np.sin(pos), atol=1e-6)
+    np.testing.assert_allclose(pe[:, 1], np.cos(pos), atol=1e-6)
+
+
 def test_positional_encoding_padded_prefix():
     # Padded bucket with true_len normalization: the valid prefix must equal
     # the unpadded encoding.

@@ -10,6 +10,22 @@ from tspo_tpu.ops.flash_attention import flash_attention
 from tspo_tpu.ops.pallas_attention import pallas_flash_attention
 
 
+def test_flash_causal_aligns_sequence_ends():
+    """Sq < Sk causal: queries are a SUFFIX of the sequence (incremental
+    decode against a longer key prefix).  Query i must attend to keys
+    [0, i + Sk - Sq], i.e. slicing the self-attention output — q positions
+    used to start at 0, letting the suffix see only key 0."""
+    B, Sk, H, hd, Sq = 2, 48, 2, 8, 5
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, Sk, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sk, H, hd)), jnp.float32)
+    want = flash_attention(q, k, v, causal=True)[:, -Sq:]
+    got = flash_attention(q[:, -Sq:], k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("shape", [(1, 64, 2, 16), (2, 100, 3, 8)])
 def test_pallas_matches_reference(causal, shape):

@@ -64,6 +64,33 @@ def test_small_video_returns_all(scorer):
     np.testing.assert_array_equal(idx, np.arange(10))
 
 
+def test_fused_video_sample_num_exceeds_bucket(scorer):
+    """sample_num above the padded bucket used to crash lax.top_k inside the
+    jitted fused program (reachable from POST /v1/score with a short video);
+    it must clamp losslessly and return every frame."""
+    frames = _frames(40, seed=4)
+    idx, logits = scorer.score_video_fused(frames, "q", sample_num=512)
+    assert logits.shape == (40,)
+    np.testing.assert_array_equal(np.sort(idx), np.arange(40))
+
+
+def test_fused_question_ids_padded_to_one_trace(scorer):
+    """Question ids are right-padded to text.max_positions so the fused
+    programs trace once per bucket, not once per question length — and the
+    padding is exact (causal tower, first-EOS pooling)."""
+    frames = _frames(40, seed=5)
+    feats = np.asarray(scorer.encode_frame_features(frames))
+    eos = CLIP_CFG.text.eos_token_id
+    short = np.array([[3, 5, eos]], np.int32)
+    L = CLIP_CFG.text.max_positions
+    long = np.zeros((1, L), np.int32)
+    long[0, :3] = short[0]
+    idx_a, log_a = scorer.score_features_fused(feats, short, sample_num=8)
+    idx_b, log_b = scorer.score_features_fused(feats, long, sample_num=8)
+    np.testing.assert_array_equal(idx_a, idx_b)
+    np.testing.assert_allclose(log_a, log_b, rtol=1e-5, atol=1e-6)
+
+
 def test_bucket_padding_invariance(scorer):
     """Same video scored through different bucket sizes -> same logits."""
     frames = _frames(60, seed=3)

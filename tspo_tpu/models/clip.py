@@ -303,8 +303,10 @@ def quantize_vision_params(vision_params) -> dict:
     return {**vision_params, "layers": qlayers}
 
 
-def _qlin(p, x):
-    """Dynamic per-tensor activation quant + int8 GEMM + rescale."""
+def dynamic_int8_linear(p, x, out_dtype):
+    """Dynamic per-tensor activation quant + int8 GEMM + rescale (+bias).
+    Shared by the CLIP and SigLIP quantized towers — keep the quant
+    numerics (1e-12 scale floor, symmetric clip) in this one place."""
     x32 = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(x32)) / 127.0 + 1e-12
     xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
@@ -312,7 +314,11 @@ def _qlin(p, x):
                             (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (sx * p["scale"]) +
-            p["bias"].astype(jnp.float32)).astype(jnp.bfloat16)
+            p["bias"].astype(jnp.float32)).astype(out_dtype)
+
+
+def _qlin(p, x):
+    return dynamic_int8_linear(p, x, jnp.bfloat16)
 
 
 def _mha_q(x, lp, heads):

@@ -63,6 +63,23 @@ class LLaVAVideoConfig:
         return cls(lm=Qwen2Config.tiny(), vision=SigLIPConfig.tiny(),
                    max_context=512)
 
+    @staticmethod
+    def _linear_rope_factor(rope_scaling) -> float:
+        """Factor from an HF ``rope_scaling`` dict, accepting only the
+        "linear" scheme (``type``/``rope_type``, either key); yarn/llama3/
+        dynamic would need different rotation math than a position divisor."""
+        if not rope_scaling:
+            return 1.0
+        kind = str(rope_scaling.get("type",
+                                    rope_scaling.get("rope_type",
+                                                     "linear"))).lower()
+        if kind != "linear":
+            raise ValueError(
+                f"rope_scaling type {kind!r} is not supported (only HF "
+                "'linear' scaling is implemented); refusing to misapply "
+                f"factor={rope_scaling.get('factor')} as linear")
+        return float(rope_scaling.get("factor", 1.0))
+
     @classmethod
     def from_hf_config(cls, hf: dict) -> "LLaVAVideoConfig":
         """Build from a LLaVA config.json — LlavaQwen (model_type
@@ -95,9 +112,12 @@ class LLaVAVideoConfig:
             sliding_window=hf.get("sliding_window")
             if "mistral" in family else None,
             # long-context vicuna checkpoints carry HF "linear" rope scaling
-            # (llava_vid_tspo.py:159-174 overwrite_config)
-            rope_scaling_factor=float(
-                (hf.get("rope_scaling") or {}).get("factor", 1.0)))
+            # (llava_vid_tspo.py:159-174 overwrite_config); only linear is
+            # implemented (qwen2._rope divides positions by the factor), so
+            # fail loudly on yarn/llama3/dynamic configs rather than
+            # misapplying their factor as a position divisor
+            rope_scaling_factor=cls._linear_rope_factor(
+                hf.get("rope_scaling")))
         return cls(lm=lm, vision=SigLIPConfig(),
                    pool_stride=hf.get("mm_spatial_pool_stride", 2),
                    mm_newline_position=hf.get("mm_newline_position", "grid"))
@@ -338,6 +358,12 @@ class LLaVAVideoModel:
                              "were provided (pass audio= to generate)")
         sentinel = np.isin(ids, list(blocks))
         if not sentinel.any():
+            if int(video_tokens.shape[0]) > 0:
+                # custom prompt without <image>: refuse rather than silently
+                # generating with no video context (the audio path already
+                # raises for its missing sentinel)
+                raise ValueError("video tokens were provided but the prompt "
+                                 "has no <image> sentinel to splice them at")
             return embed_tokens(lm, jnp.asarray(ids))[None]
         parts, start = [], 0
         ref_dtype = lm["embedding"].dtype
@@ -385,7 +411,10 @@ class LLaVAVideoModel:
         inserted after the <image> line when the default prompt is used."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
-        max_new = max_new_tokens or self.max_new_tokens
+        max_new = self.max_new_tokens if max_new_tokens is None \
+            else max_new_tokens
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         prompt = prompt if prompt is not None else self._prompt(question)
         audio_tokens = None
         if audio is not None:
@@ -411,10 +440,20 @@ class LLaVAVideoModel:
 
         S = embeds.shape[1]
         valid = jnp.ones((1, S), bool)
-        # clamp the draft to the cache headroom: the speculative verify block
-        # needs S + max_new + d slots, so near max_context shrink d (and at
-        # zero headroom fall back to plain greedy, which tolerates truncation)
-        d = min(self.draft_len, self.cfg.max_context - (S + max_new))
+        # decode writes past max_context would be silently clamped by
+        # dynamic_update_slice onto the last cache slot (corrupting the
+        # tail) — refuse a full prompt, truncate the generation budget
+        headroom = self.cfg.max_context - S
+        if headroom < 1:
+            raise ValueError(
+                f"prompt is {S} tokens but max_context={self.cfg.max_context}"
+                ": no cache slot left to generate into (fewer frames, or "
+                "raise max_context)")
+        max_new = min(max_new, headroom)
+        # clamp the draft to the remaining cache headroom: the speculative
+        # verify block needs S + max_new + d slots; at zero residual
+        # headroom fall back to plain greedy
+        d = min(self.draft_len, headroom - max_new)
         if self.speculative and d >= 1:
             from .qwen2 import build_spec_lookup, greedy_decode_speculative
             lookup, lvalid = build_spec_lookup(
@@ -454,7 +493,10 @@ class LLaVAVideoModel:
         trainer (cfg.cross_batch_rollouts) and mixed-question serving."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
-        max_new = max_new_tokens or self.max_new_tokens
+        max_new = self.max_new_tokens if max_new_tokens is None \
+            else max_new_tokens
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
         rows = []
         for frames, question in zip(frames_list, questions):
             prompt = self._prompt(question)
@@ -469,6 +511,13 @@ class LLaVAVideoModel:
         valid = np.zeros((B, S), bool)
         for b, r in enumerate(rows):
             valid[b, : r.shape[0]] = True
+        headroom = self.cfg.max_context - S
+        if headroom < 1:
+            raise ValueError(
+                f"longest prompt is {S} tokens but max_context="
+                f"{self.cfg.max_context}: no cache slot left to generate "
+                "into (fewer frames, or raise max_context)")
+        max_new = min(max_new, headroom)
         max_len = min(self.cfg.max_context, S + max_new + 8)
         cache = KVCache.create(self.cfg.lm, B, max_len, embeds.dtype)
         toks, _ = greedy_decode(self.params["lm"], embeds,

@@ -157,7 +157,12 @@ def add_lora(params, rng, rank: int = 16, alpha: float = 32.0,
 
 
 def merge_lora(params) -> dict:
-    """Fold adapters into the base kernels (peft merge_and_unload)."""
+    """Fold adapters into the base kernels (peft merge_and_unload).
+
+    Works on float kernels and on int8 weight-only layers (add_lora
+    supports both): a quantized base is dequantized (kernel_q * scale),
+    the delta folded in, and the result requantized with the same
+    per-output-channel scheme — the merged model stays int8."""
     layers = dict(params["layers"])
     for name, p in list(layers.items()):
         if isinstance(p, dict) and "lora_a" in p:
@@ -165,8 +170,16 @@ def merge_lora(params) -> dict:
             a, b = p.pop("lora_a"), p.pop("lora_b")
             scale = p.pop("lora_scale")
             delta = jnp.einsum("lir,lro->lio", a, b) * scale[:, None, None]
-            p["kernel"] = (p["kernel"].astype(jnp.float32)
-                           + delta).astype(p["kernel"].dtype)
+            if "kernel" in p:
+                p["kernel"] = (p["kernel"].astype(jnp.float32)
+                               + delta).astype(p["kernel"].dtype)
+            else:
+                deq = (p.pop("kernel_q").astype(jnp.float32)
+                       * p.pop("scale")[:, None, :]) + delta   # [L, fi, fo]
+                s = jnp.abs(deq).max(axis=-2, keepdims=True) / 127.0 + 1e-12
+                p["kernel_q"] = jnp.clip(jnp.round(deq / s),
+                                         -127, 127).astype(jnp.int8)
+                p["scale"] = jnp.squeeze(s, -2)
             layers[name] = p
     return {**params, "layers": layers}
 

@@ -432,11 +432,23 @@ class Qwen25VLModel:
                                decode_pos_start=decode_start)
 
         S = emb.shape[0]
-        max_new = max_new_tokens or self.max_new_tokens
-        # same capacity clamp as llava_video.generate: the speculative guard
-        # needs S + max_new + d cache slots; shrink d near max_context and
-        # fall back to plain greedy at zero headroom
-        d = min(self.draft_len, c.max_context - (S + max_new))
+        max_new = self.max_new_tokens if max_new_tokens is None \
+            else max_new_tokens
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
+        # same capacity handling as llava_video.generate: decode writes past
+        # max_context would silently clamp onto the last cache slot, so
+        # refuse a full prompt and truncate the generation budget; then
+        # shrink the speculative draft to the residual headroom (plain
+        # greedy at zero residual)
+        headroom = c.max_context - S
+        if headroom < 1:
+            raise ValueError(
+                f"prompt is {S} tokens but max_context={c.max_context}: no "
+                "cache slot left to generate into (fewer frames, or raise "
+                "max_context)")
+        max_new = min(max_new, headroom)
+        d = min(self.draft_len, headroom - max_new)
         if self.speculative and d >= 1:
             from .qwen2 import build_spec_lookup, greedy_decode_speculative
             lookup, lvalid = build_spec_lookup(

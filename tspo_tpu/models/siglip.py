@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.hf_port import state_dict_of, stack_layers
+from .clip import _layer_norm, dynamic_int8_linear
 
 
 @dataclass(frozen=True)
@@ -48,30 +49,15 @@ class SigLIPConfig:
                    image_size=32)
 
 
-def _layer_norm(x, scale, bias, eps):
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
-
-
 def _gelu_tanh(x):
     return jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
 
 
 def _lin(p, x):
     """Linear on bf16 kernels or weight-only/activation int8 (kernel_q+scale,
-    same scheme as models/clip.py quantized tower)."""
+    the shared models/clip.py quant scheme)."""
     if "kernel_q" in p:
-        x32 = x.astype(jnp.float32)
-        sx = jnp.max(jnp.abs(x32)) / 127.0 + 1e-12
-        xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(xq, p["kernel_q"],
-                                (((x.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return (y.astype(jnp.float32) * (sx * p["scale"]) +
-                p["bias"].astype(jnp.float32)).astype(x.dtype)
+        return dynamic_int8_linear(p, x, x.dtype)
     return x @ p["kernel"] + p["bias"]
 
 

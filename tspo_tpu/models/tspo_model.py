@@ -172,6 +172,23 @@ class TSPOScorer:
 
     # -- feature extraction -------------------------------------------------
 
+    def _pad_ids(self, ids, mask=None):
+        """Right-pad token ids (and mask) to the text tower's max_positions
+        so every jitted consumer traces ONCE instead of once per question
+        token length (a tokenizer padding only to the longest-in-batch gives
+        a distinct length per question).  Exact: the tower is causal and
+        pools at the first EOS, so positions after it contribute nothing."""
+        ids = np.atleast_2d(np.asarray(ids))
+        if mask is not None:
+            mask = np.atleast_2d(np.asarray(mask))
+        L = self.clip_cfg.text.max_positions
+        if ids.shape[-1] < L:
+            pad = [(0, 0), (0, L - ids.shape[-1])]
+            ids = np.pad(ids, pad)
+            if mask is not None:
+                mask = np.pad(mask, pad)
+        return ids[:, :L], (None if mask is None else mask[:, :L])
+
     def encode_text_features(self, problem: str | np.ndarray) -> jnp.ndarray:
         if isinstance(problem, str):
             if self.tokenize is None:
@@ -179,10 +196,8 @@ class TSPOScorer:
             ids, mask = self.tokenize(problem)
         else:
             ids, mask = problem, None
-        ids = jnp.asarray(ids)
-        if ids.ndim == 1:
-            ids = ids[None]
-        return encode_text(self.clip_params, ids,
+        ids, mask = self._pad_ids(ids, mask)
+        return encode_text(self.clip_params, jnp.asarray(ids),
                            None if mask is None else jnp.asarray(mask),
                            self.clip_cfg.text)
 
@@ -248,6 +263,7 @@ class TSPOScorer:
             ids, _ = self.tokenize(problem)
         else:
             ids = problem
+        ids, _ = self._pad_ids(ids)
         T = int(image_feat.shape[0])
         bucket = bucket_for(T, self.frame_buckets)
         feat_p, valid = pad_to_bucket(np.asarray(image_feat, np.float32),
@@ -316,18 +332,22 @@ class TSPOScorer:
             ids, _ = self.tokenize(problem)
         else:
             ids = problem
+        ids, _ = self._pad_ids(ids)
         T = frames.shape[0]
         bucket = bucket_for(T, self.frame_buckets)
         bucket = -(-bucket // self.batch_frames) * self.batch_frames
         fpad, valid = pad_to_bucket(np.asarray(frames), bucket)
         ws = self.selector_cfg.window_size if window_size is None else window_size
         tau = self.selector_cfg.score_tau if score_tau is None else score_tau
+        # lax.top_k needs k <= bucket (same clamp as score_features_fused);
+        # the valid-count already truncates short videos, so this is lossless
+        k = min(int(sample_num), int(fpad.shape[0]))
         idx, count, logits = fused_score_program(
             self.clip_params, self.selector_params, jnp.asarray(fpad),
             jnp.asarray(ids), jnp.asarray(valid), jnp.float32(tau),
             vision_cfg=self.clip_cfg.vision, text_cfg=self.clip_cfg.text,
             selector_cfg=self.selector_cfg, chunk=self.batch_frames,
-            window_size=ws, sample_num=sample_num, dtype=self.dtype,
+            window_size=ws, sample_num=k, dtype=self.dtype,
             quantized=self.quantized)
         return (np.asarray(idx)[: int(count)], np.asarray(logits)[:T])
 

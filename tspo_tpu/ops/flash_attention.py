@@ -54,7 +54,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vp = vp.reshape(B, n_k, kc, H, hd)
     vk = vk.reshape(B, n_k, kc)
 
-    q_pos = jnp.arange(n_q * qc).reshape(n_q, qc)
+    # align sequence ENDS (the documented causal contract): query i sits at
+    # absolute position i + (Sk - Sq), so Sq < Sk means a suffix of queries
+    # against a longer key prefix (incremental decode); Sq == Sk is standard
+    # self-attention with a zero offset
+    q_pos = jnp.arange(n_q * qc).reshape(n_q, qc) + (Sk - Sq)
     k_pos = jnp.arange(n_k * kc).reshape(n_k, kc)
 
     def per_q_chunk(qi):

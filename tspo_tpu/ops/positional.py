@@ -34,5 +34,6 @@ def sinusoidal_positional_encoding(padded_len: int, channels: int,
     angles = pos * div[None, :]                                     # [T, half]
     pe = jnp.zeros((padded_len, channels), jnp.float32)
     pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, : channels - half]))
+    # cos lane has floor(C/2) columns; for odd C angles carries one extra
+    pe = pe.at[:, 1::2].set(jnp.cos(angles[:, :half]))
     return pe.astype(dtype)
