@@ -68,6 +68,25 @@ def test_train_cli_toy(workspace, capsys):
     assert "trained 2 steps" in capsys.readouterr().out
 
 
+def test_train_cli_batched_honors_epochs(workspace, capsys):
+    """--num-train-epochs with --batch-size: the batched loop must derive
+    its length from epochs x ceil(N/BW) (HF Trainer semantics), not run the
+    default --max-steps (the round-3 review found it trained 500x too long
+    on short datasets)."""
+    out = workspace / "train_out_epochs"
+    train_cli.main([
+        "--toy-jsonl-path", str(workspace / "toy.jsonl"),
+        "--video-folder", str(workspace),
+        "--backbone", "stub", "--tiny", "--batch-size", "2",
+        "--num-train-epochs", "1",
+        "--num-generations", "2", "--training-sample-len", "4",
+        "--window-size", "4",
+        "--output-dir", str(out),
+    ])
+    # 2-row dataset, batch 2, world 1 -> 1 step per epoch
+    assert "trained 1 steps" in capsys.readouterr().out
+
+
 def test_precompute_and_evaluate_cli(workspace, capsys):
     out_json = str(workspace / "Bench_frameIdx.json")
     precompute_cli.main([

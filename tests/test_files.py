@@ -63,7 +63,28 @@ def test_dump_json_withlock(tmp_path):
         t.join()
     assert not errs
     assert "writer" in json.load(open(p))
-    assert not os.path.exists(p + ".lock")
+
+
+def test_dump_json_withlock_survives_killed_holder(tmp_path):
+    """A leftover .lock sidecar from a dead writer must not block anyone:
+    flock dies with its holder, so acquisition succeeds immediately (the
+    old mtime-stale protocol is gone along with its unlink race)."""
+    p = str(tmp_path / "out.json")
+    open(p + ".lock", "w").close()          # orphaned sidecar, no holder
+    dump_json_withlock({"ok": 1}, p, timeout=1)
+    assert json.load(open(p)) == {"ok": 1}
+
+
+def test_dump_json_withlock_times_out_against_live_holder(tmp_path):
+    import fcntl
+    p = str(tmp_path / "out.json")
+    fd = os.open(p + ".lock", os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError):
+            dump_json_withlock({"ok": 1}, p, timeout=0.3)
+    finally:
+        os.close(fd)
 
 
 def test_track_progress_ordered_and_saved(tmp_path):

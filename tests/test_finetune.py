@@ -158,3 +158,37 @@ def test_dpo_learns_preference(tiny_lm):
         p, state, loss, metrics = step(p, params, state, chosen, rejected)
     assert float(metrics["rewards_chosen"]) > float(metrics["rewards_rejected"])
     assert float(loss) < float(np.log(2))
+
+
+def test_losses_differentiable_past_flash_threshold(monkeypatch):
+    """Length buckets >= 512 cross qwen2_forward's flash threshold; on TPU
+    the "auto" impl picks the Pallas kernel, which has NO differentiation
+    rule — sft_loss/completion_logprob must pin flash_impl="jax".  Simulate
+    the TPU dispatch decision and assert the kernel is never reached while
+    grads still flow."""
+    import dataclasses
+
+    import tspo_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel reached from a training loss")
+
+    monkeypatch.setattr(pa, "pallas_flash_attention", boom)
+    # distinct cfg -> fresh trace under the patched backend
+    cfg = dataclasses.replace(Qwen2Config.tiny(), vocab_size=97)
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, S = 1, 512
+    embeds = jax.random.normal(jax.random.PRNGKey(1),
+                               (B, S, cfg.hidden_size), jnp.float32) * 0.02
+    labels = jnp.where(jnp.arange(S)[None] % 3 == 0, 5, IGNORE_INDEX)
+    valid = jnp.ones((B, S), bool)
+    loss, grads = jax.value_and_grad(sft_loss)(params, embeds, labels,
+                                               valid, cfg)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["layers"]["q"]["kernel"])
+    assert np.abs(g).max() > 0
+    lp = jax.grad(lambda p: completion_logprob(p, embeds, labels, valid,
+                                               cfg).sum())(params)
+    assert np.isfinite(np.asarray(lp["layers"]["q"]["kernel"]).max())

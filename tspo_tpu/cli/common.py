@@ -116,13 +116,15 @@ def _stub_tokenizer(eos: int = 49407, length: int = 16, vocab: int | None = None
 def load_backbone(kind: str, model_path: str | None = None, **kw):
     """Backbone adapter factory: 'stub' (testing), 'llava_video' (jax),
     'qwen2_5_vl' (jax)."""
-    # conv_template/speculative only apply to the llava family; strip for
-    # others (qwen2_5_vl's adapter has its own kwargs)
+    # conv_template/speculative/max_frames_num only apply to the llava
+    # family; strip for others (qwen2_5_vl's adapter has its own kwargs)
     _conv_template = kw.pop("conv_template", None)
     _speculative = kw.pop("speculative", False)
+    _max_frames = kw.pop("max_frames_num", 64)
     if kind == "llava_video":
         kw["conv_template"] = _conv_template
         kw["speculative"] = _speculative
+        kw["max_frames_num"] = _max_frames
     if kind == "stub":
         class Stub:
             def generate(self, frames, prompt):
@@ -140,6 +142,7 @@ def load_backbone(kind: str, model_path: str | None = None, **kw):
         else:
             hf, cfg = {}, LLaVAVideoConfig()
         conv_template = kw.pop("conv_template", None)
+        max_frames_num = kw.pop("max_frames_num", 64)
         if "vicuna" in str(model_path).lower() or \
                 "yi" in str(model_path).lower():
             # old vicuna/yi checkpoints: adapter-default template + computed
@@ -148,7 +151,7 @@ def load_backbone(kind: str, model_path: str | None = None, **kw):
             if cfg.lm.rope_scaling_factor == 1.0:
                 from ..models.conversation import vicuna_rope_overrides
                 over = vicuna_rope_overrides(
-                    kw.pop("max_frames_num", 64),
+                    max_frames_num,
                     cfg.pool_stride,
                     vision_224="224" in str(hf.get("mm_vision_tower", "")))
                 if over:

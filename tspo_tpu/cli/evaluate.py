@@ -66,7 +66,10 @@ def build_parser():
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
     p.add_argument("--output", default="eval_results")
-    p.add_argument("--log-samples", action="store_true", default=True)
+    p.add_argument("--log-samples", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-log-samples writes metrics only (smaller "
+                        "output, lighter multi-host gather)")
     p.add_argument("--judge", default=None,
                    help="LLM-judge provider for judged tasks like "
                         "ActivityNet-QA: openai|azure|local|dummy "
@@ -167,7 +170,10 @@ def main(argv=None):
             print(f"[config] run {i + 1}/{len(runs)}: task={run_args.task}")
             try:
                 _run(run_args)
-            except Exception as e:  # noqa: BLE001 — sweep keeps going
+            # SystemExit too: a misconfigured run reaches parser.error()
+            # (exit 2), which is a BaseException and would otherwise kill
+            # the remaining sweep entries
+            except (Exception, SystemExit) as e:  # noqa: BLE001 — sweep keeps going
                 import traceback
                 traceback.print_exc()
                 print(f"[config] run {i + 1} failed: {e}")
@@ -192,9 +198,12 @@ def _run(args):
     if args.world == 1:
         from ..parallel.multihost import process_shard
         args.rank, args.world = process_shard()
+    # max_frames_num feeds the vicuna/yi rope-scaling override (factor is
+    # derived from the frame budget — llava_vid_tspo.py:159-174)
     backbone = load_backbone(args.backbone, args.backbone_path,
                              conv_template=args.conv_template,
-                             speculative=args.speculative)
+                             speculative=args.speculative,
+                             max_frames_num=args.max_frames_num)
     _register_judged_task(args, backbone)
     scorer = None
     if args.live_model_path:

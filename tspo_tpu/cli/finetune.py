@@ -89,13 +89,16 @@ def main(argv=None):
     from ..train.finetune import (make_dpo_step_ids, make_sft_step_ids,
                                   pad_to_length_bucket, preprocess_chatml)
 
+    from .common import load_jsonl
+
     cfg = Qwen2Config.tiny() if args.tiny else Qwen2Config.llava_video_7b()
     encode, specials = _load_tokenizer(args.tokenizer_path)
-    rows = [json.loads(line) for line in open(args.data_jsonl)]
+    rows = load_jsonl(args.data_jsonl)   # blank-line tolerant, shared impl
 
     if args.backbone_path:
         import torch
-        sd = torch.load(args.backbone_path, map_location="cpu")
+        sd = torch.load(args.backbone_path, map_location="cpu",
+                        weights_only=True)
         params = qwen2_params_from_torch(sd, cfg, jnp.float32, prefix="model.")
     else:
         params = init_qwen2_params(jax.random.PRNGKey(args.seed), cfg,

@@ -80,11 +80,13 @@ def main(argv=None):
     results = pre.run(ds, shard=(args.rank, args.world), rerun=args.rerun,
                       progress=lambda qid: done.append(qid) or (
                           len(done) % 25 == 0 and print(f"{len(done)} done")))
-    print(f"{len(results)} questions scored -> {pre._supp_path(args.data)}")
-    errs = pre.load_errors(args.data)
+    shard = (args.rank, args.world)
+    print(f"{len(results)} questions scored -> "
+          f"{pre._supp_path(args.data, shard)}")
+    errs = pre.load_errors(args.data, shard)
     if errs:
         print(f"{len(errs)} questions FAILED (see "
-              f"{pre._errors_path(args.data)}): "
+              f"{pre._errors_path(args.data, shard)}): "
               + ", ".join(list(errs)[:5]) + ("..." if len(errs) > 5 else ""))
     if args.anno_json and args.out_json:
         merged = pre.emit_frame_idx_json(args.data, load_json(args.anno_json),

@@ -164,12 +164,22 @@ def _train_batched(trainer, args) -> list:
     # enter them or rank 0 deadlocks in the sync barrier; npz writes are
     # single-file and stay rank-0-only.
     save_all_ranks = trainer.cfg.ckpt_backend == "orbax"
+    # honor --num-train-epochs like the unbatched path (reference HF
+    # Trainer semantics: epochs set the run length, --max-steps only caps
+    # it); one batched step consumes B x world samples
+    if trainer.cfg.num_train_epochs:
+        steps_per_epoch = -(-len(order) // stride)
+        n_steps = int(np.ceil(trainer.cfg.num_train_epochs * steps_per_epoch))
+        if args.max_steps:
+            n_steps = min(n_steps, args.max_steps)
+    else:
+        n_steps = args.max_steps
     # pin the tau anneal horizon to THIS loop's length (resume-aware) —
     # otherwise _tau() derives it from min(max_steps, len(dataset)) and a
     # run longer than the dataset plateaus early / would overshoot the
     # schedule (anneal_tau also clamps as a backstop)
-    trainer.total_steps = trainer.step + args.max_steps
-    for step in range(args.max_steps):
+    trainer.total_steps = trainer.step + n_steps
+    for step in range(n_steps):
         base = (step * stride) % len(order)
         picks = [int(order[(base + rank * B + j) % len(order)])
                  for j in range(B)]

@@ -263,7 +263,7 @@ def _attention(q, k, v, mask_bias):
 def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                   positions: jnp.ndarray, attn_valid: jnp.ndarray,
                   cfg: Qwen2Config, rope_cos_sin: tuple | None = None,
-                  flash_threshold: int = 512):
+                  flash_threshold: int = 512, flash_impl: str = "auto"):
     """Run the decoder over ``embeds`` [B, S, D] appended after the cache.
 
     positions:  [S] rope positions of the new tokens.
@@ -278,6 +278,10 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
     Long-prompt prefill (S >= ``flash_threshold``, which only happens at
     start == 0) switches to chunked flash attention — a 64-frame LLaVA-Video
     prompt is ~12k tokens, where dense [H, S, T] scores would cost ~16 GB.
+    ``flash_impl``: "auto" picks the Pallas kernel on TPU (inference-only:
+    pallas_call has no differentiation rule); "jax" pins the pure-JAX
+    online-softmax flash, which autodiff handles — training losses that may
+    cross flash_threshold (SFT/DPO length buckets >= 512) must use it.
     """
     B, S, D = embeds.shape
     T = cache.k.shape[2]
@@ -337,7 +341,7 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                                            (0, start, 0, 0))
 
         if use_flash:
-            if jax.default_backend() == "tpu":
+            if flash_impl == "auto" and jax.default_backend() == "tpu":
                 # Pallas GQA flash: no KV repeat, bf16 MXU + fp32 accumulate,
                 # causal block skip — 6.2x over the XLA flash at the B=8
                 # P=3200 rollout shape (368 vs 2271 ms/28 layers,

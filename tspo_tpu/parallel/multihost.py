@@ -41,31 +41,32 @@ def process_shard() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
-def gather_host_objects(obj, max_bytes: int = 1 << 24) -> list | None:
-    """Gather a small picklable object from every host onto host 0.
+def gather_host_objects(obj) -> list | None:
+    """Gather a picklable object from every host onto host 0.
 
-    Returns the list of per-host objects on host 0, None elsewhere.  Uses a
-    fixed-size uint8 all-gather through the device mesh (replaces
-    torch.distributed.gather_object, evaluator.py:612-626).
+    Returns the list of per-host objects on host 0, None elsewhere.  A
+    two-phase uint8 all-gather through the device mesh (replaces
+    torch.distributed.gather_object, evaluator.py:612-626): hosts first
+    agree on the largest payload size, then gather buffers of exactly that
+    size — no fixed cap that could discard a completed multi-host eval
+    whose samples outgrew it (payload size is bounded by host memory, as
+    with the reference's gather_object).
     """
     if jax.process_count() == 1:
         return [obj]
     from jax.experimental import multihost_utils
 
     payload = pickle.dumps(obj)
-    if len(payload) > max_bytes - 8:
-        raise ValueError(f"object too large to gather ({len(payload)} bytes)")
-    buf = np.zeros(max_bytes, np.uint8)
-    buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
-    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64))
+    cap = int(np.max(sizes))
+    buf = np.zeros(cap, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     gathered = multihost_utils.process_allgather(buf)
     if jax.process_index() != 0:
         return None
-    out = []
-    for row in gathered:
-        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
-        out.append(pickle.loads(row[8:8 + n].tobytes()))
-    return out
+    return [pickle.loads(row[: int(n)].tobytes())
+            for row, n in zip(gathered, np.asarray(sizes).reshape(-1))]
 
 
 def barrier(name: str = "barrier"):

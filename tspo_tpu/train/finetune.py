@@ -110,7 +110,8 @@ def sft_loss(params, embeds: jnp.ndarray, labels: jnp.ndarray,
     (IGNORE_INDEX at video/user positions), valid [B, S] padding mask."""
     B, S, D = embeds.shape
     cache = KVCache.create(cfg, B, S, embeds.dtype)
-    hidden, _ = qwen2_forward(params, embeds, cache, jnp.arange(S), valid, cfg)
+    hidden, _ = qwen2_forward(params, embeds, cache, jnp.arange(S), valid,
+                              cfg, flash_impl="jax")
     logits = lm_logits(params, hidden[:, :-1], cfg)         # [B, S-1, V]
     targets = labels[:, 1:]
     mask = (targets != IGNORE_INDEX) & valid[:, 1:]
@@ -131,7 +132,8 @@ def completion_logprob(params, embeds: jnp.ndarray, labels: jnp.ndarray,
     ``get_batch_logps`` with average_log_prob=False."""
     B, S, D = embeds.shape
     cache = KVCache.create(cfg, B, S, embeds.dtype)
-    hidden, _ = qwen2_forward(params, embeds, cache, jnp.arange(S), valid, cfg)
+    hidden, _ = qwen2_forward(params, embeds, cache, jnp.arange(S), valid,
+                              cfg, flash_impl="jax")
     logits = lm_logits(params, hidden[:, :-1], cfg)
     targets = labels[:, 1:]
     mask = (targets != IGNORE_INDEX) & valid[:, 1:]

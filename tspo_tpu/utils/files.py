@@ -121,38 +121,35 @@ def load(path: str):
     raise ValueError(f"unsupported extension: {path}")
 
 
-def dump_json_withlock(data, path: str, timeout: float = 5,
-                       stale: float = 30, **kw):
+def dump_json_withlock(data, path: str, timeout: float = 5, **kw):
     """Locked json write (reference files.py:167-177, portalocker): safe for
     concurrent per-rank writers appending to a shared results file.
 
-    The reference's portalocker released its OS lock on process death; an
-    O_EXCL lockfile does not, so a writer SIGKILLed mid-hold would deadlock
-    every future writer.  A lockfile older than ``stale`` seconds (legit
-    holds are sub-second json dumps) is treated as orphaned and broken.
+    Kernel-arbitrated ``flock`` on a persistent sidecar, like the
+    reference's portalocker: the lock dies with the holder (a SIGKILLed
+    writer cannot deadlock future writers), and there is no stale-age
+    breaking protocol — an earlier mtime-based breaker had a
+    check-then-unlink race that could delete a freshly acquired lock and
+    let two writers interleave on the shared file.
     """
+    import fcntl
+
     lock_path = path + ".lock"
     deadline = time.time() + timeout
-    fd = None
-    while True:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock_path) > stale:
-                    os.unlink(lock_path)   # orphaned by a dead writer
-                    continue
-            except OSError:
-                continue                   # holder released it meanwhile
-            if time.time() > deadline:
-                raise TimeoutError(f"lock {lock_path} held past {timeout}s")
-            time.sleep(0.05)
+    fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"lock {lock_path} held past {timeout}s")
+                time.sleep(0.05)
         dump(data, path, **kw)
     finally:
-        os.close(fd)
-        os.unlink(lock_path)
+        os.close(fd)   # releases the flock; the sidecar file persists
 
 
 def download_file(url: str, filename: str | None = None) -> str:
