@@ -77,6 +77,15 @@ def _mha(x, lp, heads, mask=None, attn_impl: str = "xla"):
     return ctx @ lp["o"]["kernel"] + lp["o"]["bias"]
 
 
+# How many stacked layers lax.scan unrolls per step.  1 = one compiled
+# block (fast compiles).  Benchmarked at the production fused-program shape
+# (scripts/bench_scan_unroll.py): unrolling lets XLA fuse the residual add
+# of layer i with layer i+1's layernorm, trimming the scan-step fusion
+# boundary the attribution ledger attributes ~170 ms/bucket to.  Module
+# global (not an arg) so every jitted caller picks it up at trace time.
+SCAN_UNROLL = 1
+
+
 def _encoder(x, layers_params, heads, eps, mask=None, attn_impl: str = "xla"):
     """lax.scan over weight-stacked transformer layers (pre-LN, QuickGELU)."""
 
@@ -90,7 +99,7 @@ def _encoder(x, layers_params, heads, eps, mask=None, attn_impl: str = "xla"):
         h = h @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
         return r + h, None
 
-    out, _ = jax.lax.scan(block, x, layers_params)
+    out, _ = jax.lax.scan(block, x, layers_params, unroll=SCAN_UNROLL)
     return out
 
 
