@@ -60,7 +60,7 @@ def main():
         try:
             t0 = time.perf_counter()
             idx = run()
-            compile_s = time.perf_counter() - t0
+            first_call_s = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"unroll": unroll, "error": str(e)[:200]}),
                   flush=True)
@@ -71,10 +71,19 @@ def main():
         for _ in range(5):
             run()
         dt = (time.perf_counter() - t0) / 5
+        # first_call includes one device execution + host fetch; subtracting
+        # a steady-state run isolates (approximate) compile time
         print(json.dumps({"unroll": unroll,
                           "frames_per_sec": round(BUCKET / dt, 1),
-                          "compile_s": round(compile_s, 1),
-                          "idx_match": bool((idx == baseline_idx).all())}),
+                          "first_call_s": round(first_call_s, 1),
+                          "compile_s_approx": round(first_call_s - dt, 1),
+                          # unrolling reorders fusions/reductions, so
+                          # near-tied bf16 logits may legitimately swap
+                          # top-k order — a False here can be a tie artifact,
+                          # not a wrong result
+                          "idx_match": bool((idx == baseline_idx).all()),
+                          "idx_overlap": int(
+                              len(np.intersect1d(idx, baseline_idx)))}),
               flush=True)
     clip_mod.SCAN_UNROLL = 1
 

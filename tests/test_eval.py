@@ -287,6 +287,45 @@ def test_harness_live_scoring(precompute_run, scorer):
     assert backbone.calls[0][0][0] == 8
 
 
+def test_live_clip_query_matches_precompute(bench_dir, tmp_path):
+    """Live-scored frame_idx == precomputed frame_idx for docs whose question
+    field embeds options text (round-3 VERDICT weak #5): the harness must
+    strip at "\\nOptions" exactly like phase-1 (datasets.py::problem_text /
+    gen_id_tspo.py:62-65), not hand the full option block to CLIP."""
+    from tspo_tpu.cli.common import _stub_tokenizer
+    from tspo_tpu.eval.tasks import clip_query_text
+    # text-SENSITIVE tokenizer (char hash) — a query mismatch changes indices
+    tok = _stub_tokenizer(eos=CLIP_CFG.text.eos_token_id, length=8,
+                          vocab=CLIP_CFG.text.vocab_size)
+    s = build_random_scorer(seed=0, clip_cfg=CLIP_CFG, selector_cfg=SEL_CFG,
+                            dtype=jnp.float32, tokenize=tok, batch_frames=32,
+                            frame_buckets=(64, 128, 256))
+    ds = VideoQuestionDataset.from_tsv("TinyBench",
+                                       str(bench_dir / "TinyBench.tsv"),
+                                       str(bench_dir / "videos"))
+    pre = FrameIndexPrecompute(s, FeatureCache(str(tmp_path / "c")),
+                               PrecomputeConfig(sample_num=8, max_frames=256),
+                               work_dir=str(tmp_path / "w"), name="Q")
+    results = pre.run(ds)
+
+    # live docs: question embeds the options block, as the TSV prompt does
+    docs = [{"question_id": f"q{i}",
+             "question": (f"What is shown {i}?\nOptions:\n(A):red (B):green "
+                          "Please select the correct answer from the options "
+                          "above. \n"),
+             "options": ["A. red", "B. green"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": f"v{i}.mp4"} for i in range(3)]
+    assert clip_query_text(docs[0]) == "What is shown 0?"
+    res = evaluate_task("VideoMME", docs, StubBackbone(),
+                        video_root=str(ds.video_root), max_frames_num=8,
+                        scorer=s, live_method="topk", live_max_candidates=256,
+                        on_error="raise")
+    live = {sm["doc_id"]: [float(x) for x in sm["frame_idx"]]
+            for sm in res.samples}
+    assert live == results
+
+
 def test_aks_method_with_dataset_params(bench_dir, scorer, tmp_path):
     """AKS precompute with per-dataset thresholds runs end-to-end."""
     from tspo_tpu.eval.precompute import AKS_PARAMS

@@ -84,16 +84,38 @@ def _scorer_from_torch_dir(path: str, dtype, tokenize, batch_frames):
 
 def make_clip_tokenizer(model_path: str):
     """CLIP tokenizer from a local checkpoint dir; returns
-    problem -> (input_ids, attention_mask) with CLIP padding/truncation."""
+    problem -> (input_ids, attention_mask) with CLIP padding/truncation.
+
+    Raises instead of degrading: a merged TSPO-0.4B dir with missing or
+    corrupt tokenizer files must fail loudly, never phase-1-score benchmarks
+    with garbage text features.  The reference fails here too
+    (``CLIPProcessor.from_pretrained`` raises, merge_weights.py:57).  The
+    char-hash stub is reserved for ``model_path=None`` / ``tiny`` smoke and
+    bench runs (load_scorer above)."""
+    errors = []
     try:
         from transformers import CLIPTokenizerFast
         tok = CLIPTokenizerFast.from_pretrained(model_path)
-    except Exception:
+    except Exception as e:
+        errors.append(f"CLIPTokenizerFast: {e}")
         try:
             from transformers import AutoTokenizer
             tok = AutoTokenizer.from_pretrained(model_path)
-        except Exception:
-            return _stub_tokenizer()
+        except Exception as e2:
+            errors.append(f"AutoTokenizer: {e2}")
+            detail = "\n  ".join(errors)
+            raise RuntimeError(
+                f"no usable tokenizer in checkpoint dir {model_path!r}.\n"
+                "Phase-1 scoring conditions on CLIP text features; running "
+                "with a fallback tokenizer would silently select garbage "
+                "frames on every benchmark, so this is fatal.\n"
+                "Runbook: the merged TSPO-0.4B export must contain the CLIP "
+                "tokenizer files (vocab.json + merges.txt, or "
+                "tokenizer.json, plus tokenizer_config.json) — re-run the "
+                "merge (scripts/merge_weights.py equivalent: "
+                "tspo_tpu.train.checkpoint.export_merged) or copy them from "
+                "the openai/clip-vit-large-patch14 checkpoint.\n"
+                f"  {detail}") from e2
 
     def tokenize(problem: str):
         out = tok(problem, return_tensors="np", padding=True, truncation=True)

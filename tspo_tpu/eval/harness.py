@@ -205,8 +205,14 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 if kind == "candidates":
                     cands, cand_idx, cand_audio = payload
                     if len(cands) > max_frames_num:
-                        # the CLIP query is the bare question (gen_id_tspo.py:62-65)
-                        sel, _ = scorer(cands, doc.get("question", ""),
+                        # the CLIP query is the bare question with options
+                        # text stripped — the same rule phase-1 applies
+                        # (tasks.clip_query_text; gen_id_tspo.py:62-65)
+                        from ..eval.tasks import clip_query_text
+                        query = (task.clip_query(doc)
+                                 if task.clip_query is not None
+                                 else clip_query_text(doc))
+                        sel, _ = scorer(cands, query,
                                         sample_num=max_frames_num,
                                         method=live_method)
                         frames = cands[np.asarray(sel)]

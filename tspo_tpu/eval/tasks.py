@@ -222,6 +222,19 @@ def default_doc_to_choices(doc) -> list:
     raise KeyError("doc has neither 'candidates' nor 'options'")
 
 
+def clip_query_text(doc) -> str:
+    """CLIP query for live scoring: the SAME strip rule phase-1 applies to
+    its prompt (datasets.py::problem_text, matching gen_id_tspo.py:62-65) —
+    drop image tokens, the "Question: " prefix, and everything from
+    "\\nOptions" on.  Keeps live-scored frame indices identical to
+    precomputed ones for docs whose question field embeds options text."""
+    q = str(doc.get("question", ""))
+    q = q.replace("<image>\n", "").replace("<image>", "")
+    if q.startswith("Question: "):
+        q = q[len("Question: "):]
+    return q.split("\nOptions")[0]
+
+
 @dataclass(frozen=True)
 class BenchmarkTask:
     name: str
@@ -266,6 +279,10 @@ class BenchmarkTask:
     # a STANDALONE clip rather than the video's own track (AV-Odyssey
     # audio_path files); None = use the video's track
     resolve_audio: Callable | None = None
+    # (doc) -> str hook overriding the live-scoring CLIP query; default is
+    # clip_query_text (the phase-1 "\nOptions"-strip rule) so live and
+    # precomputed frame indices agree
+    clip_query: Callable | None = None
 
     def resolve_video(self, doc, video_root: str = "") -> str:
         import os

@@ -81,8 +81,11 @@ def _mha(x, lp, heads, mask=None, attn_impl: str = "xla"):
 # block (fast compiles).  Benchmarked at the production fused-program shape
 # (scripts/bench_scan_unroll.py): unrolling lets XLA fuse the residual add
 # of layer i with layer i+1's layernorm, trimming the scan-step fusion
-# boundary the attribution ledger attributes ~170 ms/bucket to.  Module
-# global (not an arg) so every jitted caller picks it up at trace time.
+# boundary the attribution ledger attributes ~170 ms/bucket to.
+# NOTE: read at TRACE time only — jit caches are keyed on args/statics, not
+# module globals, so mutating it after a caller has compiled has no effect
+# until that caller's cache is dropped (`jax.clear_caches()`, as
+# bench_scan_unroll.py does between sweep points).
 SCAN_UNROLL = 1
 
 
