@@ -115,6 +115,66 @@ def test_two_process_distributed_precompute(tmp_path):
     assert set(shards[0]).isdisjoint(shards[1])  # actually sharded
 
 
+def test_two_process_distributed_eval(tmp_path):
+    """Two evaluate CLI processes under one coordinator auto-shard the doc
+    list; rank 0 gathers and merges shards (harness.merge_shards — the NCCL
+    gather_object of evaluator.py:602-626) and writes metrics IDENTICAL to a
+    single-process run (round-3 VERDICT next-step #9)."""
+    import json
+    import numpy as np
+    cv2 = pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    (tmp_path / "videos").mkdir()
+    for i in range(4):
+        w = cv2.VideoWriter(str(tmp_path / "videos" / f"v{i}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+        for j in range(40):
+            w.write(np.full((48, 48, 3), (j * 3 + i * 20) % 255, np.uint8))
+        w.release()
+    docs = [{"question_id": f"q{i}", "question": f"What {i}?",
+             "options": ["A. x", "B. y"], "answer": "A" if i % 2 else "B",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": f"v{i}.mp4",
+             "frame_idx": list(range(8))} for i in range(4)]
+    with open(tmp_path / "fidx.json", "w") as f:
+        json.dump(docs, f)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [sys.executable, "-m", "tspo_tpu.cli.evaluate",
+            "--task", "VideoMME", "--frame-idx-json", str(tmp_path / "fidx.json"),
+            "--video-root", str(tmp_path / "videos"), "--backbone", "stub",
+            "--max-frames-num", "8"]
+
+    # single-process reference run
+    p = subprocess.run(base + ["--output", str(tmp_path / "single")],
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       env=env, cwd=repo, text=True, timeout=300)
+    assert p.returncode == 0, p.stdout
+    single = json.load(open(next((tmp_path / "single").glob("*.json"))))
+    assert single["n"] == 4
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        base + ["--output", str(tmp_path / "multi"),
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(r)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=repo, text=True) for r in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    merged_files = list((tmp_path / "multi").glob("VideoMME_rank0_*.json"))
+    assert len(merged_files) == 1, outs  # rank 1 must NOT write output
+    merged = json.load(open(merged_files[0]))
+    assert merged["n"] == 4              # both shards present after merge
+    assert merged["metrics"] == single["metrics"], outs
+
+
 def test_two_process_distributed_training(tmp_path):
     """Two train CLI processes under one coordinator run batched DP steps
     with a globally-averaged gradient (train_deepspeed.sh multi-rank layout,
