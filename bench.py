@@ -8,6 +8,15 @@ the pipeline of SURVEY.md §3.3 (mp_tools precompute), which dominates both
 training feature extraction and evaluation phase 1.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Two headline numbers ride in it:
+  - "value": per-frame device throughput of the fused single-video program
+    (frames scored/sec/chip, one question per video — the conservative
+    per-frame metric carried since round 1);
+  - "system_value": system-level phase-1 throughput with video-level feature
+    sharing at k=3 questions/video (VideoMME's exact ratio; see
+    measure_system_throughput) — the apples-to-apples number vs the
+    reference pipeline, which re-decodes AND re-encodes per question
+    (gen_id_tspo.py:68-73).  "system_per_k" carries the k = 1/2/3/5/9 grid.
 
 ## Baseline denominator (vs_baseline) — grounded, see BASELINE.md §Derivation
 
@@ -201,6 +210,119 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
     return {k: round(float(x), 1) for k, x in out.items()}
 
 
+def measure_system_throughput(clip_params, sel_params, clip_cfg, sel_cfg,
+                              frames, valid, CHUNK, BUCKET,
+                              ks=(1, 2, 3, 5, 9), n_iters=3) -> dict:
+    """System-level phase-1 throughput under video-level feature sharing
+    (round-3 VERDICT #1): frames SCORED per second when k questions hit the
+    same video — (k x BUCKET) / wall, measured (not composed from parts).
+
+    The production sharing pipeline (eval/precompute.py::_compute_features,
+    serve's per-video feature LRU) runs the decode + vision tower once per
+    VIDEO and only the text tower + cosine + selector + top-k per QUESTION.
+    The reference pipeline re-decodes AND re-CLIP-encodes per question on
+    cache miss (gen_id_tspo.py:68-73 — its feature cache is keyed per
+    question, not per video), so its throughput stays flat in k while ours
+    scales.  Real questions-per-video: VideoMME = exactly 3 (2700 q / 900
+    videos), MLVU ~= 2, LongVideoBench ~= 8.9 (6678 q / 751 videos) — hence
+    the k grid and k=3 as the quoted system headline.
+
+    Each k is measured as the full sequence: one chunked encode of the
+    bucket, then k distinct-question ``fused_question_program`` dispatches,
+    each host-fetched (true sync on tunneled backends).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from tspo_tpu.models.clip import encode_images, preprocess_frames
+    from tspo_tpu.models.tspo_model import fused_question_program
+
+    v = clip_cfg.vision
+    T = BUCKET
+
+    @jax.jit
+    def encode_video(cp, frames_u8):
+        def enc(chunk_frames):
+            pixels = preprocess_frames(chunk_frames, v.image_size,
+                                       jnp.bfloat16)
+            return encode_images(cp, pixels, v)
+        img = jax.lax.map(enc, frames_u8.reshape(T // CHUNK, CHUNK,
+                                                 *frames_u8.shape[1:]))
+        return img.reshape(T, -1)
+
+    max_k = max(ks)
+    rng = np.random.default_rng(7)
+    ids_all = rng.integers(1, 49000, (max_k, 1, 77)).astype(np.int32)
+    ids_all[:, 0, -1] = clip_cfg.text.eos_token_id
+    ids_all = [jnp.asarray(i) for i in ids_all]
+
+    def run_workload(k):
+        img = encode_video(clip_params, frames)
+        for q in range(k):
+            idx, count, _ = fused_question_program(
+                clip_params, sel_params, img, ids_all[q], valid,
+                jnp.float32(0.025), text_cfg=clip_cfg.text,
+                selector_cfg=sel_cfg, window_size=12,
+                sample_num=min(64, T))
+            np.asarray(idx)          # host fetch = true sync per question
+        return None
+
+    run_workload(max_k)              # compile both programs once
+    out = {}
+    for k in ks:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            run_workload(k)
+        wall = (time.perf_counter() - t0) / n_iters
+        fps = k * BUCKET / wall
+        out[str(k)] = {"frames_scored_per_sec": round(fps, 1),
+                       "vs_baseline": round(fps / REF_ESTIMATE_FPS, 2),
+                       "wall_s": round(wall, 3)}
+    return out
+
+
+def probe_manual_dma() -> dict:
+    """Re-attempt AOT compilation of the manual double-buffered DMA attention
+    kernel (scripts/bench_vit_attention_variants.py::manual_dma) each bench
+    run — round-3 VERDICT weak #4: the kernel is verified-exact in interpret
+    mode and modeled at ~930 f/s e2e (+25%), but this AOT stack rejects
+    pl.ANY + semaphore-scratch kernels.  Recording the outcome in every
+    BENCH_rN.json means a toolchain update that unblocks it gets noticed."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {"aot": "skipped", "reason": "non-tpu backend (the variant "
+                "falls back to interpret mode off-chip)"}
+    spec = importlib.util.spec_from_file_location(
+        "bench_vit_attention_variants",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts",
+                     "bench_vit_attention_variants.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    B, S, W, heads = 16, 257, 1024, 16
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, W)) * 0.3, jnp.bfloat16)
+               for _ in range(3))
+    try:
+        f = mod.make_variant("manual_dma", B, S, W, heads)
+        got = np.asarray(jax.jit(f)(q, k, v)).astype(np.float32)
+        want = np.asarray(
+            mod.make_variant("xla", B, S, W, heads)(q, k, v)
+        ).astype(np.float32)
+        cos = float((got.ravel() @ want.ravel())
+                    / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-9))
+        # ACCEPTED: the toolchain now compiles it — wire it into
+        # ops/vit_attention.py (modeled ~930 f/s e2e, docs/KERNELS.md
+        # "Manual double-buffered DMA")
+        return {"aot": "accepted", "cos_vs_xla": round(cos, 6)}
+    except Exception as e:  # noqa: BLE001
+        return {"aot": "rejected", "error": str(e)[:200]}
+
+
 def main():
     import sys
 
@@ -221,8 +343,10 @@ def main():
     clip_params = init_clip_params(k1, clip_cfg, jnp.bfloat16)
     sel_params = init_selector_params(k2, sel_cfg)
 
-    CHUNK = 512          # frames per lax.map step (swept: 256-512 optimal)
-    BUCKET = 2048        # one long video's candidate bucket
+    # env overrides let CPU smoke runs use a tiny geometry; TPU defaults are
+    # the production shapes (swept: CHUNK 256-512 optimal)
+    CHUNK = int(os.environ.get("TSPO_BENCH_CHUNK", 512))
+    BUCKET = int(os.environ.get("TSPO_BENCH_BUCKET", 2048))
     H, W = 480, 640      # typical 1-fps decode resolution
 
     rng = np.random.default_rng(0)
@@ -235,7 +359,8 @@ def main():
         idx, count, logits = fused_score_program(
             clip_params, sel_params, frames, ids, valid, jnp.float32(0.025),
             vision_cfg=clip_cfg.vision, text_cfg=clip_cfg.text,
-            selector_cfg=sel_cfg, chunk=CHUNK, window_size=12, sample_num=64,
+            selector_cfg=sel_cfg, chunk=CHUNK, window_size=12,
+            sample_num=min(64, BUCKET),
             dtype=jnp.bfloat16)
         return np.asarray(idx)      # host fetch = true sync
 
@@ -262,11 +387,22 @@ def main():
         "attention": "pallas_lane",
         "dtype": "bf16",
     }
+    if "--no-system" not in sys.argv:
+        system = measure_system_throughput(clip_params, sel_params, clip_cfg,
+                                           sel_cfg, frames, valid, CHUNK,
+                                           BUCKET)
+        k3 = system.get("3", {})
+        record["system_metric"] = "system_frames_scored_per_sec_per_chip_k3"
+        record["system_value"] = k3.get("frames_scored_per_sec")
+        record["system_vs_baseline"] = k3.get("vs_baseline")
+        record["system_per_k"] = system
     if "--attribution" in sys.argv:
         attr = measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg,
                                    frames, ids, valid, CHUNK, BUCKET)
         attr["fused_total_ms"] = round(1e3 * dt / n_iters, 1)
         record["attribution"] = attr
+    if "--no-probe" not in sys.argv:
+        record["manual_dma_probe"] = probe_manual_dma()
     print(json.dumps(record))
 
 

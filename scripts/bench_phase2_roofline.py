@@ -120,37 +120,62 @@ def main():
     # GEMM FLOPs per token ~= 2 * (non-embedding params); estimate from
     # weight bytes of the transformer stack (int8 ~= 1 B/param + scales)
     approx_params = 6.9e9
-    # B=2 is the HBM-safe batched point on one v5e (B=4 at this prompt
-    # length fails compile: 7.6 GB int8 weights + 2.7 GB KV + prefill
-    # activations exceed the 16 GB budget)
-    for B in (1, 2):
-        emb = jnp.asarray(rng.normal(size=(B, S, lm_cfg.hidden_size)) * 0.02,
-                          jnp.bfloat16)
-        valid = jnp.ones((B, S), bool)
-        T = S + DECODE_TOKENS + 2
+    # (B, frames) sweep.  Round 2 found B=2 the HBM-safe point at the
+    # 64-frame prompt (B=4@64f: 7.6 GB int8 weights + KV + prefill
+    # activations exceed the 16 GB budget — attempted and RECORDED below,
+    # not assumed); B=4/8 are measured at the frame budgets where they fit
+    # (32 frames is the VideoMME/MLVU common budget).  Round-3 VERDICT
+    # next-step #6.
+    points = [(1, 64), (2, 64), (4, 64), (4, 32), (8, 32), (8, 16)]
+    if len(sys.argv) > 1:
+        points = [(int(b), int(f)) for b, f in
+                  (p.split("x") for p in sys.argv[1:])]   # e.g. 4x32
+    vision_cache = {64: t_vision}
+    for B, F in points:
+        S = F * cfg.tokens_per_frame + 280
+        key = f"lm_B{B}_f{F}"
+        try:
+            if F not in vision_cache:
+                fr = jnp.asarray(rng.integers(
+                    0, 256, (F, cfg.vision.image_size, cfg.vision.image_size,
+                             3), dtype=np.uint8))
+                vision_cache[F] = timed(
+                    jax.jit(lambda p, f, F=F: encode_video_fused(
+                        p, f, cfg, min(CHUNK, F)).sum()), vis_params, fr)
+            t_vis = vision_cache[F]
+            emb = jnp.asarray(
+                rng.normal(size=(B, S, lm_cfg.hidden_size)) * 0.02,
+                jnp.bfloat16)
+            valid = jnp.ones((B, S), bool)
+            T = S + DECODE_TOKENS + 2
 
-        def prefill_only(e, v):
-            cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
-            outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
-                                    max_new_tokens=1, eos_token_id=-1)
-            return outv
+            def prefill_only(e, v, B=B, T=T):
+                cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
+                outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
+                                        max_new_tokens=1, eos_token_id=-1)
+                return outv
 
-        def full(e, v):
-            cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
-            outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
-                                    max_new_tokens=DECODE_TOKENS,
-                                    eos_token_id=-1)
-            return outv
+            def full(e, v, B=B, T=T):
+                cache = KVCache.create(lm_cfg, B, T, jnp.bfloat16)
+                outv, n = greedy_decode(lm_params, e, v, cache, lm_cfg,
+                                        max_new_tokens=DECODE_TOKENS,
+                                        eos_token_id=-1)
+                return outv
 
-        t_pre = timed(prefill_only, emb, valid)
-        t_full = timed(full, emb, valid)
+            t_pre = timed(prefill_only, emb, valid)
+            t_full = timed(full, emb, valid)
+        except Exception as e:  # noqa: BLE001 — record the OOM/compile wall
+            out[key] = {"error": str(e)[:200]}
+            print(json.dumps({key: out[key]}), flush=True)
+            continue
         t_dec = t_full - t_pre
         prefill_flop = 2 * approx_params * S * B
         kv_row = 2 * lm_cfg.num_layers * T * lm_cfg.num_kv_heads \
             * lm_cfg.head_dim * 2
         dec_sol = (DECODE_TOKENS - 1) * (wb + B * kv_row) / V5E_HBM_BPS
-        per_q = t_full / B
-        out[f"lm_B{B}"] = {
+        # vision encodes stay per-question (B frame sets)
+        per_q = t_full / B + t_vis
+        out[key] = {
             "prompt_tokens": S,
             "prefill_s": round(t_pre, 3),
             "prefill_sol_s": round(prefill_flop / V5E_PEAK_TFLOPS, 3),
@@ -159,19 +184,24 @@ def main():
             "decode32_s": round(t_dec, 3),
             "decode_sol_s": round(dec_sol, 3),
             "decode_sol_frac": round(dec_sol / t_dec, 3) if t_dec > 0 else None,
-            "per_question_s": round(per_q + t_vision, 3),
+            "vision_s_per_q": round(t_vis, 3),
+            "per_question_s": round(per_q, 3),
         }
-        print(json.dumps({f"lm_B{B}": out[f"lm_B{B}"]}), flush=True)
+        print(json.dumps({key: out[key]}), flush=True)
 
-    sol_total = (out["vision"]["sol_s"] + out["lm_B1"]["prefill_sol_s"]
-                 + out["lm_B1"]["decode_sol_s"])
-    meas_total = out["lm_B1"]["per_question_s"]
-    out["summary"] = {
-        "per_question_s_B1": meas_total,
-        "per_question_sol_s": round(sol_total, 3),
-        "sol_frac": round(sol_total / meas_total, 3),
-        "batched_B2_per_question_s": out["lm_B2"]["per_question_s"],
-    }
+    b1 = out.get("lm_B1_f64")
+    if b1 and "error" not in b1:
+        sol_total = (out["vision"]["sol_s"] + b1["prefill_sol_s"]
+                     + b1["decode_sol_s"])
+        meas_total = b1["per_question_s"]
+        out["summary"] = {
+            "per_question_s_B1": meas_total,
+            "per_question_sol_s": round(sol_total, 3),
+            "sol_frac": round(sol_total / meas_total, 3),
+            "best_per_question_s": min(
+                (v["per_question_s"], k) for k, v in out.items()
+                if k.startswith("lm_") and "per_question_s" in v),
+        }
     print(json.dumps(out), flush=True)
 
 

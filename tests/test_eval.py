@@ -175,6 +175,62 @@ class StubBackbone:
         return "A" if frames.mean() < 128 else "The answer is B."
 
 
+class BatchingBackbone(StubBackbone):
+    """StubBackbone plus the ragged batched surface (llava_video layout)."""
+
+    def __init__(self, fail_batches: bool = False):
+        super().__init__()
+        self.batch_calls = []
+        self.fail_batches = fail_batches
+
+    def generate_batch_multi(self, frames_list, questions):
+        if self.fail_batches:
+            raise RuntimeError("batched decode OOM")
+        self.batch_calls.append((len(frames_list), list(questions)))
+        return [self.generate(f, p) for f, p in zip(frames_list, questions)]
+
+
+def _vmme_docs(n=5):
+    return [{"question_id": f"q{i}", "question": f"What {i}?",
+             "options": ["A. red", "B. green"], "answer": "A",
+             "duration": "short", "domain": "d", "sub_category": "s",
+             "task_type": "t", "videoID": f"v{i % 3}.mp4",
+             "frame_idx": list(range(8))} for i in range(n)]
+
+
+def test_harness_batched_generate(bench_dir):
+    """batch_size > 1 routes consecutive docs through generate_batch_multi
+    and yields metrics/samples identical (incl. doc order) to sequential."""
+    docs = _vmme_docs(5)
+    seq = evaluate_task("VideoMME", docs, BatchingBackbone(),
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, on_error="raise")
+    bb = BatchingBackbone()
+    bat = evaluate_task("VideoMME", docs, bb,
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, on_error="raise", batch_size=2)
+    assert bat.metrics == seq.metrics
+    assert [s["doc_id"] for s in bat.samples] == \
+        [s["doc_id"] for s in seq.samples]
+    assert [s["response"] for s in bat.samples] == \
+        [s["response"] for s in seq.samples]
+    # 5 docs at B=2 -> two full batches + a 1-doc tail (flushed singly)
+    assert [n for n, _ in bb.batch_calls] == [2, 2]
+
+
+def test_harness_batched_degrades_on_batch_failure(bench_dir):
+    """A failing batched call degrades to per-doc generates (on_error=skip),
+    preserving every sample instead of killing the batch."""
+    docs = _vmme_docs(4)
+    bb = BatchingBackbone(fail_batches=True)
+    res = evaluate_task("VideoMME", docs, bb,
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, batch_size=4)
+    assert len(res.samples) == 4
+    assert not any(str(s["response"]).startswith("[error:")
+                   for s in res.samples)
+
+
 def test_harness_with_frame_idx(precompute_run):
     pre, ds, results, _ = precompute_run
     docs = [{"question_id": f"q{i}", "question": f"What is shown {i}?",

@@ -41,6 +41,11 @@ def build_parser():
     p.add_argument("--quantize-backbone", action="store_true",
                    help="weight-only int8 decoder (bandwidth-bound decode)")
     p.add_argument("--max-frames-num", type=int, default=64)
+    p.add_argument("--batch", type=int, default=1,
+                   help="co-decode B consecutive questions through the "
+                        "backbone's ragged generate_batch_multi (single-row "
+                        "decode is weight-read bound; batching amortizes "
+                        "the weight stream — docs/KERNELS.md phase-2)")
     p.add_argument("--uniform", action="store_true",
                    help="uniform-sampling baseline (is_uniform=True)")
     p.add_argument("--live-model-path", default=None,
@@ -218,7 +223,7 @@ def _run(args):
         max_frames_num=args.max_frames_num, is_uniform=args.uniform,
         limit=args.limit, shard=(args.rank, args.world),
         log_samples=args.log_samples, scorer=scorer,
-        live_method=args.live_method,
+        live_method=args.live_method, batch_size=args.batch,
         specific_kwargs={k: v for k, v in
                          (("pre_prompt", args.pre_prompt),
                           ("post_prompt", args.post_prompt),

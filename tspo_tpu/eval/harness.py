@@ -88,7 +88,8 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                   scorer=None, live_method: str = "topk",
                   live_max_candidates: int = 50000,
                   specific_kwargs: dict | None = None,
-                  request_type: str | None = None) -> EvalResult:
+                  request_type: str | None = None,
+                  batch_size: int = 1) -> EvalResult:
     """Run one benchmark slice.  ``is_uniform=True`` reproduces the baseline
     (no TSPO) rows of the results table.  ``response_cache`` (eval/caching.py)
     skips regeneration on resume — responses are deterministic (greedy,
@@ -97,7 +98,16 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     ``scorer`` (a TSPOScorer) enables *live scoring*: docs without a
     precomputed ``frame_idx`` get 1-fps candidates scored by the temporal
     agent on the fly — the single-phase path of the reference adapter
-    (llava_vid_tspo.py:335-360 ``load_video_sampled``)."""
+    (llava_vid_tspo.py:335-360 ``load_video_sampled``).
+
+    ``batch_size`` > 1 batches consecutive plain ``generate_until`` docs
+    through ``backbone.generate_batch_multi`` (ragged mixed-question
+    batching — models/llava_video.py): single-row decode is weight-read
+    bound at ~95% of the HBM roofline, so co-decoding B rows amortizes the
+    weight stream (docs/KERNELS.md phase-2 roofline).  Cached, audio,
+    multi-round, and loglikelihood docs flush the pending batch and run
+    singly; a failed batched call degrades to per-doc generates so
+    per-sample ``[error: ...]`` semantics are preserved."""
     task: BenchmarkTask = get_task(task_name)
     rng = random.Random(seed)
     # audio-visual tasks + audio-capable backbone: decode the task's audio
@@ -129,7 +139,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     import queue
     import threading
 
-    q: queue.Queue = queue.Queue(maxsize=2)
+    q: queue.Queue = queue.Queue(maxsize=max(2, batch_size))
     _audio_warned = []
 
     def _audio_for(doc, video_path):
@@ -189,6 +199,50 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     threading.Thread(target=producer, daemon=True).start()
 
     results, samples = [], []
+
+    def _emit(doc, response, frame_idx, rounds_detail=None):
+        if response_cache is not None and _doc_id(doc, id_key) is not None \
+                and not str(response).startswith("[error:"):
+            response_cache.put(_doc_id(doc, id_key), response)
+        rec = task.process_response(doc, response, rng)
+        results.append(rec)
+        if log_samples:
+            sample = {"doc_id": _doc_id(doc, id_key), "response": response,
+                      "frame_idx": frame_idx, **rec}
+            if rounds_detail is not None:
+                sample["rounds"] = rounds_detail
+            samples.append(sample)
+        if progress:
+            progress(_doc_id(doc, id_key))
+
+    pending: list = []   # (doc, frames, frame_idx, prompt) awaiting batch
+
+    def _flush():
+        if not pending:
+            return
+        batch, outs = pending[:], None
+        pending.clear()
+        if len(batch) > 1:
+            try:
+                outs = backbone.generate_batch_multi(
+                    [f for _, f, _, _ in batch], [p for *_, p in batch])
+            except Exception:
+                if on_error == "raise":
+                    raise
+                outs = None   # degrade to per-doc generates below
+        if outs is not None:
+            for (d, _, fi, _), resp in zip(batch, outs):
+                _emit(d, resp, fi)
+            return
+        for d, fr, fi, pr in batch:
+            try:
+                resp = backbone.generate(fr, pr)
+            except Exception as e:
+                if on_error == "raise":
+                    raise
+                resp, fi = f"[error: {e}]", []
+            _emit(d, resp, fi)
+
     while True:
         item = q.get()
         if item is None:
@@ -268,27 +322,23 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 elif audio_wave is not None:
                     response = backbone.generate(frames, prompt,
                                                  audio=audio_wave)
+                elif batch_size > 1 and hasattr(backbone,
+                                                "generate_batch_multi"):
+                    pending.append((doc, frames, frame_idx, prompt))
+                    if len(pending) >= batch_size:
+                        _flush()
+                    continue
                 else:
                     response = backbone.generate(frames, prompt)
-                if response_cache is not None and \
-                        _doc_id(doc, id_key) is not None:
-                    response_cache.put(_doc_id(doc, id_key), response)
         except Exception as e:
             if on_error == "raise":
                 raise
             # keep the run alive, emit an error response like the reference
             # adapter (llava_vid_tspo.py:499-508)
             response, frame_idx = f"[error: {e}]", []
-        rec = task.process_response(doc, response, rng)
-        results.append(rec)
-        if log_samples:
-            sample = {"doc_id": _doc_id(doc, id_key), "response": response,
-                      "frame_idx": frame_idx, **rec}
-            if rounds_detail is not None:
-                sample["rounds"] = rounds_detail
-            samples.append(sample)
-        if progress:
-            progress(_doc_id(doc, id_key))
+        _flush()   # earlier batched docs emit before this one (doc order)
+        _emit(doc, response, frame_idx, rounds_detail)
+    _flush()
     return EvalResult(results=results, metrics=task.aggregate(results),
                       samples=samples)
 
