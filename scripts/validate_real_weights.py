@@ -9,12 +9,24 @@ full parity chain, failing loudly on any mismatch.
 
 Usage (on a machine with the assets):
   python scripts/validate_real_weights.py \
-      --tspo-checkpoint /path/TSPO-0.4B/pytorch_model.bin \
+      --tspo-checkpoint /path/TSPO-0.4B \
       --backbone-dir /path/LLaVA-Video-7B-Qwen2 \
       --golden-frameidx /path/evaluation/jsons_idx/TSPO_LongVideoBench_frameIdx.json \
       --lvb-tsv /path/LMUData/LongVideoBench.tsv \
+      --anno-json /path/evaluation/jsons/lvb_val.json \
       --video-root /path/LongVideoBench/videos \
       --out-dir /tmp/tspo_validation
+
+--tspo-checkpoint is the merged TSPO-0.4B checkpoint DIRECTORY (the
+merge_weights.py output: pytorch_model.bin or *.safetensors plus the CLIP
+tokenizer files); a bare pytorch_model.bin path also works (its parent dir
+is used for the tokenizer).  --anno-json is the phase-2 annotation json the
+emitted indices merge into (evaluation/jsons/lvb_val.json).
+
+Rehearsed end-to-end against synthetic full-geometry artifacts
+(scripts/make_synthetic_assets.py) by tests/test_validate_runbook.py — the
+exact command sequence above, twice, the second run diffing against the
+first run's output as the golden (round-3 VERDICT weak #6 / next-step #4).
 
 Stages (each skippable by omitting its inputs):
   1. scorer-load:    TSPOScorer.from_torch_merged on the reference TSPO-0.4B
@@ -38,13 +50,21 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("validate-real-weights")
-    p.add_argument("--tspo-checkpoint")
+    p.add_argument("--tspo-checkpoint",
+                   help="merged TSPO-0.4B checkpoint dir (or its "
+                        "pytorch_model.bin path)")
     p.add_argument("--backbone-dir")
     p.add_argument("--golden-frameidx")
     p.add_argument("--lvb-tsv")
+    p.add_argument("--anno-json",
+                   help="phase-2 annotation json (evaluation/jsons/"
+                        "lvb_val.json) the emitted indices merge into; "
+                        "required for stages 2+")
     p.add_argument("--video-root")
     p.add_argument("--out-dir", default="/tmp/tspo_validation")
     p.add_argument("--sample-num", type=int, default=64)
@@ -58,19 +78,22 @@ def main(argv=None):
     failures = []
 
     scorer = None
-    if args.tspo_checkpoint:
+    ckpt_dir = args.tspo_checkpoint
+    if ckpt_dir and os.path.isfile(ckpt_dir):
+        ckpt_dir = os.path.dirname(os.path.abspath(ckpt_dir))
+    if ckpt_dir:
         print("[1/4] loading reference TSPO-0.4B ...")
-        import torch
-
-        from tspo_tpu.models.tspo_model import TSPOScorer
-        sd = torch.load(args.tspo_checkpoint, map_location="cpu")
-        scorer = TSPOScorer.from_torch_merged(sd)
+        # the PRODUCTION load path (merged dir -> scorer + CLIP tokenizer),
+        # not a bespoke one — so the rehearsal exercises what eval runs
+        from tspo_tpu.cli.common import load_scorer
+        scorer = load_scorer(ckpt_dir)
         print("      ok: scorer loaded")
     else:
         print("[1/4] SKIP (no --tspo-checkpoint)")
 
     emitted = None
-    if scorer is not None and args.lvb_tsv and args.video_root:
+    if scorer is not None and args.lvb_tsv and args.video_root \
+            and args.anno_json:
         print("[2/4] phase-1 frame-index parity ...")
         from tspo_tpu.cli.precompute import main as precompute_main
         out_json = os.path.join(args.out_dir, "LVB_frameIdx.json")
@@ -78,17 +101,20 @@ def main(argv=None):
                "--video-root", args.video_root,
                "--work-dir", os.path.join(args.out_dir, "work"),
                "--cache-root", os.path.join(args.out_dir, "cache"),
-               "--out-json", out_json, "--model-path", args.tspo_checkpoint,
+               "--anno-json", args.anno_json,
+               "--out-json", out_json, "--model-path", ckpt_dir,
                "--sample-num", str(args.sample_num)]
         precompute_main(cli)
         emitted = json.load(open(out_json))
         if args.golden_frameidx:
+            from tspo_tpu.eval.datasets import DOC_ID_KEY
+            id_key = DOC_ID_KEY.get("LongVideoBench", "question_id")
             golden = json.load(open(args.golden_frameidx))
-            gold = {d["question_id"]: d.get("frame_idx") for d in golden
-                    if "question_id" in d}
+            gold = {d[id_key]: d.get("frame_idx") for d in golden
+                    if id_key in d}
             n = same = diff = 0
             for d in emitted:
-                qid = d.get("question_id")
+                qid = d.get(id_key)
                 if qid in gold and d.get("frame_idx") and gold[qid]:
                     n += 1
                     if list(map(int, d["frame_idx"])) == \
@@ -103,7 +129,8 @@ def main(argv=None):
                     f"frame-index parity {frac:.1%} < 98% — check bf16 "
                     "cosine accumulation / topk ties (SURVEY §7.3 item 4)")
     else:
-        print("[2/4] SKIP (needs scorer + --lvb-tsv + --video-root)")
+        print("[2/4] SKIP (needs scorer + --lvb-tsv + --anno-json + "
+              "--video-root)")
 
     backbone = None
     if args.backbone_dir:

@@ -118,7 +118,13 @@ class LLaVAVideoConfig:
             # misapplying their factor as a position divisor
             rope_scaling_factor=cls._linear_rope_factor(
                 hf.get("rope_scaling")))
-        return cls(lm=lm, vision=SigLIPConfig(),
+        # real LLaVA-Video checkpoints fix the tower at so400m-384; synthetic
+        # rehearsal checkpoints (scripts/make_synthetic_assets.py) carry an
+        # explicit "mm_vision_config" dict so the runbook can drive the FULL
+        # production load path at tiny geometry in the zero-egress container
+        vision = (SigLIPConfig(**hf["mm_vision_config"])
+                  if "mm_vision_config" in hf else SigLIPConfig())
+        return cls(lm=lm, vision=vision,
                    pool_stride=hf.get("mm_spatial_pool_stride", 2),
                    mm_newline_position=hf.get("mm_newline_position", "grid"))
 
