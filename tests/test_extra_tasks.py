@@ -151,3 +151,42 @@ def test_videoevalpro_prompt_matches_reference(monkeypatch):
           predicted_answer="red")
     assert captured["prompt"] == vep_judge_prompt("Who wins?",
                                                   "The red team.", "red")
+
+
+def test_temporalbench_captioning_local_embedder(tmp_path, monkeypatch):
+    """The captioning variant scores mean cosine x 100 through ANY local
+    sentence-transformers-layout dir (round-3 VERDICT next-step #8) — built
+    here as a tiny random Qwen2 AutoModel + tokenizer, driven through the
+    production AutoModel/AutoTokenizer mean-pooling path.  Identical
+    pred==GT pairs must score ~100; the no-embedder case raises the runbook
+    error instead of silently scoring."""
+    import numpy as np
+    import pytest
+    import torch
+    import transformers
+
+    from tspo_tpu.eval.extra_tasks import (
+        _temporalbench_caption_process, make_temporalbench_caption_aggregate)
+    from tspo_tpu.utils.mini_tokenizer import write_mini_qwen2_tokenizer
+
+    emb_dir = tmp_path / "embedder"
+    vocab = write_mini_qwen2_tokenizer(str(emb_dir))
+    torch.manual_seed(0)
+    transformers.Qwen2Model(transformers.Qwen2Config(
+        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8)).save_pretrained(str(emb_dir))
+
+    docs = [{"idx": i, "video_name": f"v{i}", "dataset": "d",
+             "GT": f"the man walks away slowly {i}"} for i in range(3)]
+    same = [_temporalbench_caption_process(d, d["GT"]) for d in docs]
+    agg = make_temporalbench_caption_aggregate(str(emb_dir))
+    assert agg(same)["similarity"] == pytest.approx(100.0, abs=1e-3)
+
+    diff = [_temporalbench_caption_process(d, "a completely different scene "
+                                              "with trains") for d in docs]
+    assert agg(diff)["similarity"] < agg(same)["similarity"]
+
+    monkeypatch.delenv("TSPO_EMBEDDER_PATH", raising=False)
+    with pytest.raises(RuntimeError, match="Runbook"):
+        make_temporalbench_caption_aggregate(None)(same)
