@@ -113,6 +113,7 @@ JUDGED_TASK_REGISTRARS = (
     (("PLM-",), "plm_videobench", "register_plm_videobench"),
     (("FunQA",), "funqa", "register_funqa"),
     (("CAPability",), "capability", "register_capability"),
+    (("MEGABench",), "megabench", "register_megabench"),
 )
 # these families have a judge-free rule-based registration from import time;
 # without --judge they run as-is (reference defaults: tomato
@@ -120,7 +121,7 @@ JUDGED_TASK_REGISTRARS = (
 # rule-scored but live in a judged family — re-registering them with a judge
 # is harmless (their process fns never call it)
 _RULE_ONLY_WITHOUT_JUDGE = ("TempCompass", "TOMATO", "VITATECS",
-                            "PLM-fgqa", "PLM-rtloc")
+                            "PLM-fgqa", "PLM-rtloc", "MEGABench-core")
 
 
 def _register_judged_task(args, backbone) -> None:
