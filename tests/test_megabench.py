@@ -486,3 +486,73 @@ def test_submission_dump_roundtrip(tmp_path):
     assert len(dumped) == 1 and dumped[0]["task_name"] == "t1"
     assert [q["response"] for q in dumped[0]["query_response"]] == ["B", "C"]
     assert dumped[0]["query_response"][0]["correct_answer"] == {"answer": "B"}
+
+
+# ---------------------------------------------------------------------------
+# randomized differential fuzz (the repo's standard parity pattern, cf.
+# tests/test_parser_fuzz.py): seeded random adversarial strings through BOTH
+# implementations
+# ---------------------------------------------------------------------------
+
+_FUZZ_ATOMS = ["Answer:", "**Answer:", "answer:", "```", "```json", "{", "}",
+               "[", "]", '"a"', "'b'", ",", ":", "1", "2.5", "-3", "B", "(C)",
+               "\n", "\n\n", "word", "true", "null", "None", "\\n", "  ",
+               "α", "<point>0.3, 0.4</point>", "<box>0,0,1,1</box>", "π"]
+
+
+def _fuzz_strings(n, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(1, 14))
+        out.append("".join(_FUZZ_ATOMS[int(i)]
+                           for i in rng.integers(0, len(_FUZZ_ATOMS), k)))
+    return out
+
+
+def test_fuzz_answer_string_parse_vs_reference():
+    ref = ref_scoring("metrics.parsing.answer_str_parse")
+    for s in _fuzz_strings(300, seed=7):
+        for single in (True, False):
+            want = ref.AnswerStrParse.parse(s, "k", is_single_line_ans=single)
+            got, _ = parse_response("answer_string", s, ["k"],
+                                    {"k": "x" if single else "x\ny"})
+            assert got == want, (s, single, got, want)
+
+
+def test_fuzz_json_parse_vs_reference():
+    ref = ref_scoring("metrics.parsing.common.parsers")
+    for s in _fuzz_strings(300, seed=11):
+        assert parse_json(s) == ref.parse_json(s), s
+
+
+def test_fuzz_core_metrics_vs_reference():
+    pairs = [(a, b) for a in _fuzz_strings(40, seed=13)
+             for b in _fuzz_strings(2, seed=17)]
+    targets = [
+        ("exact_str_match", "metrics.scoring.exact_str_match",
+         "ExactStrMatch"),
+        ("simple_str_match", "metrics.scoring.simple_str_match",
+         "SimpleStrMatch"),
+        ("set_equality", "metrics.scoring.set_equality", "SetEquality"),
+        ("jaccard_index", "metrics.scoring.jaccard", "Jaccard"),
+        ("sequence_equality", "metrics.scoring.sequence_equality",
+         "SequenceEquality"),
+        ("general_single_numerical_match",
+         "metrics.scoring.general_numerical_match",
+         "GeneralSingleNumericalMatch"),
+    ]
+    for name, mod, cls in targets:
+        ref = getattr(ref_scoring(mod), cls)
+        ours = METRICS[name]
+        for a, b in pairs:
+            try:
+                want = ref.match(a, b)
+            except Exception:  # noqa: BLE001
+                want = 0
+            try:
+                got = ours(a, b)
+            except Exception:  # noqa: BLE001
+                got = 0
+            assert got == pytest.approx(want, abs=1e-9), (name, a, b)

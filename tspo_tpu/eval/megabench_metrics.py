@@ -1400,18 +1400,30 @@ def aggregate_fields(name, scores: dict, weights: dict):
     return -1
 
 
-def _run_metric(name, metric_config, judge, field_value, correct_answer,
+def _field_value(response_obj, field, default):
+    """The reference's evaluator reads the parsed field with DIFFERENT
+    defaults per metric family: ``.get(field)`` (None) for context metrics
+    and the VLM judge (evaluator.py:269,277,281), ``.get(field, "")`` for
+    standard metrics (:294); non-dict response objects pass through whole."""
+    if isinstance(response_obj, dict):
+        return response_obj.get(field, default)
+    return response_obj
+
+
+def _run_metric(name, metric_config, judge, response_obj, correct_answer,
                 field, eval_context, query_text, is_aux=False):
     """One field score, with the reference's exception->0 wrapping
     (metric_type.py:180-185).  Returns (score, info_or_None)."""
     if name in ("gpt_4o_as_judge", "ascii_art_gpt4o_judge"):
-        score, info = vlm_judge_score(judge, metric_config, field_value,
+        score, info = vlm_judge_score(judge, metric_config,
+                                      _field_value(response_obj, field, None),
                                       correct_answer, query_text,
                                       eval_context)
         return score, info
     if name in CONTEXT_METRICS:
         try:
-            out = CONTEXT_METRICS[name](field_value, eval_context)
+            out = CONTEXT_METRICS[name](
+                _field_value(response_obj, field, None), eval_context)
         except RuntimeError:
             raise   # gate errors stay loud
         except Exception:  # noqa: BLE001
@@ -1428,7 +1440,7 @@ def _run_metric(name, metric_config, judge, field_value, correct_answer,
         else correct_answer.get(field, "")
     correct_val = evaluate_as_string(correct_val)
     try:
-        return fn(field_value, correct_val), None
+        return fn(_field_value(response_obj, field, ""), correct_val), None
     except RuntimeError:
         raise
     except Exception:  # noqa: BLE001 — reference scores format errors as 0
@@ -1467,19 +1479,17 @@ def score_task(records: list, metric_info: dict, judge=None) -> dict:
                                          answer_fields, correct)
         scores, infos = {}, {}
         for fld, metric_name in field_fns.items():
-            val = response_obj.get(fld, "") \
-                if isinstance(response_obj, dict) else response_obj
             scores[fld], info = _run_metric(
-                metric_name, judge_cfg, judge, val, correct, fld,
+                metric_name, judge_cfg, judge, response_obj, correct, fld,
                 eval_context, query_text)
             if info is not None:
                 infos[fld] = info
         for fld, metric_name in aux_fns.items():
-            # aux metrics see the WHOLE response object and the whole
-            # correct-answer dict (evaluator.py:175-190)
+            # aux metrics see the WHOLE response object under their own key
+            # and the whole correct-answer dict (evaluator.py:175-190)
             scores[fld], info = _run_metric(
-                metric_name, judge_cfg, judge, response_obj, correct, fld,
-                eval_context, query_text, is_aux=True)
+                metric_name, judge_cfg, judge, {fld: response_obj}, correct,
+                fld, eval_context, query_text, is_aux=True)
             if info is not None:
                 infos[fld] = info
         q = aggregate_fields(agg_name, scores, weights)
