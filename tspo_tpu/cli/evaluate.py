@@ -86,6 +86,10 @@ def build_parser():
     p.add_argument("--plm-stc-metadata", default=None,
                    help="PLM-VideoBench STC masklet metadata_test.jsonl "
                         "(bbox overlays for PLM-rcap/rdcap/rtloc)")
+    p.add_argument("--megabench-submission", default=None,
+                   help="MEGABench-*: also dump the reference-submission-"
+                        "format json here (cross-checkable through the "
+                        "reference's own offline evaluator)")
     p.add_argument("--wandb-args", default=None,
                    help="comma-separated wandb.init kwargs, e.g. "
                         "'project=tspo,name=run1' (reference --wandb_args); "
@@ -134,6 +138,9 @@ def _register_judged_task(args, backbone) -> None:
         if fn_name == "register_plm_videobench" and \
                 getattr(args, "plm_stc_metadata", None):
             extra["stc_metadata"] = args.plm_stc_metadata
+        if fn_name == "register_megabench" and \
+                getattr(args, "megabench_submission", None):
+            extra["submission_path"] = args.megabench_submission
         if args.judge is None and args.task.startswith(
                 _RULE_ONLY_WITHOUT_JUDGE):
             # re-register the rule-only defaults explicitly: a prior

@@ -141,6 +141,9 @@ def make_megabench_aggregate(judge: JudgeProvider | None = None,
 
 
 def _dump_submission(results: list, path: str) -> None:
+    import os
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     by_task = defaultdict(list)
     for r in results:
         by_task[r["task_name"]].append(r)
