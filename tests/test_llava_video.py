@@ -481,3 +481,39 @@ def test_generate_custom_prompt_without_image_raises(jax_model):
         0, 256, (1, 32, 32, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="<image>"):
         jax_model.generate(frames, "", prompt="Describe the video.")
+
+
+def test_generate_stream_matches_generate(jax_model):
+    """''.join(generate_stream deltas) == generate output, across chunk
+    sizes incl. non-divisors; every yielded delta is non-empty."""
+    frames = np.random.default_rng(11).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    q = "Describe the scene."
+    want = jax_model.generate(frames, q, max_new_tokens=9)
+    for chunk in (1, 3, 8, 16):
+        deltas = list(jax_model.generate_stream(frames, q,
+                                                max_new_tokens=9,
+                                                chunk=chunk))
+        assert all(deltas), deltas
+        assert "".join(deltas) == want, (chunk, deltas, want)
+
+
+def test_generate_stream_near_max_context(jax_model):
+    """A prompt that generate() handles must stream too, even when the
+    rounded-up final chunk would exceed max_context (extra throwaway steps
+    get real cache slots)."""
+    import dataclasses
+    frames = np.random.default_rng(12).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    q = "Pick one: A. up B. down"
+    ids = tokenize_with_image(jax_model._prompt(q), jax_model.encode,
+                              jax_model.bos_token_id)
+    emb = jax_model.splice_embeddings(ids, jax_model.encode_video(frames),
+                                      None)
+    tight = dataclasses.replace(
+        jax_model,
+        cfg=dataclasses.replace(jax_model.cfg, max_context=emb.shape[1] + 5))
+    want = tight.generate(frames, q, max_new_tokens=5)
+    got = "".join(tight.generate_stream(frames, q, max_new_tokens=5,
+                                        chunk=4))
+    assert got == want

@@ -402,3 +402,66 @@ def test_speculative_rejects_small_cache(params):
         greedy_decode_speculative(params, embeds, valid, small, CFG, 12,
                                   jnp.zeros(8, jnp.int32),
                                   jnp.zeros(8, bool), draft_len=4)
+
+
+# ---------------------------------------------------------------------------
+# Chunked streaming decode
+# ---------------------------------------------------------------------------
+
+def _stream_setup(params, seed, S=9, max_new=12, chunk=4):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, S))
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, S), bool)
+    n_chunks = -(-max_new // chunk)
+    mk = lambda extra=0: KVCache.create(CFG, 1,
+                                        S + n_chunks * chunk + extra,
+                                        jnp.float32)
+    return ids, embeds, valid, mk, max_new
+
+
+@pytest.mark.parametrize("seed,chunk", [(3, 1), (4, 4), (5, 8), (6, 5)])
+def test_stream_matches_greedy(params, seed, chunk):
+    """Concatenated stream chunks are token-exact vs the fused while_loop,
+    across chunk sizes incl. non-divisors of max_new_tokens."""
+    from tspo_tpu.models.qwen2 import greedy_decode_stream
+    ids, embeds, valid, mk, max_new = _stream_setup(params, seed,
+                                                    chunk=chunk)
+    want, n_want = greedy_decode(params, embeds, valid, mk(8), CFG,
+                                 max_new, eos_token_id=-7)
+    got = np.concatenate(list(greedy_decode_stream(
+        params, embeds, valid, mk(), CFG, max_new, eos_token_id=-7,
+        chunk=chunk)), axis=1)
+    assert got.shape == (1, max_new)
+    np.testing.assert_array_equal(got[0], np.asarray(want))
+
+
+def test_stream_eos_early_stop(params):
+    """EOS mid-stream: identical eos-padding semantics, and the generator
+    stops issuing device chunks once every row is done."""
+    from tspo_tpu.models.qwen2 import greedy_decode_stream
+    ids, embeds, valid, mk, max_new = _stream_setup(params, 7, chunk=2)
+    free, _ = greedy_decode(params, embeds, valid, mk(8), CFG, max_new,
+                            eos_token_id=-7)
+    eos = int(np.asarray(free)[3])            # a token it does emit
+    want, n_want = greedy_decode(params, embeds, valid, mk(8), CFG,
+                                 max_new, eos_token_id=eos)
+    chunks = list(greedy_decode_stream(params, embeds, valid, mk(), CFG,
+                                       max_new, eos_token_id=eos, chunk=2))
+    got = np.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(got[0, : got.shape[1]],
+                                  np.asarray(want)[: got.shape[1]])
+    # everything past the eos that WAS emitted is eos padding
+    assert (got[0, int(n_want):] == eos).all()
+    # early stop: needs ceil((n_want)/2) chunks, not max_new/2
+    assert len(chunks) <= -(-int(n_want) // 2) + 1
+
+
+def test_stream_rejects_small_cache(params):
+    from tspo_tpu.models.qwen2 import greedy_decode_stream
+    ids, embeds, valid, _, max_new = _stream_setup(params, 8, chunk=4)
+    small = KVCache.create(CFG, 1, embeds.shape[1] + max_new - 1,
+                           jnp.float32)
+    with pytest.raises(ValueError, match="stream cache"):
+        next(iter(greedy_decode_stream(params, embeds, valid, small, CFG,
+                                       max_new, chunk=4)))

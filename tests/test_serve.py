@@ -397,3 +397,67 @@ def test_microbatch_lone_request_uses_speculative_path(tmp_path_factory):
     assert out["answer"] == "S:solo"
     assert svc.backbone.single_calls == 1
     assert svc.backbone.multi_calls == 0
+
+
+def _post_sse(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(),
+        {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        ctype = resp.headers.get("Content-Type")
+        events = []
+        for line in resp.read().decode().splitlines():
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    return ctype, events
+
+
+def test_chat_completions_sse_stream(server):
+    """"stream": true yields OpenAI chat.completion.chunk SSE events whose
+    joined deltas equal the non-streaming content, ending with [DONE]."""
+    base, _ = server
+    ctype, events = _post_sse(base + "/v1/chat/completions", {
+        "model": "local-judge", "stream": True,
+        "messages": [{"role": "user", "content": "Score: 1/0"}],
+    })
+    assert ctype.startswith("text/event-stream")
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == "A"          # == the non-streaming answer
+
+
+def test_chat_completions_sse_with_generate_stream(tmp_path):
+    """A backbone exposing generate_stream gets one SSE chunk PER DELTA."""
+
+    class StreamingBackbone(StubBackbone):
+        def generate_stream(self, frames, question, max_new_tokens=None,
+                            **kw):
+            yield "The answer"
+            yield " is"
+            yield " A."
+
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG,
+                                 selector_cfg=SEL_CFG, dtype=jnp.float32,
+                                 tokenize=_tokenize, batch_frames=32,
+                                 frame_buckets=(64,))
+    svc = ScoringService(scorer=scorer, backbone=StreamingBackbone())
+    srv = create_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ctype, events = _post_sse(
+            f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions",
+            {"stream": True,
+             "messages": [{"role": "user", "content": "Q?"}]})
+        chunks = [json.loads(e) for e in events[:-1]]
+        deltas = [c["choices"][0]["delta"].get("content", "")
+                  for c in chunks]
+        assert deltas.count("The answer") == 1     # one chunk per delta
+        assert "".join(deltas) == "The answer is A."
+        assert events[-1] == "[DONE]"
+    finally:
+        srv.shutdown()

@@ -408,13 +408,12 @@ class LLaVAVideoModel:
         h = jax.nn.gelu(h, approximate=False)
         return h @ pj["fc2"]["kernel"] + pj["fc2"]["bias"]
 
-    def generate(self, frames: np.ndarray, question: str,
-                 max_new_tokens: int | None = None, prompt: str | None = None,
-                 audio: np.ndarray | None = None) -> str:
-        """Full reference generate path (llava_qwen.py:178-197 +
-        tspo_trainer.py:527-534): greedy, temperature 0.  ``audio`` (16 kHz
-        waveform) splices AudioTower tokens at the <audio> sentinel —
-        inserted after the <image> line when the default prompt is used."""
+    def _prepare_generate(self, frames, question, max_new_tokens, prompt,
+                          audio):
+        """Shared front half of generate/generate_stream: prompt assembly,
+        optional audio-token splice, tokenize + media splice, and the
+        max_context headroom clamp.  Returns (embeds [1,S,D], input_ids,
+        clamped max_new)."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         max_new = self.max_new_tokens if max_new_tokens is None \
@@ -434,7 +433,8 @@ class LLaVAVideoModel:
                 raise ValueError("audio= given but the prompt has no "
                                  "<audio> (or <image> to auto-insert after)")
             audio_tokens = self.encode_audio_tokens(audio)
-        input_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
+        input_ids = tokenize_with_image(prompt, self.encode,
+                                        self.bos_token_id)
         if frames is None or len(frames) == 0:
             # text-only path (LLM-judge LocalBackboneProvider grades with no
             # video): the <image> slot splices to zero tokens
@@ -443,23 +443,68 @@ class LLaVAVideoModel:
         else:
             video_tokens = self.encode_video(frames)
         embeds = self.splice_embeddings(input_ids, video_tokens, audio_tokens)
-
-        S = embeds.shape[1]
-        valid = jnp.ones((1, S), bool)
         # decode writes past max_context would be silently clamped by
         # dynamic_update_slice onto the last cache slot (corrupting the
         # tail) — refuse a full prompt, truncate the generation budget
-        headroom = self.cfg.max_context - S
+        headroom = self.cfg.max_context - embeds.shape[1]
         if headroom < 1:
             raise ValueError(
-                f"prompt is {S} tokens but max_context={self.cfg.max_context}"
-                ": no cache slot left to generate into (fewer frames, or "
-                "raise max_context)")
-        max_new = min(max_new, headroom)
+                f"prompt is {embeds.shape[1]} tokens but max_context="
+                f"{self.cfg.max_context}: no cache slot left to generate "
+                "into (fewer frames, or raise max_context)")
+        return embeds, input_ids, min(max_new, headroom)
+
+    def generate_stream(self, frames: np.ndarray, question: str,
+                        max_new_tokens: int | None = None,
+                        prompt: str | None = None,
+                        audio: np.ndarray | None = None, chunk: int = 8):
+        """Streaming generate: yields TEXT DELTAS whose concatenation equals
+        ``generate(...)``'s output token-for-token (greedy_decode_stream is
+        chunk-exact vs the fused loop).  Detokenization is prefix-based —
+        each yield decodes the full emitted prefix and emits the new suffix,
+        so BPE merges across chunk boundaries render correctly.  Time-to-
+        first-text drops from prefill+full-decode to prefill+one chunk."""
+        from .qwen2 import greedy_decode_stream
+        embeds, _, max_new = self._prepare_generate(
+            frames, question, max_new_tokens, prompt, audio)
+        S = embeds.shape[1]
+        valid = jnp.ones((1, S), bool)
+        n_chunks = -(-max_new // chunk)
+        # NOT clamped to max_context: the final chunk may run a few steps
+        # past max_new (trimmed host-side); those throwaway steps still
+        # need real cache slots so they can't alias onto emitted ones
+        cache = KVCache.create(self.cfg.lm, 1, S + n_chunks * chunk,
+                               embeds.dtype)
+        eos = self.cfg.lm.eos_token_id
+        toks: list = []
+        text = ""
+        for block in greedy_decode_stream(self.params["lm"], embeds, valid,
+                                          cache, self.cfg.lm, max_new,
+                                          chunk=chunk):
+            fresh = [int(t) for t in block[0] if int(t) != eos]
+            if not fresh and toks:
+                break               # eos padding only: stream is done
+            toks.extend(fresh)
+            new_text = self.decode(toks)
+            delta, text = new_text[len(text):], new_text
+            if delta:
+                yield delta
+
+    def generate(self, frames: np.ndarray, question: str,
+                 max_new_tokens: int | None = None, prompt: str | None = None,
+                 audio: np.ndarray | None = None) -> str:
+        """Full reference generate path (llava_qwen.py:178-197 +
+        tspo_trainer.py:527-534): greedy, temperature 0.  ``audio`` (16 kHz
+        waveform) splices AudioTower tokens at the <audio> sentinel —
+        inserted after the <image> line when the default prompt is used."""
+        embeds, input_ids, max_new = self._prepare_generate(
+            frames, question, max_new_tokens, prompt, audio)
+        S = embeds.shape[1]
+        valid = jnp.ones((1, S), bool)
         # clamp the draft to the remaining cache headroom: the speculative
         # verify block needs S + max_new + d slots; at zero residual
         # headroom fall back to plain greedy
-        d = min(self.draft_len, headroom - max_new)
+        d = min(self.draft_len, self.cfg.max_context - S - max_new)
         if self.speculative and d >= 1:
             from .qwen2 import build_spec_lookup, greedy_decode_speculative
             lookup, lvalid = build_spec_lookup(

@@ -467,6 +467,104 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
 
 
 # ---------------------------------------------------------------------------
+# Chunked streaming decode (token-exact vs greedy_decode)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_prefill(params, prompt_embeds, prompt_valid, cache: KVCache,
+                   cfg: Qwen2Config, prompt_rope_cos_sin: tuple | None = None,
+                   decode_pos_start=None):
+    """The prefill half of :func:`greedy_decode`, split out so decode can
+    proceed in host-visible chunks (streaming).  Returns
+    (first_tok [B] int32, cache, pos0 [B])."""
+    B, S, _ = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)
+    pos0 = n_prompt if decode_pos_start is None else \
+        jnp.broadcast_to(jnp.asarray(decode_pos_start), (B,))
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache,
+                                  jnp.arange(S), attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    first_tok = jnp.argmax(lm_logits(params, last_h, cfg),
+                           axis=-1).astype(jnp.int32)
+    return first_tok, cache, pos0
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"),
+         donate_argnames=("cache",))
+def decode_chunk(params, tok, cache: KVCache, pos0, i0, prompt_valid, done,
+                 cfg: Qwen2Config, chunk: int, eos):
+    """``chunk`` greedy decode steps continuing from (tok, cache) — the
+    loop body is step-for-step :func:`greedy_decode`'s, so concatenated
+    chunks are token-exact vs the fused while_loop (pinned by
+    tests/test_qwen2.py::test_stream_matches_greedy).  ``i0`` is the global
+    decode step of ``tok``; rows already ``done`` keep emitting eos."""
+    B = tok.shape[0]
+    T = cache.k.shape[2]
+    S = prompt_valid.shape[1]
+    dtype = cache.k.dtype
+
+    def body(j, state):
+        tok, cache, out, done = state
+        out = out.at[:, j].set(jnp.where(done, eos, tok))
+        done = done | (tok == eos)
+        emb = embed_tokens(params, tok)[:, None, :].astype(dtype)
+        pos = (pos0 + i0 + j)[:, None]
+        av = (jnp.arange(T)[None, :] < cache.length + 1) & \
+            jnp.concatenate([prompt_valid,
+                             jnp.ones((B, T - S), bool)], axis=1)
+        h, cache = qwen2_forward(params, emb, cache, pos, av, cfg)
+        nxt = jnp.argmax(lm_logits(params, h[:, -1], cfg),
+                         axis=-1).astype(jnp.int32)
+        return nxt, cache, out, done
+
+    out = jnp.full((B, chunk), eos, jnp.int32)
+    tok, cache, out, done = jax.lax.fori_loop(
+        0, chunk, body, (tok, cache, out, done))
+    return out, tok, cache, done
+
+
+def greedy_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
+                         cfg: Qwen2Config, max_new_tokens: int,
+                         eos_token_id: int | None = None, chunk: int = 8,
+                         prompt_rope_cos_sin: tuple | None = None,
+                         decode_pos_start=None):
+    """Generator over greedy decode: yields np.int32 [B, <=chunk] blocks of
+    fresh tokens as they land, token-exact vs :func:`greedy_decode` (same
+    eos-padding semantics).  The chip runs ``chunk`` fused steps per host
+    round-trip, so throughput approaches the fused loop's while time-to-
+    first-token drops to prefill + one chunk.
+
+    The cache must have >= S + ceil(max_new_tokens/chunk)*chunk slots: the
+    final chunk always executes ``chunk`` steps (one compiled program for
+    every chunk) and trims host-side."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    S = prompt_embeds.shape[1]
+    n_chunks = -(-max_new_tokens // chunk)
+    if cache.k.shape[2] < S + n_chunks * chunk:
+        raise ValueError(
+            f"stream cache needs >= {S + n_chunks * chunk} slots "
+            f"(S={S} + {n_chunks}x{chunk}), got {cache.k.shape[2]}")
+    tok, cache, pos0 = decode_prefill(
+        params, prompt_embeds, prompt_valid, cache, cfg,
+        prompt_rope_cos_sin=prompt_rope_cos_sin,
+        decode_pos_start=decode_pos_start)
+    B = tok.shape[0]
+    done = jnp.zeros((B,), bool)
+    for c in range(n_chunks):
+        if bool(jnp.all(done)):
+            return
+        out, tok, cache, done = decode_chunk(
+            params, tok, cache, pos0, jnp.int32(c * chunk), prompt_valid,
+            done, cfg, chunk, jnp.int32(eos))
+        n = min(chunk, max_new_tokens - c * chunk)
+        yield np.asarray(out)[:, :n]
+
+
+# ---------------------------------------------------------------------------
 # Prompt-lookup speculative decode (B=1, exact greedy)
 # ---------------------------------------------------------------------------
 

@@ -202,6 +202,48 @@ class ScoringService:
                       "total_tokens": 0},
         }
 
+    def chat_completion_stream(self, *, messages: list,
+                               model: str = "local",
+                               max_tokens: int | None = None,
+                               **_ignored):
+        """SSE variant of chat_completion ("stream": true): yields
+        OpenAI-format chat.completion.chunk dicts, one per decoded text
+        delta, then a finish_reason chunk.  Backed by the backbone's
+        generate_stream (chunked device decode, token-exact vs generate) —
+        backbones without one degrade to a single whole-answer chunk, which
+        is still valid SSE to any OpenAI client."""
+        if self.backbone is None:
+            raise ValueError("no backbone loaded")
+        system = "\n".join(str(m.get("content", "")) for m in messages
+                           if m.get("role") == "system")
+        user = "\n".join(str(m.get("content", "")) for m in messages
+                         if m.get("role") != "system")
+        prompt = (system + "\n\n" + user).strip() if system else user
+        kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
+        self.stats["requests"] += 1
+        cid = f"chatcmpl-{self.stats['requests']}"
+
+        def chunk(delta: dict, finish=None) -> dict:
+            return {"id": cid, "object": "chat.completion.chunk",
+                    "created": int(time.time()), "model": model,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}
+
+        stream = getattr(self.backbone, "generate_stream", None)
+        with self._device_lock:
+            yield chunk({"role": "assistant"})
+            if stream is None:
+                try:
+                    text = self.backbone.generate(None, prompt, **kwargs)
+                except TypeError:
+                    text = self.backbone.generate(None, prompt)
+                if text:
+                    yield chunk({"content": text})
+            else:
+                for delta in stream(None, prompt, **kwargs):
+                    yield chunk({"content": delta})
+        yield chunk({}, finish="stop")
+
     def _generate_one(self, sel_frames, question,
                       max_new_tokens: int | None) -> str:
         kwargs = {}
@@ -329,6 +371,29 @@ def make_handler(service: ScoringService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_sse(self, chunks) -> None:
+            """OpenAI-style SSE: one `data: {json}` event per chunk, then
+            `data: [DONE]`.  The caller primes the generator BEFORE this is
+            called so pre-stream errors (no backbone, bad args) still get a
+            normal json error response; mid-stream failures become an
+            error event since headers are already on the wire."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for c in chunks:
+                    self.wfile.write(b"data: " + json.dumps(c).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+            except Exception as e:  # noqa: BLE001 — headers already sent
+                self.wfile.write(b"data: "
+                                 + json.dumps({"error": str(e)}).encode()
+                                 + b"\n\n")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, **service.stats})
@@ -347,7 +412,13 @@ def make_handler(service: ScoringService):
                 elif self.path == "/v1/answer":
                     self._send(200, service.answer(**req))
                 elif self.path == "/v1/chat/completions":
-                    self._send(200, service.chat_completion(**req))
+                    if req.get("stream"):
+                        import itertools
+                        gen = service.chat_completion_stream(**req)
+                        first = next(gen)       # errors -> json 400/500
+                        self._send_sse(itertools.chain([first], gen))
+                    else:
+                        self._send(200, service.chat_completion(**req))
                 else:
                     self._send(404, {"error": "not found"})
             except (TypeError, ValueError, KeyError) as e:
