@@ -347,6 +347,11 @@ def main():
     # the production shapes (swept: CHUNK 256-512 optimal)
     CHUNK = int(os.environ.get("TSPO_BENCH_CHUNK", 512))
     BUCKET = int(os.environ.get("TSPO_BENCH_BUCKET", 2048))
+    if BUCKET < CHUNK or BUCKET % CHUNK:
+        raise ValueError(
+            f"TSPO_BENCH_BUCKET ({BUCKET}) must be a positive multiple of "
+            f"TSPO_BENCH_CHUNK ({CHUNK}) — set both for smoke runs, e.g. "
+            "TSPO_BENCH_BUCKET=64 TSPO_BENCH_CHUNK=32")
     H, W = 480, 640      # typical 1-fps decode resolution
 
     rng = np.random.default_rng(0)

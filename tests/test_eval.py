@@ -696,3 +696,38 @@ def test_precompute_resume_across_shard_scheme_change(tmp_path):
     assert sorted(done) == ["q0", "q1", "q2"]
     # only the one missing question was computed (its features via cache)
     assert len(calls2) <= 1
+
+
+def test_harness_batched_emit_failure_drops_no_docs(bench_dir, monkeypatch):
+    """A process_response exception for ONE doc mid-flush must not swallow
+    the rest of the batch (review finding): the failing doc records an
+    [error:] response, every other doc emits normally."""
+    from tspo_tpu.eval.tasks import TASK_REGISTRY
+    import dataclasses
+    docs = _vmme_docs(4)
+    real = TASK_REGISTRY["VideoMME"]
+
+    def exploding(doc, response, rng=None):
+        if doc["question_id"] == "q1":
+            raise KeyError("malformed doc")
+        return real.process_response(doc, response, rng)
+
+    monkeypatch.setitem(TASK_REGISTRY, "VideoMME",
+                        dataclasses.replace(real,
+                                            process_response=exploding))
+    res = evaluate_task("VideoMME", docs, BatchingBackbone(),
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, batch_size=4)
+    # q1 fails twice (the error-record retry also raises) -> loudly dropped;
+    # q0/q2/q3 must all survive
+    assert len(res.samples) == 3
+    assert sorted(s["doc_id"] for s in res.samples) == ["q0", "q2", "q3"]
+
+
+def test_clip_query_strips_mid_string_marker():
+    """datasets.py:95 replaces "Question: " EVERYWHERE; a pre_prompt can
+    push the marker mid-string (review finding)."""
+    from tspo_tpu.eval.tasks import clip_query_text
+    doc = {"question": ("Watch the video.\nQuestion: What happens?"
+                        "\nOptions:\n(A) x")}
+    assert clip_query_text(doc) == "Watch the video.\nWhat happens?"

@@ -517,3 +517,29 @@ def test_generate_stream_near_max_context(jax_model):
     got = "".join(tight.generate_stream(frames, q, max_new_tokens=5,
                                         chunk=4))
     assert got == want
+
+
+def test_generate_stream_multibyte_safe(jax_model):
+    """A multibyte character whose byte-level BPE tokens straddle a chunk
+    boundary must NOT leak U+FFFD into the stream (review finding): the
+    unstable tail is held back until it decodes cleanly, and the joined
+    deltas equal the full decode."""
+    import dataclasses
+
+    # fake detokenizer: every PAIR of token ids renders one char; an
+    # unpaired trailing token decodes to the replacement char — exactly the
+    # byte-level-BPE split-character behavior
+    def pair_decode(toks):
+        text = "".join(chr(0x4E00 + (a % 100)) for a in toks[0::2][: len(toks) // 2])
+        return text + ("�" if len(toks) % 2 else "")
+
+    model = dataclasses.replace(jax_model, decode=pair_decode)
+    frames = np.random.default_rng(13).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    want = model.generate(frames, "Describe.", max_new_tokens=7)
+    for chunk in (1, 3):           # odd chunks force straddles
+        deltas = list(model.generate_stream(frames, "Describe.",
+                                            max_new_tokens=7, chunk=chunk))
+        assert "".join(deltas) == want, (chunk, deltas, want)
+        # no replacement char in any non-final delta
+        assert not any("�" in d for d in deltas[:-1]), deltas

@@ -556,3 +556,26 @@ def test_fuzz_core_metrics_vs_reference():
             except Exception:  # noqa: BLE001
                 got = 0
             assert got == pytest.approx(want, abs=1e-9), (name, a, b)
+
+
+def test_megabench_core_never_judges():
+    """MEGABench-core is the rule-based subset: registering WITH a judge
+    must not wire it into core's aggregate (review finding) — a core doc
+    whose metric_info names a judge metric fails loudly instead of
+    silently judge-scoring."""
+    from tspo_tpu.eval.llm_judge import DummyJudgeProvider
+    register_megabench(judge=DummyJudgeProvider())
+    core = TASK_REGISTRY.pop("MEGABench-core")
+    TASK_REGISTRY.pop("MEGABench-open")
+    mi = {"field_score_function": {"answer": "gpt_4o_as_judge"},
+          "aggregation": {"function": "mean",
+                          "field_weights": {"answer": 1}},
+          "response_parse_function": "dummy",
+          "gpt4o_eval_configs": {"judge_model_type": "text only",
+                                 "eval_criteria_prompt": "{pred}",
+                                 "reference_type": "answer",
+                                 "template_mapping":
+                                     {"pred": "model_output"}}}
+    rec = megabench_process(_mk_doc("t", 0, {"answer": "x"}, mi), "x")
+    with pytest.raises(RuntimeError, match="JudgeProvider"):
+        core.aggregate([rec])

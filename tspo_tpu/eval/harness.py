@@ -230,9 +230,27 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 if on_error == "raise":
                     raise
                 outs = None   # degrade to per-doc generates below
+        def _emit_safe(d, resp, fi):
+            # a process_response/progress/cache failure for ONE doc must not
+            # abort the rest of the batch: the outer per-doc handler only
+            # knows the CURRENT doc, so an escape here would silently drop
+            # the other pending docs from every metric's denominator
+            try:
+                _emit(d, resp, fi)
+            except Exception as e:  # noqa: BLE001
+                if on_error == "raise":
+                    raise
+                try:
+                    _emit(d, f"[error: {e}]", [])
+                except Exception:   # noqa: BLE001 — malformed doc: record
+                    import sys
+                    print(f"[harness] dropping doc {_doc_id(d, id_key)}: "
+                          f"process_response failed twice: {e}",
+                          file=sys.stderr)
+
         if outs is not None:
             for (d, _, fi, _), resp in zip(batch, outs):
-                _emit(d, resp, fi)
+                _emit_safe(d, resp, fi)
             return
         for d, fr, fi, pr in batch:
             try:
@@ -241,7 +259,7 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                 if on_error == "raise":
                     raise
                 resp, fi = f"[error: {e}]", []
-            _emit(d, resp, fi)
+            _emit_safe(d, resp, fi)
 
     while True:
         item = q.get()

@@ -183,7 +183,9 @@ def register_megabench(judge: JudgeProvider | None = None,
             name=name,
             doc_to_text=megabench_doc_to_text,
             process_response=megabench_process,
+            # core is the rule-based subset: never judge-score it, so a core
+            # doc whose metric_info names a judge metric fails loudly
             aggregate=make_megabench_aggregate(
-                judge=judge if name.endswith("open") else judge,
+                judge=judge if name.endswith("open") else None,
                 submission_path=submission_path),
         )

@@ -230,8 +230,9 @@ def clip_query_text(doc) -> str:
     precomputed ones for docs whose question field embeds options text."""
     q = str(doc.get("question", ""))
     q = q.replace("<image>\n", "").replace("<image>", "")
-    if q.startswith("Question: "):
-        q = q[len("Question: "):]
+    # replace EVERYWHERE, not just a leading prefix — datasets.py:95 uses
+    # str.replace, and a pre_prompt can push the marker mid-string
+    q = q.replace("Question: ", "")
     return q.split("\nOptions")[0]
 
 

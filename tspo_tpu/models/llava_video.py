@@ -477,6 +477,7 @@ class LLaVAVideoModel:
                                embeds.dtype)
         eos = self.cfg.lm.eos_token_id
         toks: list = []
+        sent = ""
         text = ""
         for block in greedy_decode_stream(self.params["lm"], embeds, valid,
                                           cache, self.cfg.lm, max_new,
@@ -485,10 +486,19 @@ class LLaVAVideoModel:
             if not fresh and toks:
                 break               # eos padding only: stream is done
             toks.extend(fresh)
-            new_text = self.decode(toks)
-            delta, text = new_text[len(text):], new_text
-            if delta:
-                yield delta
+            text = self.decode(toks)
+            # hold back a trailing U+FFFD: a multibyte character whose
+            # byte-level BPE tokens straddle the chunk boundary decodes as
+            # the replacement char NOW but completes next chunk — emitting
+            # it would corrupt the stream (prefix-slice never re-sends it)
+            stable = text
+            while stable and stable[-1] == "�":
+                stable = stable[:-1]
+            if len(stable) > len(sent):
+                yield stable[len(sent):]
+                sent = stable
+        if len(text) > len(sent):   # flush a genuinely-invalid tail as-is
+            yield text[len(sent):]
 
     def generate(self, frames: np.ndarray, question: str,
                  max_new_tokens: int | None = None, prompt: str | None = None,

@@ -230,18 +230,27 @@ class ScoringService:
                                  "finish_reason": finish}]}
 
         stream = getattr(self.backbone, "generate_stream", None)
-        with self._device_lock:
-            yield chunk({"role": "assistant"})
-            if stream is None:
+        yield chunk({"role": "assistant"})
+        if stream is None:
+            with self._device_lock:
                 try:
                     text = self.backbone.generate(None, prompt, **kwargs)
                 except TypeError:
                     text = self.backbone.generate(None, prompt)
-                if text:
-                    yield chunk({"content": text})
-            else:
-                for delta in stream(None, prompt, **kwargs):
-                    yield chunk({"content": delta})
+            if text:
+                yield chunk({"content": text})
+        else:
+            # hold the device lock only across next() — i.e. device work —
+            # never across the SSE socket write between yields: a
+            # slow-reading client must not block /v1/score on an idle chip
+            it = iter(stream(None, prompt, **kwargs))
+            while True:
+                with self._device_lock:
+                    try:
+                        delta = next(it)
+                    except StopIteration:
+                        break
+                yield chunk({"content": delta})
         yield chunk({}, finish="stop")
 
     def _generate_one(self, sel_frames, question,
