@@ -461,3 +461,20 @@ def test_chat_completions_sse_with_generate_stream(tmp_path):
         assert events[-1] == "[DONE]"
     finally:
         srv.shutdown()
+
+
+def test_answer_sse_stream(server):
+    """/v1/answer with "stream": true: a frames event with the selected
+    indices first, then delta events joining to the non-streaming answer,
+    then done with latency — ending in [DONE]."""
+    base, video = server
+    _, events = _post_sse(base + "/v1/answer",
+                          {"video_path": video, "question": "what?",
+                           "sample_num": 8, "stream": True})
+    assert events[-1] == "[DONE]"
+    msgs = [json.loads(e) for e in events[:-1]]
+    assert msgs[0].get("event") == "frames"
+    assert len(msgs[0]["frame_indices"]) == 8
+    assert msgs[-1].get("event") == "done" and "latency_s" in msgs[-1]
+    text = "".join(m.get("delta", "") for m in msgs)
+    assert text == "A"           # == the non-streaming answer

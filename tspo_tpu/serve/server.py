@@ -317,12 +317,10 @@ class ScoringService:
             raise slot["err"]
         return slot["out"]
 
-    def answer(self, *, video_path: str, question: str, sample_num=None,
-               method: str = "topk", window_size=None,
-               max_new_tokens: int | None = None) -> dict:
-        if self.backbone is None:
-            raise ValueError("no backbone loaded")
-        t0 = time.perf_counter()
+    def _select_frames(self, video_path: str, question: str, sample_num,
+                       method: str, window_size):
+        """Selection half of /v1/answer: returns (sel_frames, idx,
+        n_candidates)."""
         sample_num = sample_num or self.default_sample_num
         if self._cache_usable():
             # score from the feature LRU, then decode ONLY the selected
@@ -343,15 +341,23 @@ class ScoringService:
                 sel = load_video_indices(video_path, np.asarray(sched)[idx])
             else:
                 sel = self._decode(video_path)[idx]
-            n_frames = len(img)
-        else:
-            frames = self._decode(video_path)
-            with self._device_lock:
-                idx, _ = self.scorer(frames, question, sample_num=sample_num,
-                                     window_size=window_size or self.default_window,
-                                     method=method)
-            sel = frames[np.asarray(idx)]
-            n_frames = len(frames)
+            return sel, idx, len(img)
+        frames = self._decode(video_path)
+        with self._device_lock:
+            idx, _ = self.scorer(frames, question, sample_num=sample_num,
+                                 window_size=window_size or
+                                 self.default_window, method=method)
+        return frames[np.asarray(idx)], np.asarray(idx), len(frames)
+
+    def answer(self, *, video_path: str, question: str, sample_num=None,
+               method: str = "topk", window_size=None,
+               max_new_tokens: int | None = None) -> dict:
+        if self.backbone is None:
+            raise ValueError("no backbone loaded")
+        t0 = time.perf_counter()
+        sel, idx, n_frames = self._select_frames(video_path, question,
+                                                 sample_num, method,
+                                                 window_size)
         if self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
             answer = self._answer_batched(sel, question, max_new_tokens)
@@ -365,6 +371,46 @@ class ScoringService:
                 "frame_indices": [int(i) for i in idx],
                 "num_candidates": int(n_frames),
                 "latency_s": round(time.perf_counter() - t0, 4)}
+
+    def answer_stream(self, *, video_path: str, question: str,
+                      sample_num=None, method: str = "topk",
+                      window_size=None, max_new_tokens: int | None = None,
+                      **_ignored):
+        """SSE variant of /v1/answer ("stream": true): a ``frames`` event
+        with the selected indices as soon as phase-1 lands, then one
+        ``delta`` event per decoded text piece (backbone generate_stream;
+        whole-answer fallback otherwise), then a ``done`` event with stats.
+        The device lock wraps only device work, never socket writes."""
+        if self.backbone is None:
+            raise ValueError("no backbone loaded")
+        t0 = time.perf_counter()
+        sel, idx, n_frames = self._select_frames(video_path, question,
+                                                 sample_num, method,
+                                                 window_size)
+        yield {"event": "frames",
+               "frame_indices": [int(i) for i in idx],
+               "num_candidates": int(n_frames)}
+        kwargs = {"max_new_tokens": max_new_tokens} if max_new_tokens else {}
+        stream = getattr(self.backbone, "generate_stream", None)
+        if stream is None:
+            with self._device_lock:
+                text = self._generate_one(sel, question, max_new_tokens)
+            if text:
+                yield {"delta": text}
+        else:
+            it = iter(stream(sel, question, **kwargs))
+            while True:
+                with self._device_lock:
+                    try:
+                        delta = next(it)
+                    except StopIteration:
+                        break
+                yield {"delta": delta}
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            self.stats["frames_scored"] += n_frames
+        yield {"event": "done",
+               "latency_s": round(time.perf_counter() - t0, 4)}
 
 
 def make_handler(service: ScoringService):
@@ -419,7 +465,14 @@ def make_handler(service: ScoringService):
                 if self.path == "/v1/score":
                     self._send(200, service.score(**req))
                 elif self.path == "/v1/answer":
-                    self._send(200, service.answer(**req))
+                    if req.get("stream"):
+                        import itertools
+                        req.pop("stream")
+                        gen = service.answer_stream(**req)
+                        first = next(gen)       # errors -> json 400/500
+                        self._send_sse(itertools.chain([first], gen))
+                    else:
+                        self._send(200, service.answer(**req))
                 elif self.path == "/v1/chat/completions":
                     if req.get("stream"):
                         import itertools

@@ -81,6 +81,34 @@ document.getElementById('go').onclick = async () => {
     sample_num: parseInt(document.getElementById('sample_num').value),
   };
   try {
+    if (mode === 'answer') {        // stream: text appears as it decodes
+      const r = await fetch('/v1/answer', {
+        method: 'POST', headers: {'Content-Type': 'application/json'},
+        body: JSON.stringify({...body, stream: true})});
+      if (!r.ok) { const j = await r.json();
+                   show([pre('error: ' + j.error)]); return; }
+      const div = document.createElement('div');
+      div.className = 'answer';
+      const meta = pre('');
+      show([div, meta]);
+      const reader = r.body.getReader();
+      const dec = new TextDecoder();
+      let buf = '';
+      for (;;) {
+        const {value, done} = await reader.read();
+        if (done) break;
+        buf += dec.decode(value, {stream: true});
+        let i;
+        while ((i = buf.indexOf('\\n\\n')) >= 0) {
+          const line = buf.slice(0, i); buf = buf.slice(i + 2);
+          if (!line.startsWith('data: ') || line === 'data: [DONE]') continue;
+          const m = JSON.parse(line.slice(6));
+          if (m.delta !== undefined) div.textContent += m.delta;
+          else meta.textContent += JSON.stringify(m) + '\\n';
+        }
+      }
+      return;
+    }
     const r = await fetch('/v1/' + mode, {
       method: 'POST', headers: {'Content-Type': 'application/json'},
       body: JSON.stringify(body)});
