@@ -297,8 +297,10 @@ def test_program_judge_gated(monkeypatch):
         {"input": ["1", "1"], "expected": "3"},
     ]}
     code = "a = int(input()); b = int(input()); print(a + b)"
-    assert program_judge(code, cases) == pytest.approx(2 / 3)
-    assert program_judge("while True: pass", cases) == 0
+    # explicit generous cap: the correctness cases must never flake on a
+    # loaded 1-core CI box (the default cap is for production workloads)
+    assert program_judge(code, cases, timeout=60) == pytest.approx(2 / 3)
+    assert program_judge("while True: pass", cases, timeout=3) == 0
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,14 @@ def test_speculative_capacity_clamp_and_fallback(jax_model, video_inputs):
             cfg=dataclasses.replace(jax_model.cfg, max_context=ctx))
         tight.encode, tight.decode = jax_model.encode, jax_model.decode
         assert tight.generate(video_inputs, "What?", max_new_tokens=6) == plain
+
+
+def test_generate_stream_matches_generate(jax_model, video_inputs):
+    """''.join(generate_stream deltas) == generate output (m-rope prompt
+    tables threaded through the chunked decode)."""
+    want = jax_model.generate(video_inputs, "What?", max_new_tokens=6)
+    for chunk in (2, 8):
+        got = "".join(jax_model.generate_stream(video_inputs, "What?",
+                                                max_new_tokens=6,
+                                                chunk=chunk))
+        assert got == want, (chunk, got, want)

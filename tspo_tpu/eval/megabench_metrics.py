@@ -1206,8 +1206,10 @@ def program_judge(response, eval_context, timeout=None):
     import subprocess
     import sys
     if timeout is None:
+        # 3x the measured startup: the one-time measurement can be taken on
+        # an idle core and then raced by a loaded one
         timeout = float(os.environ.get("TSPO_CODE_EXEC_TIMEOUT", "0")) \
-            or 2 + _interp_startup_s()
+            or 2 + 3 * _interp_startup_s()
     cases = eval_context["test_case"]
     if isinstance(cases, dict):
         cases = [cases]

@@ -396,10 +396,10 @@ class Qwen25VLModel:
         post_ids = [c.vision_end_token_id] + list(self.encode(post_text))
         return pre_ids, vid_ids, post_ids
 
-    def generate(self, frames: np.ndarray, question: str,
-                 max_new_tokens: int | None = None) -> str:
-        """TSPO transfer path (demo/qwen25vl_tspo.py:53-95): frames are the
-        TSPO-selected subset; greedy decode."""
+    def _prepare_generate(self, frames, question, max_new_tokens):
+        """Shared front half of generate/generate_stream: prompt ids, video
+        feature splice, m-rope tables, and the max_context headroom clamp.
+        Returns (emb [S, D], ids, rope_kwargs, clamped max_new)."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         c = self.cfg
@@ -447,8 +447,18 @@ class Qwen25VLModel:
                 f"prompt is {S} tokens but max_context={c.max_context}: no "
                 "cache slot left to generate into (fewer frames, or raise "
                 "max_context)")
-        max_new = min(max_new, headroom)
-        d = min(self.draft_len, headroom - max_new)
+        return emb, ids, rope_kwargs, min(max_new, headroom)
+
+    def generate(self, frames: np.ndarray, question: str,
+                 max_new_tokens: int | None = None) -> str:
+        """TSPO transfer path (demo/qwen25vl_tspo.py:53-95): frames are the
+        TSPO-selected subset; greedy decode."""
+        c = self.cfg
+        lm = self.params["lm"]
+        emb, ids, rope_kwargs, max_new = self._prepare_generate(
+            frames, question, max_new_tokens)
+        S = emb.shape[0]
+        d = min(self.draft_len, c.max_context - S - max_new)
         if self.speculative and d >= 1:
             from .qwen2 import build_spec_lookup, greedy_decode_speculative
             lookup, lvalid = build_spec_lookup(
@@ -467,6 +477,41 @@ class Qwen25VLModel:
         toks = np.asarray(toks)[: int(n)]
         toks = toks[toks != c.lm.eos_token_id]
         return self.decode(toks.tolist())
+
+    def generate_stream(self, frames: np.ndarray, question: str,
+                        max_new_tokens: int | None = None, chunk: int = 8):
+        """Streaming generate (text deltas; join == generate()'s output) —
+        same chunked-decode + prefix-detokenization contract as
+        llava_video.generate_stream, with the m-rope prompt tables threaded
+        through decode_prefill.  Trailing U+FFFD is held back until the
+        straddling character completes."""
+        from .qwen2 import greedy_decode_stream
+        c = self.cfg
+        emb, _, rope_kwargs, max_new = self._prepare_generate(
+            frames, question, max_new_tokens)
+        S = emb.shape[0]
+        n_chunks = -(-max_new // chunk)
+        cache = KVCache.create(c.lm, 1, S + n_chunks * chunk, emb.dtype)
+        eos = c.lm.eos_token_id
+        toks: list = []
+        sent = ""
+        text = ""
+        for block in greedy_decode_stream(
+                self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
+                c.lm, max_new, chunk=chunk, **rope_kwargs):
+            fresh = [int(t) for t in block[0] if int(t) != eos]
+            if not fresh and toks:
+                break
+            toks.extend(fresh)
+            text = self.decode(toks)
+            stable = text
+            while stable and stable[-1] == "�":
+                stable = stable[:-1]
+            if len(stable) > len(sent):
+                yield stable[len(sent):]
+                sent = stable
+        if len(text) > len(sent):
+            yield text[len(sent):]
 
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str):
