@@ -731,3 +731,52 @@ def test_clip_query_strips_mid_string_marker():
     doc = {"question": ("Watch the video.\nQuestion: What happens?"
                         "\nOptions:\n(A) x")}
     assert clip_query_text(doc) == "Watch the video.\nWhat happens?"
+
+
+def test_harness_emit_retry_never_double_counts(bench_dir, monkeypatch):
+    """A failure AFTER process_response (non-mapping rec breaking the sample
+    merge) must not leave the doc in results before the [error:] retry
+    re-emits it — that would double-count it in every metric denominator
+    (review finding)."""
+    from tspo_tpu.eval.tasks import TASK_REGISTRY
+    import dataclasses
+    docs = _vmme_docs(4)
+    real = TASK_REGISTRY["VideoMME"]
+
+    def non_mapping(doc, response, rng=None):
+        if doc["question_id"] == "q1" \
+                and not str(response).startswith("[error:"):
+            return ["not", "a", "mapping"]      # `**rec` merge raises
+        return real.process_response(doc, response, rng)
+
+    monkeypatch.setitem(TASK_REGISTRY, "VideoMME",
+                        dataclasses.replace(real,
+                                            process_response=non_mapping))
+    res = evaluate_task("VideoMME", docs, BatchingBackbone(),
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, batch_size=4)
+    # exactly one record per doc: q1 re-emitted once with [error:], never two
+    assert len(res.results) == 4
+    assert len(res.samples) == 4
+    assert sorted(s["doc_id"] for s in res.samples) == ["q0", "q1", "q2", "q3"]
+    assert sum(str(s["response"]).startswith("[error:")
+               for s in res.samples) == 1
+
+
+def test_harness_progress_failure_never_double_counts(bench_dir):
+    """A raising progress callback is display-only: the record is already
+    emitted, so the harness must swallow it rather than let _emit_safe
+    re-emit the doc (review finding)."""
+    docs = _vmme_docs(3)
+
+    def bad_progress(qid):
+        raise RuntimeError("tracker write failed")
+
+    res = evaluate_task("VideoMME", docs, BatchingBackbone(),
+                        video_root=str(bench_dir / "videos"),
+                        max_frames_num=8, batch_size=3,
+                        progress=bad_progress)
+    assert len(res.results) == 3
+    assert sorted(s["doc_id"] for s in res.samples) == ["q0", "q1", "q2"]
+    assert not any(str(s["response"]).startswith("[error:")
+                   for s in res.samples)

@@ -478,3 +478,20 @@ def test_answer_sse_stream(server):
     assert msgs[-1].get("event") == "done" and "latency_s" in msgs[-1]
     text = "".join(m.get("delta", "") for m in msgs)
     assert text == "A"           # == the non-streaming answer
+
+
+def test_explicit_stream_false_is_not_an_error(server):
+    """An explicit "stream": false (the OpenAI convention) must take the
+    plain-json branch on BOTH endpoints — answer() has no **_ignored, so a
+    leaked stream key used to 400 (review finding)."""
+    base, video = server
+    status, out = _post(base + "/v1/answer",
+                        {"video_path": video, "question": "what?",
+                         "sample_num": 8, "stream": False})
+    assert status == 200
+    assert out["answer"] == "A"
+    status, out = _post(base + "/v1/chat/completions", {
+        "stream": False,
+        "messages": [{"role": "user", "content": "Q?"}]})
+    assert status == 200
+    assert out["object"] == "chat.completion"

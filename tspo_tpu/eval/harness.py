@@ -201,19 +201,30 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
     results, samples = [], []
 
     def _emit(doc, response, frame_idx, rounds_detail=None):
-        if response_cache is not None and _doc_id(doc, id_key) is not None \
-                and not str(response).startswith("[error:"):
-            response_cache.put(_doc_id(doc, id_key), response)
+        # all fallible work FIRST, mutations last: _emit_safe retries a
+        # failed _emit with an [error:] response, so an exception escaping
+        # after results.append would double-count the doc in every metric
+        # denominator on the retry
         rec = task.process_response(doc, response, rng)
-        results.append(rec)
+        sample = None
         if log_samples:
             sample = {"doc_id": _doc_id(doc, id_key), "response": response,
                       "frame_idx": frame_idx, **rec}
             if rounds_detail is not None:
                 sample["rounds"] = rounds_detail
+        if response_cache is not None and _doc_id(doc, id_key) is not None \
+                and not str(response).startswith("[error:"):
+            response_cache.put(_doc_id(doc, id_key), response)
+        results.append(rec)
+        if sample is not None:
             samples.append(sample)
         if progress:
-            progress(_doc_id(doc, id_key))
+            try:
+                progress(_doc_id(doc, id_key))
+            except Exception as e:  # noqa: BLE001 — display-only callback:
+                import sys           # the record is already emitted, so a
+                print(f"[harness] progress callback failed: {e}",  # retry
+                      file=sys.stderr)                # would double-append
 
     pending: list = []   # (doc, frames, frame_idx, prompt) awaiting batch
 

@@ -464,7 +464,7 @@ class LLaVAVideoModel:
         each yield decodes the full emitted prefix and emits the new suffix,
         so BPE merges across chunk boundaries render correctly.  Time-to-
         first-text drops from prefill+full-decode to prefill+one chunk."""
-        from .qwen2 import greedy_decode_stream
+        from .qwen2 import greedy_decode_stream, stream_detokenize
         embeds, _, max_new = self._prepare_generate(
             frames, question, max_new_tokens, prompt, audio)
         S = embeds.shape[1]
@@ -475,30 +475,11 @@ class LLaVAVideoModel:
         # need real cache slots so they can't alias onto emitted ones
         cache = KVCache.create(self.cfg.lm, 1, S + n_chunks * chunk,
                                embeds.dtype)
-        eos = self.cfg.lm.eos_token_id
-        toks: list = []
-        sent = ""
-        text = ""
-        for block in greedy_decode_stream(self.params["lm"], embeds, valid,
-                                          cache, self.cfg.lm, max_new,
-                                          chunk=chunk):
-            fresh = [int(t) for t in block[0] if int(t) != eos]
-            if not fresh and toks:
-                break               # eos padding only: stream is done
-            toks.extend(fresh)
-            text = self.decode(toks)
-            # hold back a trailing U+FFFD: a multibyte character whose
-            # byte-level BPE tokens straddle the chunk boundary decodes as
-            # the replacement char NOW but completes next chunk — emitting
-            # it would corrupt the stream (prefix-slice never re-sends it)
-            stable = text
-            while stable and stable[-1] == "�":
-                stable = stable[:-1]
-            if len(stable) > len(sent):
-                yield stable[len(sent):]
-                sent = stable
-        if len(text) > len(sent):   # flush a genuinely-invalid tail as-is
-            yield text[len(sent):]
+        blocks = greedy_decode_stream(self.params["lm"], embeds, valid,
+                                      cache, self.cfg.lm, max_new,
+                                      chunk=chunk)
+        yield from stream_detokenize(blocks, self.decode,
+                                     self.cfg.lm.eos_token_id)
 
     def generate(self, frames: np.ndarray, question: str,
                  max_new_tokens: int | None = None, prompt: str | None = None,

@@ -564,6 +564,39 @@ def greedy_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
         yield np.asarray(out)[:, :n]
 
 
+def stream_detokenize(blocks, decode, eos_id: int):
+    """Turn a :func:`greedy_decode_stream` block iterator into TEXT DELTAS
+    whose concatenation equals decoding the full token sequence at once —
+    the shared state machine behind every backbone's ``generate_stream``.
+
+    Detokenization is prefix-based: each block decodes the full emitted
+    prefix and yields the new suffix, so BPE merges across chunk boundaries
+    render correctly.  A trailing U+FFFD is held back — a multibyte
+    character whose byte-level BPE tokens straddle the chunk boundary
+    decodes as the replacement char NOW but completes next chunk, and the
+    prefix-slice never re-sends emitted text — then a genuinely-invalid
+    tail is flushed as-is at end of stream.  An all-eos block after any
+    real token ends the stream (eos-padding semantics of the chunked
+    decode)."""
+    toks: list = []
+    sent = ""
+    text = ""
+    for block in blocks:
+        fresh = [int(t) for t in block[0] if int(t) != eos_id]
+        if not fresh and toks:
+            break               # eos padding only: stream is done
+        toks.extend(fresh)
+        text = decode(toks)
+        stable = text
+        while stable and stable[-1] == "�":
+            stable = stable[:-1]
+        if len(stable) > len(sent):
+            yield stable[len(sent):]
+            sent = stable
+    if len(text) > len(sent):   # flush a genuinely-invalid tail as-is
+        yield text[len(sent):]
+
+
 # ---------------------------------------------------------------------------
 # Prompt-lookup speculative decode (B=1, exact greedy)
 # ---------------------------------------------------------------------------

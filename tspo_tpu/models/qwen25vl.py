@@ -485,33 +485,17 @@ class Qwen25VLModel:
         llava_video.generate_stream, with the m-rope prompt tables threaded
         through decode_prefill.  Trailing U+FFFD is held back until the
         straddling character completes."""
-        from .qwen2 import greedy_decode_stream
+        from .qwen2 import greedy_decode_stream, stream_detokenize
         c = self.cfg
         emb, _, rope_kwargs, max_new = self._prepare_generate(
             frames, question, max_new_tokens)
         S = emb.shape[0]
         n_chunks = -(-max_new // chunk)
         cache = KVCache.create(c.lm, 1, S + n_chunks * chunk, emb.dtype)
-        eos = c.lm.eos_token_id
-        toks: list = []
-        sent = ""
-        text = ""
-        for block in greedy_decode_stream(
-                self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
-                c.lm, max_new, chunk=chunk, **rope_kwargs):
-            fresh = [int(t) for t in block[0] if int(t) != eos]
-            if not fresh and toks:
-                break
-            toks.extend(fresh)
-            text = self.decode(toks)
-            stable = text
-            while stable and stable[-1] == "�":
-                stable = stable[:-1]
-            if len(stable) > len(sent):
-                yield stable[len(sent):]
-                sent = stable
-        if len(text) > len(sent):
-            yield text[len(sent):]
+        blocks = greedy_decode_stream(
+            self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
+            c.lm, max_new, chunk=chunk, **rope_kwargs)
+        yield from stream_detokenize(blocks, self.decode, c.lm.eos_token_id)
 
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str):

@@ -167,6 +167,40 @@ class ScoringService:
             out["scores"] = [float(x) for x in np.asarray(logits)]
         return out
 
+    @staticmethod
+    def _chat_prompt(messages: list) -> str:
+        """Join system + user turns the way the chatml template renders
+        them (system prompt then user content) — shared by the plain and
+        streaming chat endpoints so prompt assembly can't diverge."""
+        system = "\n".join(str(m.get("content", "")) for m in messages
+                           if m.get("role") == "system")
+        user = "\n".join(str(m.get("content", "")) for m in messages
+                         if m.get("role") != "system")
+        return (system + "\n\n" + user).strip() if system else user
+
+    def _generate_text(self, prompt: str, kwargs: dict) -> str:
+        """Device-locked text-only generate with the TypeError fallback for
+        adapters that don't take max_new_tokens."""
+        with self._device_lock:
+            try:
+                return self.backbone.generate(None, prompt, **kwargs)
+            except TypeError:
+                return self.backbone.generate(None, prompt)
+
+    def _locked_stream(self, it):
+        """Drive a generate_stream iterator holding the device lock only
+        across next() — i.e. device work — never across the SSE socket
+        write between yields: a slow-reading client must not block
+        /v1/score on an idle chip."""
+        it = iter(it)
+        while True:
+            with self._device_lock:
+                try:
+                    delta = next(it)
+                except StopIteration:
+                    return
+            yield delta
+
     def chat_completion(self, *, messages: list, model: str = "local",
                         max_tokens: int | None = None, **_ignored) -> dict:
         """OpenAI-compatible chat completion on the loaded backbone's
@@ -174,24 +208,17 @@ class ScoringService:
         reference's sglang judge launcher
         (lmms-eval/lmms_eval/llm_judge/launcher/): third-party harnesses
         point API_TYPE=openai / OPENAI_API_URL at this server and judge
-        with the local model.  System + user turns are joined the way the
-        chatml template renders them (system prompt then user content)."""
+        with the local model."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
-        system = "\n".join(str(m.get("content", "")) for m in messages
-                           if m.get("role") == "system")
-        user = "\n".join(str(m.get("content", "")) for m in messages
-                         if m.get("role") != "system")
-        prompt = (system + "\n\n" + user).strip() if system else user
+        prompt = self._chat_prompt(messages)
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
-        with self._device_lock:
-            try:
-                text = self.backbone.generate(None, prompt, **kwargs)
-            except TypeError:
-                text = self.backbone.generate(None, prompt)
-        self.stats["requests"] += 1
+        text = self._generate_text(prompt, kwargs)
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            rid = self.stats["requests"]
         return {
-            "id": f"chatcmpl-{self.stats['requests']}",
+            "id": f"chatcmpl-{rid}",
             "object": "chat.completion",
             "created": int(time.time()),
             "model": model,
@@ -214,14 +241,11 @@ class ScoringService:
         is still valid SSE to any OpenAI client."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
-        system = "\n".join(str(m.get("content", "")) for m in messages
-                           if m.get("role") == "system")
-        user = "\n".join(str(m.get("content", "")) for m in messages
-                         if m.get("role") != "system")
-        prompt = (system + "\n\n" + user).strip() if system else user
+        prompt = self._chat_prompt(messages)
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
-        self.stats["requests"] += 1
-        cid = f"chatcmpl-{self.stats['requests']}"
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            cid = f"chatcmpl-{self.stats['requests']}"
 
         def chunk(delta: dict, finish=None) -> dict:
             return {"id": cid, "object": "chat.completion.chunk",
@@ -232,24 +256,11 @@ class ScoringService:
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
         if stream is None:
-            with self._device_lock:
-                try:
-                    text = self.backbone.generate(None, prompt, **kwargs)
-                except TypeError:
-                    text = self.backbone.generate(None, prompt)
+            text = self._generate_text(prompt, kwargs)
             if text:
                 yield chunk({"content": text})
         else:
-            # hold the device lock only across next() — i.e. device work —
-            # never across the SSE socket write between yields: a
-            # slow-reading client must not block /v1/score on an idle chip
-            it = iter(stream(None, prompt, **kwargs))
-            while True:
-                with self._device_lock:
-                    try:
-                        delta = next(it)
-                    except StopIteration:
-                        break
+            for delta in self._locked_stream(stream(None, prompt, **kwargs)):
                 yield chunk({"content": delta})
         yield chunk({}, finish="stop")
 
@@ -398,13 +409,7 @@ class ScoringService:
             if text:
                 yield {"delta": text}
         else:
-            it = iter(stream(sel, question, **kwargs))
-            while True:
-                with self._device_lock:
-                    try:
-                        delta = next(it)
-                    except StopIteration:
-                        break
+            for delta in self._locked_stream(stream(sel, question, **kwargs)):
                 yield {"delta": delta}
         with self._feat_lock:
             self.stats["requests"] += 1
@@ -431,23 +436,32 @@ def make_handler(service: ScoringService):
             `data: [DONE]`.  The caller primes the generator BEFORE this is
             called so pre-stream errors (no backbone, bad args) still get a
             normal json error response; mid-stream failures become an
-            error event since headers are already on the wire."""
+            error event since headers are already on the wire.  Never
+            raises: a client disconnect (BrokenPipe on a closed tab) ends
+            the stream silently — re-raising would make do_POST start a
+            second HTTP response on the half-sent connection."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
             try:
-                for c in chunks:
-                    self.wfile.write(b"data: " + json.dumps(c).encode()
+                try:
+                    for c in chunks:
+                        self.wfile.write(b"data: " + json.dumps(c).encode()
+                                         + b"\n\n")
+                        self.wfile.flush()
+                except OSError:
+                    return        # client gone: nothing to report, no one
+                                  # left to report it to
+                except Exception as e:  # noqa: BLE001 — headers on the wire
+                    self.wfile.write(b"data: "
+                                     + json.dumps({"error": str(e)}).encode()
                                      + b"\n\n")
-                    self.wfile.flush()
-            except Exception as e:  # noqa: BLE001 — headers already sent
-                self.wfile.write(b"data: "
-                                 + json.dumps({"error": str(e)}).encode()
-                                 + b"\n\n")
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except OSError:
+                return            # disconnect while writing the tail
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -465,16 +479,17 @@ def make_handler(service: ScoringService):
                 if self.path == "/v1/score":
                     self._send(200, service.score(**req))
                 elif self.path == "/v1/answer":
-                    if req.get("stream"):
+                    # pop unconditionally: an explicit "stream": false must
+                    # not leak into answer(), which has no **_ignored
+                    if req.pop("stream", None):
                         import itertools
-                        req.pop("stream")
                         gen = service.answer_stream(**req)
                         first = next(gen)       # errors -> json 400/500
                         self._send_sse(itertools.chain([first], gen))
                     else:
                         self._send(200, service.answer(**req))
                 elif self.path == "/v1/chat/completions":
-                    if req.get("stream"):
+                    if req.pop("stream", None):
                         import itertools
                         gen = service.chat_completion_stream(**req)
                         first = next(gen)       # errors -> json 400/500
