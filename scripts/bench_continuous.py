@@ -1,0 +1,217 @@
+"""Serving-discipline benchmark: continuous batching vs window micro-batch
+vs serial B=1 under a Poisson arrival process (7B int8 decoder, random
+weights on device — serving economics depend only on shapes).
+
+Workload: N requests, every prompt padded to one 3200-token bucket (the
+64-frame answer shape class), per-request max_new drawn from {16, 32, 64}
+(MC answers vs caption-length answers — the straggler mix), exponential
+inter-arrival times at ``--rate`` req/s.  All three disciplines replay the
+SAME arrivals and prompts:
+
+  serial      FIFO, one greedy_decode(B=1) per request (tspo-serve default)
+  window      the server's _answer_batched discipline: when idle, take every
+              arrived request (<= max_batch, grouped by max_new cap) and run
+              one ragged greedy_decode; members wait for the whole batch
+  continuous  serve/continuous.py engine: slots decode together in chunked
+              blocks; requests join at the next chunk boundary and retire
+              individually (no straggler holds, no window wait)
+
+Reported per discipline: completion-latency mean/p50/p99 (arrival ->
+answer), time-to-first-token p50 (engine streams; batch paths = completion),
+makespan, and aggregate decoded tok/s.
+
+Run detached on the chip: nohup python scripts/bench_continuous.py &
+CPU smoke: python scripts/bench_continuous.py --tiny
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from bench_decode_batched import init_qwen2_int8_on_device  # noqa: E402
+
+
+def _percentiles(xs):
+    xs = np.asarray(xs)
+    return {"mean": round(float(xs.mean()), 3),
+            "p50": round(float(np.percentile(xs, 50)), 3),
+            "p99": round(float(np.percentile(xs, 99)), 3)}
+
+
+def build_workload(n, rate, prompt, hidden, caps, seed=0):
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n))
+    arrivals -= arrivals[0]
+    reqs = []
+    for i in range(n):
+        emb = jnp.asarray(rng.normal(size=(1, prompt, hidden)) * 0.02,
+                          jnp.bfloat16)
+        reqs.append({"emb": emb, "max_new": int(rng.choice(caps)),
+                     "arrival": float(arrivals[i])})
+    return reqs
+
+
+def run_serial(params, cfg, reqs, prompt):
+    from tspo_tpu.models.qwen2 import KVCache, greedy_decode
+    valid = jnp.ones((1, prompt), bool)
+    lat, toks = [], 0
+    t0 = time.perf_counter()
+    for r in reqs:
+        now = time.perf_counter() - t0
+        if now < r["arrival"]:
+            time.sleep(r["arrival"] - now)
+        cache = KVCache.create(cfg, 1, prompt + max(CAPS) + 8, jnp.bfloat16)
+        out, n = greedy_decode(params, r["emb"], valid, cache, cfg,
+                               max_new_tokens=r["max_new"], eos_token_id=-1)
+        np.asarray(out)                      # host-fetch sync (KERNELS.md)
+        lat.append(time.perf_counter() - t0 - r["arrival"])
+        toks += r["max_new"]
+    return lat, lat, toks, time.perf_counter() - t0
+
+
+def run_window(params, cfg, reqs, prompt, max_batch=4):
+    """The server's micro-batch discipline: group every arrived request by
+    its max_new cap (per-request budgets are honored by cap grouping,
+    server.py::_answer_batched), decode up to max_batch as one batch."""
+    from tspo_tpu.models.qwen2 import KVCache, greedy_decode
+    lat = []
+    toks = 0
+    pending = sorted(reqs, key=lambda r: r["arrival"])
+    t0 = time.perf_counter()
+    while pending:
+        now = time.perf_counter() - t0
+        if now < pending[0]["arrival"]:
+            time.sleep(pending[0]["arrival"] - now)
+            now = time.perf_counter() - t0
+        arrived = [r for r in pending if r["arrival"] <= now]
+        cap = arrived[0]["max_new"]        # server: leader's cap groups
+        batch = [r for r in arrived if r["max_new"] == cap][:max_batch]
+        B = len(batch)
+        emb = jnp.concatenate([r["emb"] for r in batch], axis=0)
+        valid = jnp.ones((B, prompt), bool)
+        cache = KVCache.create(cfg, B, prompt + cap + 8, jnp.bfloat16)
+        out, n = greedy_decode(params, emb, valid, cache, cfg,
+                               max_new_tokens=cap, eos_token_id=-1)
+        np.asarray(out)
+        done = time.perf_counter() - t0
+        taken = {id(r) for r in batch}
+        for r in batch:
+            lat.append(done - r["arrival"])
+            toks += cap
+        pending = [r for r in pending if id(r) not in taken]
+    return lat, lat, toks, time.perf_counter() - t0
+
+
+def run_continuous(params, cfg, reqs, prompt, slots, chunk):
+    from tspo_tpu.serve.continuous import ContinuousEngine
+    eng = ContinuousEngine(params, cfg, slots=slots, chunk=chunk,
+                           max_prompt=prompt, decode_slots=max(CAPS) + chunk,
+                           prompt_bucket=prompt, dtype=jnp.bfloat16,
+                           eos_token_id=-1)
+    lat, ttft, toks = [], [], 0
+    t0 = time.perf_counter()
+    handles = []
+    try:
+        for r in reqs:
+            now = time.perf_counter() - t0
+            if now < r["arrival"]:
+                time.sleep(r["arrival"] - now)
+            first = {"t": None}
+
+            def cb(piece, first=first):
+                if first["t"] is None:
+                    first["t"] = time.perf_counter() - t0
+
+            h = eng.submit(r["emb"], max_new_tokens=r["max_new"],
+                           stream_cb=cb)
+            handles.append((r, h, first))
+        for r, h, first in handles:
+            h.result(timeout=600)
+    finally:
+        wall = time.perf_counter() - t0
+        eng.shutdown()
+    for r, h, first in handles:
+        toks += len(h.tokens)
+        lat.append(h.finished_at - t0 - r["arrival"])
+        ttft.append(first["t"] - r["arrival"] if first["t"] else wall)
+    return lat, ttft, toks, wall, eng.stats
+
+
+CAPS = (16, 32, 64)
+
+
+def main():
+    from tspo_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
+    from tspo_tpu.models.qwen2 import Qwen2Config, init_qwen2_params
+
+    tiny = "--tiny" in sys.argv
+    if tiny:
+        cfg = Qwen2Config.tiny()
+        params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        n, rate, prompt, slots, chunk = 6, 4.0, 64, 2, 4
+    else:
+        cfg = Qwen2Config.llava_video_7b()
+        params = init_qwen2_int8_on_device(cfg)
+        n = int(next((sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                      if a == "--n"), 24))
+        rate = float(next((sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                           if a == "--rate"), 1.2))
+        prompt, slots, chunk = 3200, 4, 8
+    jax.block_until_ready(params)
+    print(json.dumps({"config": {"n": n, "rate_req_s": rate,
+                                 "prompt": prompt, "caps": CAPS,
+                                 "slots": slots, "chunk": chunk}}),
+          flush=True)
+
+    reqs = build_workload(n, rate, prompt, cfg.hidden_size, CAPS)
+
+    # warm compiles OUTSIDE the timed runs (every B the window path can form)
+    from tspo_tpu.models.qwen2 import KVCache, greedy_decode
+    for B in range(1, 5 if not tiny else 3):
+        for cap in CAPS:
+            emb = jnp.concatenate([reqs[0]["emb"]] * B, axis=0)
+            cache = KVCache.create(cfg, B, prompt + cap + 8, jnp.bfloat16)
+            out, _ = greedy_decode(params, emb, jnp.ones((B, prompt), bool),
+                                   cache, cfg, max_new_tokens=cap,
+                                   eos_token_id=-1)
+            np.asarray(out)
+
+    results = {}
+    lat, _, toks, wall = run_serial(params, cfg,
+                                    [dict(r) for r in reqs], prompt)
+    results["serial"] = {"latency_s": _percentiles(lat),
+                         "tok_s": round(toks / wall, 1),
+                         "makespan_s": round(wall, 2)}
+    print(json.dumps({"serial": results["serial"]}), flush=True)
+
+    lat, _, toks, wall = run_window(params, cfg,
+                                    [dict(r) for r in reqs], prompt)
+    results["window"] = {"latency_s": _percentiles(lat),
+                         "tok_s": round(toks / wall, 1),
+                         "makespan_s": round(wall, 2)}
+    print(json.dumps({"window": results["window"]}), flush=True)
+
+    lat, ttft, toks, wall, stats = run_continuous(
+        params, cfg, [dict(r) for r in reqs], prompt, slots, chunk)
+    results["continuous"] = {"latency_s": _percentiles(lat),
+                             "ttft_s": _percentiles(ttft),
+                             "tok_s": round(toks / wall, 1),
+                             "makespan_s": round(wall, 2),
+                             "engine_stats": stats}
+    print(json.dumps({"continuous": results["continuous"]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,306 @@
+"""Continuous batching engine (serve/continuous.py): token-exactness vs solo
+``greedy_decode`` under staggered admission, slot reuse, per-request budgets,
+streaming callbacks, and mrope pos0 overrides.
+
+The exactness construction matches cache geometry between the two paths
+(solo prompt right-padded to the engine's S_max, solo cache sized
+S_max + decode_slots) so the compiled attention programs are shape-identical
+and masked slots contribute exact zeros — the engine is then bit-exact, not
+approximately equal (continuous.py module docstring).
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tspo_tpu.models.qwen2 import (KVCache, Qwen2Config, embed_tokens,
+                                   greedy_decode, init_qwen2_params)
+from tspo_tpu.serve.continuous import ContinuousEngine
+
+CFG = Qwen2Config.tiny()          # eos_token_id = 511
+EOS = CFG.eos_token_id
+S_MAX = 32
+D_SLOTS = 24
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_qwen2_params(jax.random.PRNGKey(7), CFG, jnp.float32)
+
+
+def _embeds(params, ids):
+    return embed_tokens(params, jnp.asarray(ids))[None]      # [1, S, D]
+
+
+def _solo(params, ids, max_new, decode_pos_start=None):
+    """Reference decode with engine-matched cache geometry."""
+    S = len(ids)
+    emb = jnp.pad(_embeds(params, ids), ((0, 0), (0, S_MAX - S), (0, 0)))
+    valid = jnp.zeros((1, S_MAX), bool).at[:, :S].set(True)
+    cache = KVCache.create(CFG, 1, S_MAX + D_SLOTS, jnp.float32)
+    toks, n = greedy_decode(params, emb, valid, cache, CFG, max_new,
+                            decode_pos_start=decode_pos_start)
+    toks = np.asarray(toks).tolist()
+    return toks[: toks.index(EOS)] if EOS in toks else toks
+
+
+def _engine(params, slots=2, chunk=3, **kw):
+    return ContinuousEngine(params, CFG, slots=slots, chunk=chunk,
+                            max_prompt=S_MAX, decode_slots=D_SLOTS,
+                            prompt_bucket=S_MAX, dtype=jnp.float32, **kw)
+
+
+def test_staggered_slot_reuse_matches_solo(params):
+    """Six requests with ragged prompts and per-request budgets through a
+    2-slot engine: requests 3-6 are admitted mid-flight into recycled slots
+    at different global decode steps, and every output must equal its solo
+    greedy_decode."""
+    rng = np.random.default_rng(0)
+    reqs = []
+    lock = threading.Lock()            # engine holds it across device calls
+    eng = _engine(params, device_lock=lock)
+    try:
+        with lock:                     # park the engine until all 6 queued
+            for i in range(6):
+                ids = rng.integers(0, CFG.vocab_size - 1,
+                                   size=rng.integers(4, S_MAX)).tolist()
+                max_new = int(rng.integers(3, D_SLOTS))
+                want = _solo(params, ids, max_new)
+                h = eng.submit(_embeds(params, ids), max_new_tokens=max_new)
+                reqs.append((ids, max_new, want, h))
+        for i, (ids, max_new, want, h) in enumerate(reqs):
+            got = h.result(timeout=120)
+            assert got == want, f"request {i} diverged"
+        assert eng.stats["completed"] == 6
+        assert eng.stats["peak_active"] == 2
+    finally:
+        eng.shutdown()
+
+
+def test_stream_callback_concatenates_to_result(params):
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, CFG.vocab_size - 1, size=9).tolist()
+    pieces: list = []
+    eng = _engine(params, slots=1, chunk=4)
+    try:
+        h = eng.submit(_embeds(params, ids), max_new_tokens=10,
+                       stream_cb=lambda p: pieces.append(list(p)))
+        got = h.result(timeout=120)
+    finally:
+        eng.shutdown()
+    assert [t for p in pieces for t in p] == got == _solo(params, ids, 10)
+
+
+def test_pos0_override_matches_solo(params):
+    """decode_pos_start (the Qwen2.5-VL mrope delta) threads through
+    admission prefill and the chunk loop's rope positions."""
+    ids = list(range(5, 12))
+    eng = _engine(params, slots=1)
+    try:
+        h = eng.submit(_embeds(params, ids), max_new_tokens=6,
+                       decode_pos_start=17)
+        got = h.result(timeout=120)
+    finally:
+        eng.shutdown()
+    assert got == _solo(params, ids, 6, decode_pos_start=17)
+
+
+def test_concurrent_submitters(params):
+    """Thread-per-request submission (the HTTP handler pattern): all results
+    exact, no deadlock."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, CFG.vocab_size - 1,
+                            size=rng.integers(4, 20)).tolist()
+               for _ in range(5)]
+    wants = [_solo(params, ids, 8) for ids in prompts]
+    eng = _engine(params, slots=2, chunk=2)
+    got = [None] * len(prompts)
+
+    def run(i):
+        h = eng.submit(_embeds(params, prompts[i]), max_new_tokens=8)
+        got[i] = h.result(timeout=120)
+
+    try:
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        eng.shutdown()
+    assert got == wants
+
+
+def test_rejects_oversize_prompt_and_windowed_cfg(params):
+    eng = _engine(params, slots=1)
+    try:
+        with pytest.raises(ValueError, match="max_prompt"):
+            eng.submit(jnp.zeros((1, S_MAX + 1, CFG.hidden_size)),
+                       max_new_tokens=4)
+    finally:
+        eng.shutdown()
+    import dataclasses
+    windowed = dataclasses.replace(CFG, sliding_window=8)
+    with pytest.raises(ValueError, match="sliding_window"):
+        ContinuousEngine(params, windowed, max_prompt=S_MAX)
+
+
+def test_bad_request_fails_alone(params):
+    """An admission failure (e.g. NaN-free guard via a shape error) reaches
+    only its own request; the engine keeps serving others."""
+    eng = _engine(params, slots=1)
+    try:
+        bad = eng.submit(jnp.zeros((1, 4, CFG.hidden_size + 1)),   # wrong D
+                         max_new_tokens=4)
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        ids = list(range(6))
+        ok = eng.submit(_embeds(params, ids), max_new_tokens=5)
+        assert ok.result(timeout=120) == _solo(params, ids, 5)
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Backbone + ScoringService integration
+# ---------------------------------------------------------------------------
+
+
+def _tiny_llava():
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig, LLaVAVideoModel
+    cfg = LLaVAVideoConfig.tiny()
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]        # noqa: E731
+    dec = lambda toks: " ".join(str(t) for t in toks)              # noqa: E731
+    return LLaVAVideoModel.random_init(0, cfg, dtype=jnp.float32,
+                                       encode=enc, decode=dec,
+                                       batch_frames=4, max_new_tokens=6)
+
+
+def _tiny_service(backbone, **kw):
+    from tspo_tpu.configs import CLIPConfig, SelectorConfig
+    from tspo_tpu.models.tspo_model import build_random_scorer
+    from tspo_tpu.serve.server import ScoringService
+    clip_cfg = CLIPConfig.tiny()
+
+    def tok(problem):
+        ids = np.full((1, 8), 3, np.int32)
+        ids[0, -1] = clip_cfg.text.eos_token_id
+        return ids, np.ones((1, 8), np.int32)
+
+    scorer = build_random_scorer(
+        seed=0, clip_cfg=clip_cfg,
+        selector_cfg=SelectorConfig(dim=clip_cfg.text.projection_dim,
+                                    num_heads=4),
+        dtype=jnp.float32, tokenize=tok, batch_frames=32,
+        frame_buckets=(64, 128))
+    return ScoringService(scorer=scorer, backbone=backbone,
+                          max_candidates=128, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny_video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("contvid") / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(60):
+        w.write(np.full((48, 48, 3), (i * 8) % 255, np.uint8))
+    w.release()
+    return path
+
+
+def test_service_engine_answer_matches_generate(tiny_video):
+    """/v1/answer through the continuous engine returns exactly what the
+    solo generate() path returns, and the engine stats record it."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=2, continuous_chunk=4,
+                        continuous_max_prompt=256,
+                        continuous_decode_slots=16)
+    try:
+        out = svc.answer(video_path=tiny_video, question="what?",
+                         sample_num=4, max_new_tokens=6)
+        sel_idx = np.asarray(out["frame_indices"])
+        from tspo_tpu.video.reader import load_video
+        frames, _, _ = load_video(tiny_video, max_frames_num=128, fps=1,
+                                  min_frames_num=0)
+        want = bb.generate(frames[sel_idx], "what?", max_new_tokens=6)
+        assert out["answer"] == want
+        assert svc.stats["engine"] == 1
+    finally:
+        svc._engine.shutdown()
+
+
+def test_service_engine_stream_concatenates(tiny_video):
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=2, continuous_chunk=4,
+                        continuous_max_prompt=256,
+                        continuous_decode_slots=16)
+    try:
+        events = list(svc.answer_stream(video_path=tiny_video,
+                                        question="what?", sample_num=4,
+                                        max_new_tokens=6))
+        text = "".join(e["delta"] for e in events if "delta" in e)
+        plain = svc.answer(video_path=tiny_video, question="what?",
+                           sample_num=4, max_new_tokens=6)
+        assert text == plain["answer"]
+        assert events[0]["event"] == "frames"
+        assert events[-1]["event"] == "done"
+    finally:
+        svc._engine.shutdown()
+
+
+def test_service_engine_prompt_overflow_falls_back(tiny_video):
+    """Prompts longer than the engine's prompt region fall back to the solo
+    decode path instead of failing."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=1, continuous_chunk=2,
+                        continuous_max_prompt=8,     # everything overflows
+                        continuous_decode_slots=8)
+    try:
+        out = svc.answer(video_path=tiny_video, question="what?",
+                         sample_num=4, max_new_tokens=4)
+        assert out["answer"]
+        assert svc.stats["engine"] == 0
+        assert svc.stats["engine_fallback"] == 1
+    finally:
+        svc._engine.shutdown()
+
+
+def test_qwen25vl_engine_matches_generate():
+    """The mrope backbone's prepare_engine_request (rope tables + decode
+    delta) produces engine outputs equal to its solo generate()."""
+    from tspo_tpu.models.qwen25vl import Qwen25VLConfig, Qwen25VLModel
+    cfg = Qwen25VLConfig.tiny()
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]        # noqa: E731
+    dec = lambda toks: " ".join(str(t) for t in toks)              # noqa: E731
+    model = Qwen25VLModel.random_init(0, cfg, dtype=jnp.float32,
+                                      encode=enc, decode=dec)
+    frames = np.random.default_rng(3).integers(
+        0, 256, (4, 56, 56, 3), dtype=np.uint8)
+    want = model.generate(frames, "what?", max_new_tokens=6)
+    kw = model.prepare_engine_request(frames, "what?", max_new_tokens=6)
+    eng = ContinuousEngine(model.params["lm"], cfg.lm, slots=1, chunk=3,
+                           max_prompt=256, decode_slots=16,
+                           prompt_bucket=64, dtype=jnp.float32)
+    try:
+        h = eng.submit(kw.pop("embeds"), **kw)
+        got = dec([t for t in h.result(timeout=120)
+                   if t != cfg.lm.eos_token_id])
+    finally:
+        eng.shutdown()
+    assert got == want
+
+
+def test_idle_engine_accepts_late_work(params):
+    eng = _engine(params, slots=1)
+    try:
+        time.sleep(0.3)                        # let the loop go idle
+        ids = list(range(3, 10))
+        h = eng.submit(_embeds(params, ids), max_new_tokens=4)
+        assert h.result(timeout=120) == _solo(params, ids, 4)
+    finally:
+        eng.shutdown()

@@ -31,6 +31,21 @@ def build_parser():
     p.add_argument("--max-batch", type=int, default=4,
                    help="max requests per micro-batch (HBM-bound; B=4 at "
                         "64-frame prompts exceeds one v5e)")
+    p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
+                   help="continuous batching for /v1/answer and chat "
+                        "completions: SLOTS concurrent decode rows; requests "
+                        "join/leave the running batch at chunk boundaries "
+                        "(serve/continuous.py; supersedes --batch-window)")
+    p.add_argument("--continuous-chunk", type=int, default=8,
+                   help="decode steps per engine dispatch (retirement/"
+                        "admission latency quantum)")
+    p.add_argument("--continuous-max-prompt", type=int, default=13312,
+                   help="engine prompt-region size in tokens; longer prompts "
+                        "fall back to solo decode (64-frame LLaVA prompts "
+                        "are ~12.2k)")
+    p.add_argument("--continuous-decode-slots", type=int, default=512,
+                   help="engine decode-region size = max tokens one request "
+                        "may generate")
     p.add_argument("--video-feature-cache", type=int, default=2,
                    help="per-video image-feature LRU size in videos (~150 MB "
                         "host RAM per 50k-frame video); 0 = always run the "
@@ -58,7 +73,11 @@ def main(argv=None):
                              max_candidates=args.max_candidates,
                              batch_window_s=args.batch_window,
                              max_batch=args.max_batch,
-                             video_feature_cache=args.video_feature_cache)
+                             video_feature_cache=args.video_feature_cache,
+                             continuous_slots=args.continuous,
+                             continuous_chunk=args.continuous_chunk,
+                             continuous_max_prompt=args.continuous_max_prompt,
+                             continuous_decode_slots=args.continuous_decode_slots)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")
         service.warmup()

@@ -454,6 +454,16 @@ class LLaVAVideoModel:
                 "into (fewer frames, or raise max_context)")
         return embeds, input_ids, min(max_new, headroom)
 
+    def prepare_engine_request(self, frames, question: str,
+                               max_new_tokens: int | None = None) -> dict:
+        """Submit-kwargs for the continuous batching engine
+        (serve/continuous.py): the prompt-assembly half of generate() with
+        the decode half handed to the engine.  Standard 1-D rope — no rope
+        tables needed."""
+        embeds, _ids, max_new = self._prepare_generate(
+            frames, question, max_new_tokens, None, None)
+        return {"embeds": embeds, "max_new_tokens": max_new}
+
     def generate_stream(self, frames: np.ndarray, question: str,
                         max_new_tokens: int | None = None,
                         prompt: str | None = None,

@@ -478,6 +478,20 @@ class Qwen25VLModel:
         toks = toks[toks != c.lm.eos_token_id]
         return self.decode(toks.tolist())
 
+    def prepare_engine_request(self, frames, question: str,
+                               max_new_tokens: int | None = None) -> dict:
+        """Submit-kwargs for the continuous batching engine
+        (serve/continuous.py) — threads the m-rope prompt tables and the
+        decode-position delta through the engine's admission prefill."""
+        emb, _ids, rope_kwargs, max_new = self._prepare_generate(
+            frames, question, max_new_tokens)
+        out = {"embeds": emb[None], "max_new_tokens": max_new}
+        if "prompt_rope_cos_sin" in rope_kwargs:
+            out["rope_cos_sin"] = rope_kwargs["prompt_rope_cos_sin"]
+        if "decode_pos_start" in rope_kwargs:
+            out["decode_pos_start"] = rope_kwargs["decode_pos_start"]
+        return out
+
     def generate_stream(self, frames: np.ndarray, question: str,
                         max_new_tokens: int | None = None, chunk: int = 8):
         """Streaming generate (text deltas; join == generate()'s output) —

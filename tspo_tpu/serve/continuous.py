@@ -1,0 +1,413 @@
+"""Continuous batching engine for the serving path (TPU-native, vLLM-style).
+
+The reference has no serving engine of its own — its serving surface is the
+vendored LLaVA-NeXT gradio/sglang stack (llava/serve/*, C44) which batches
+nothing across requests.  tspo-serve's existing micro-batcher
+(server.py::_answer_batched) already beats that by grouping requests that
+arrive within a window into one ragged ``generate_batch_multi`` call — but a
+static batch has two structural costs: every member waits for the slowest
+row to finish (stragglers hold the batch), and a request that arrives one
+tick after the window closes waits a full batch turn.
+
+This engine removes both with slot-based *continuous* batching:
+
+- Decode runs forever in fused ``chunk``-step device blocks over a fixed
+  ``slots``-row KV cache (static shapes — XLA compiles exactly two programs:
+  one prefill per prompt bucket, one chunk step).
+- At every chunk boundary finished rows (EOS or budget) retire immediately
+  and queued requests are admitted into free slots: a new request waits at
+  most one chunk (+ its own prefill), not a batch turn.
+- Each row decodes into its OWN packed region of its cache row via per-row
+  scatter writes, so slots recycle indefinitely — there is no global
+  cache-depletion horizon.
+
+Cache layout per row (row = slot b of the [L, slots, T, KV, hd] cache):
+
+    [0 .. S_max)       prompt region — the admission prefill copies the
+                       row's bucketed prefill KV here; pads masked by
+                       ``prompt_valid[b]``.
+    [S_max .. T)       decode region — step ``i`` of the CURRENT tenant
+                       writes at slot ``S_max + i``; the mask admits only
+                       slots ``<= own_step[b]`` so a previous tenant's
+                       leftovers are never attended.
+
+Exactness: a request's tokens are bit-identical to a solo
+``greedy_decode`` run with the same cache geometry — the per-step math is
+the same dense-attention decode body, masked positions contribute exact
+zeros (the -1e30 bias underflows to 0.0 through exp), and the nonzero
+K/V slots land at the same indices.  Pinned by tests/test_continuous.py.
+
+Scope: decoder-only continuous batching (prefill runs unchunked at
+admission, briefly pausing decode — the standard non-chunked-prefill
+engine design).  Requires ``cfg.sliding_window is None`` (Qwen2/Llama3;
+the Mistral logical-window bookkeeping is not wired here).
+"""
+from __future__ import annotations
+
+import threading
+from collections import deque
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen2 import (KVCache, Qwen2Config, _apply_rope, _attention,
+                            _linear, _rms_norm, _rope, decode_prefill,
+                            embed_tokens, lm_logits)
+
+__all__ = ["ContinuousEngine", "EngineRequest"]
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+
+def _slotted_forward(params, emb, k, v, write_pos, attn_valid, cos, sin, cfg):
+    """One decode step over all slots with PER-ROW KV write positions.
+
+    emb [B, 1, D]; k/v [L, B, T, KV, hd]; write_pos [B] int32 (absolute cache
+    slot for this step's K/V, one per row); attn_valid [B, T] bool; cos/sin
+    [B, 1, hd].  Mirrors qwen2_forward's dense decode path except the
+    ``dynamic_update_slice`` at a shared scalar position becomes a batched
+    scatter at ``write_pos`` — the one change continuous batching needs.
+    """
+    B = emb.shape[0]
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rows = jnp.arange(B)
+    # finite sentinel, not -inf: fully-masked rows must not NaN (qwen2.py)
+    mask_bias = jnp.where(attn_valid, 0.0, -1e30).astype(
+        jnp.float32)[:, None, None, :]                       # [B, 1, 1, T]
+
+    def block(h, xs):
+        lp, k_l, v_l = xs                                    # [B, T, KV, hd]
+        x = _rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = _linear(lp["q"], x).reshape(B, 1, H, hd)
+        kn = _linear(lp["k"], x).reshape(B, 1, KV, hd)
+        vn = _linear(lp["v"], x).reshape(B, 1, KV, hd)
+        q = _apply_rope(q, cos, sin)
+        kn = _apply_rope(kn, cos, sin)
+        k_l = k_l.at[rows, write_pos].set(kn[:, 0].astype(k_l.dtype))
+        v_l = v_l.at[rows, write_pos].set(vn[:, 0].astype(v_l.dtype))
+        ctx = _attention(q, k_l, v_l, mask_bias).reshape(B, 1, -1)
+        h = h + _linear(lp["o"], ctx)
+        x = _rms_norm(h, lp["ln2"], cfg.rms_eps)
+        gate = jax.nn.silu(_linear(lp["gate"], x))
+        up = _linear(lp["up"], x)
+        h = h + _linear(lp["down"], gate * up)
+        return h, (k_l, v_l)
+
+    h, (k, v) = jax.lax.scan(block, emb, (params["layers"], k, v))
+    h = _rms_norm(h, params["final_ln"], cfg.rms_eps)
+    return h, k, v
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(2, 3))
+def decode_chunk_slots(params, tok, k, v, own_step, pos0, prompt_valid,
+                       done, cfg: Qwen2Config, chunk: int, eos):
+    """``chunk`` greedy decode steps over the slot cache.
+
+    tok [B] int32 (pending token per row — emitted first, as in
+    greedy_decode); own_step [B] (decode steps already taken by the row's
+    current tenant); pos0 [B] (tenant's decode rope start — its valid prompt
+    length, or the mrope delta); prompt_valid [B, S_max]; done [B].
+    Returns (out [B, chunk], next_tok, k, v, own_step+chunk, done).
+
+    Step-for-step the greedy_decode body: rows already ``done`` keep
+    emitting ``eos``; their garbage steps write at the clamped last decode
+    slot and are never surfaced (the host frees the slot and the next
+    tenant's mask excludes every slot past its own progress).
+    """
+    B = tok.shape[0]
+    T = k.shape[2]
+    S_max = prompt_valid.shape[1]
+    D = T - S_max
+    dec_idx = jnp.arange(D)[None, :]                          # [1, D]
+    scale = cfg.rope_scaling_factor
+
+    def body(j, state):
+        tok, k, v, own, out, done = state
+        out = out.at[:, j].set(jnp.where(done, eos, tok))
+        done = done | (tok == eos)
+        emb = embed_tokens(params, tok)[:, None, :].astype(k.dtype)
+        pos = (pos0 + own)[:, None]                           # [B, 1]
+        rp = pos if scale == 1.0 else pos / scale             # HF linear rope
+        cos, sin = _rope(rp, cfg.head_dim, cfg.rope_theta)    # [B, 1, hd]
+        write_pos = S_max + jnp.minimum(own, D - 1)
+        av = jnp.concatenate([prompt_valid, dec_idx <= own[:, None]], axis=1)
+        h, k, v = _slotted_forward(params, emb, k, v, write_pos, av,
+                                   cos, sin, cfg)
+        nxt = jnp.argmax(lm_logits(params, h[:, -1], cfg),
+                         axis=-1).astype(jnp.int32)
+        return nxt, k, v, own + 1, out, done
+
+    out = jnp.full((B, chunk), eos, jnp.int32)
+    tok, k, v, own_step, out, done = jax.lax.fori_loop(
+        0, chunk, body, (tok, k, v, own_step, out, done))
+    return out, tok, k, v, own_step, done
+
+
+@jax.jit
+def _insert_row(k, v, row_k, row_v, slot):
+    """Copy an admission prefill's KV ([L, 1, Sb, KV, hd]) into slot ``slot``
+    of the engine cache's prompt region.  Not donated: the engine snapshots
+    pre-insert buffers so a failed admission can't strand the cache."""
+    k = jax.lax.dynamic_update_slice(k, row_k.astype(k.dtype),
+                                     (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(v, row_v.astype(v.dtype),
+                                     (0, slot, 0, 0, 0))
+    return k, v
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+
+class EngineRequest:
+    """Handle returned by :meth:`ContinuousEngine.submit`.
+
+    ``result(timeout)`` blocks for the final token list (EOS-trimmed).
+    ``stream_cb(fresh_tokens: list[int])`` fires at every chunk boundary
+    with that chunk's new tokens (already budget/EOS-trimmed) — deliverable
+    straight into the SSE path.
+    """
+
+    def __init__(self, embeds, valid, max_new, rope_cos_sin, pos0_override,
+                 stream_cb):
+        self.embeds = embeds            # [1, S, D] (unpadded)
+        self.valid = valid              # [S] bool
+        self.max_new = int(max_new)
+        self.rope_cos_sin = rope_cos_sin
+        self.pos0_override = pos0_override
+        self.stream_cb = stream_cb
+        self.tokens: list[int] = []
+        self.error: Exception | None = None
+        self.finished_at: float | None = None   # time.perf_counter() stamp
+        self._event = threading.Event()
+
+    def _finish(self, error: Exception | None = None):
+        if error is not None and self.error is None:
+            self.error = error
+        if self.finished_at is None:
+            import time
+            self.finished_at = time.perf_counter()
+        self._event.set()
+
+    @property
+    def finished(self) -> bool:
+        return self._event.is_set()
+
+    def result(self, timeout: float | None = None) -> list[int]:
+        if not self._event.wait(timeout):
+            raise TimeoutError("engine request still running")
+        if self.error is not None:
+            raise self.error
+        return self.tokens
+
+
+class ContinuousEngine:
+    """Slot-based continuous batching over a qwen2-core decoder.
+
+    Parameters
+    ----------
+    lm_params / cfg : the decoder (``model.params["lm"]`` / ``model.cfg.lm``;
+        int8-quantized params work unchanged — _linear dispatches).
+    slots : concurrent decode rows (HBM: slots x T x 2 x KV x hd x 2B x L).
+    chunk : decode steps per device dispatch; retirement/admission latency
+        quantum.  Production hosts pay ~1-2 ms per boundary, this dev box's
+        tunneled backend ~70 ms (docs/KERNELS.md streaming section).
+    max_prompt : prompt-region size S_max (longest admissible prompt).
+    decode_slots : decode-region size (max tokens one tenant may generate).
+    prompt_bucket : admission prompts right-pad to multiples of this so a
+        handful of prefill programs serve every length.
+    device_lock : optional lock shared with other device users (the serve
+        scorer) — held across each device call, released between chunks.
+    """
+
+    def __init__(self, lm_params, cfg: Qwen2Config, *, slots: int = 4,
+                 chunk: int = 8, max_prompt: int = 1024,
+                 decode_slots: int = 128, prompt_bucket: int = 256,
+                 dtype=jnp.bfloat16, eos_token_id: int | None = None,
+                 device_lock: threading.Lock | None = None):
+        if cfg.sliding_window is not None:
+            raise ValueError("ContinuousEngine supports sliding_window=None "
+                             "configs (Qwen2/Llama3); got a windowed config")
+        if decode_slots < chunk:
+            raise ValueError(f"decode_slots ({decode_slots}) must be >= "
+                             f"chunk ({chunk})")
+        self.params = lm_params
+        self.cfg = cfg
+        self.slots = int(slots)
+        self.chunk = int(chunk)
+        self.S_max = int(max_prompt)
+        self.D = int(decode_slots)
+        self.bucket = int(prompt_bucket)
+        self.dtype = dtype
+        self.eos = int(cfg.eos_token_id if eos_token_id is None
+                       else eos_token_id)
+        self._device_lock = device_lock or threading.Lock()
+
+        T = self.S_max + self.D
+        shape = (cfg.num_layers, self.slots, T, cfg.num_kv_heads,
+                 cfg.head_dim)
+        self._k = jnp.zeros(shape, dtype)
+        self._v = jnp.zeros(shape, dtype)
+        self._tok = np.full(self.slots, self.eos, np.int32)
+        self._pos0 = np.zeros(self.slots, np.int32)
+        self._own = np.zeros(self.slots, np.int32)
+        self._done = np.ones(self.slots, bool)
+        self._pv = np.zeros((self.slots, self.S_max), bool)
+        self._req: list[EngineRequest | None] = [None] * self.slots
+
+        self._queue: deque[EngineRequest] = deque()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._dead: Exception | None = None
+        self.stats = {"completed": 0, "chunks": 0, "admitted": 0,
+                      "peak_active": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tspo-continuous-engine")
+        self._thread.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, embeds, valid=None, *, max_new_tokens: int,
+               rope_cos_sin=None, decode_pos_start=None,
+               stream_cb=None) -> EngineRequest:
+        """Queue one request.  ``embeds`` [1, S, D] (or [S, D]); ``valid``
+        [S] bool (default all-valid); ``rope_cos_sin``/``decode_pos_start``
+        thread the Qwen2.5-VL mrope prompt tables through the admission
+        prefill.  Returns immediately with an :class:`EngineRequest`."""
+        e = jnp.asarray(embeds)
+        if e.ndim == 2:
+            e = e[None]
+        S = int(e.shape[1])
+        if S > self.S_max:
+            raise ValueError(f"prompt is {S} tokens but the engine's "
+                             f"max_prompt is {self.S_max}")
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        v = np.ones(S, bool) if valid is None else np.asarray(valid, bool)
+        req = EngineRequest(e, v, min(int(max_new_tokens), self.D),
+                            rope_cos_sin, decode_pos_start, stream_cb)
+        with self._lock:
+            if self._dead is not None:
+                raise RuntimeError("engine is dead") from self._dead
+            self._queue.append(req)
+        self._wake.set()
+        return req
+
+    def shutdown(self, timeout: float = 10.0):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout)
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self._req)
+
+    # -- worker loop ----------------------------------------------------------
+
+    def _loop(self):
+        try:
+            while not self._stop:
+                self._admit()
+                if self.n_active == 0:
+                    self._wake.wait(timeout=0.1)
+                    self._wake.clear()
+                    continue
+                self._step_chunk()
+        except Exception as exc:  # noqa: BLE001 — deliver, don't hang waiters
+            with self._lock:
+                self._dead = exc
+                pending = list(self._queue)
+                self._queue.clear()
+            for req in pending + [r for r in self._req if r is not None]:
+                req._finish(error=exc)
+            self._req = [None] * self.slots
+
+    def _admit(self):
+        while True:
+            with self._lock:
+                if not self._queue:
+                    return
+                try:
+                    b = self._req.index(None)
+                except ValueError:
+                    return
+                req = self._queue.popleft()
+            try:
+                self._admit_one(b, req)
+            except Exception as exc:  # noqa: BLE001 — bad request only
+                req._finish(error=exc)
+                continue
+            self.stats["admitted"] += 1
+            self.stats["peak_active"] = max(self.stats["peak_active"],
+                                            self.n_active)
+
+    def _admit_one(self, b: int, req: EngineRequest):
+        S = int(req.embeds.shape[1])
+        Sb = min(self.S_max, -(-S // self.bucket) * self.bucket)
+        emb = jnp.pad(req.embeds.astype(self.dtype),
+                      ((0, 0), (0, Sb - S), (0, 0)))
+        valid = np.zeros(Sb, bool)
+        valid[:S] = req.valid
+        rope = req.rope_cos_sin
+        if rope is not None and Sb != S:
+            cos, sin = rope
+            rope = (jnp.pad(cos, ((0, Sb - S), (0, 0))),
+                    jnp.pad(sin, ((0, Sb - S), (0, 0))))
+        with self._device_lock:
+            row = KVCache.create(self.cfg, 1, Sb, self.dtype)
+            first_tok, row, pos0 = decode_prefill(
+                self.params, emb, jnp.asarray(valid)[None], row, self.cfg,
+                prompt_rope_cos_sin=rope,
+                decode_pos_start=req.pos0_override)
+            self._k, self._v = _insert_row(self._k, self._v, row.k, row.v,
+                                           jnp.int32(b))
+            first = int(np.asarray(first_tok)[0])
+            p0 = int(np.asarray(pos0)[0])
+        self._tok[b] = first
+        self._pos0[b] = p0
+        self._own[b] = 0
+        self._done[b] = False
+        self._pv[b] = False
+        self._pv[b, :Sb] = valid
+        self._req[b] = req
+
+    def _step_chunk(self):
+        with self._device_lock:
+            out, tok, self._k, self._v, own, done = decode_chunk_slots(
+                self.params, jnp.asarray(self._tok), self._k, self._v,
+                jnp.asarray(self._own), jnp.asarray(self._pos0),
+                jnp.asarray(self._pv), jnp.asarray(self._done),
+                self.cfg, self.chunk, jnp.int32(self.eos))
+            out = np.asarray(out)                              # [B, chunk]
+            # np.array (copy): asarray views of jax buffers are read-only,
+            # and _admit_one/_step_chunk write into these host mirrors
+            self._tok = np.array(tok)
+            self._done = np.array(done)
+        self._own = self._own + self.chunk
+        self.stats["chunks"] += 1
+        for b, req in enumerate(self._req):
+            if req is None:
+                continue
+            piece = out[b, : req.max_new - len(req.tokens)].tolist()
+            finished = False
+            if self.eos in piece:
+                piece = piece[: piece.index(self.eos)]
+                finished = True
+            req.tokens.extend(piece)
+            if piece and req.stream_cb is not None:
+                try:
+                    req.stream_cb(piece)
+                except Exception:  # noqa: BLE001 — a client must not kill us
+                    pass
+            if finished or len(req.tokens) >= req.max_new:
+                self._req[b] = None
+                self._done[b] = True
+                self.stats["completed"] += 1
+                req._finish()

@@ -48,9 +48,35 @@ class ScoringService:
     # videos; ~150 MB host RAM per 50k-frame video.  0 disables (every
     # request uses the fused single-dispatch program).
     video_feature_cache: int = 2
+    # continuous batching (serve/continuous.py): >0 enables a slot-based
+    # decode engine for /v1/answer and chat completions — requests join and
+    # leave an always-running batched decode at chunk boundaries instead of
+    # forming static window batches.  Mutually exclusive with batch_window_s
+    # in effect (the engine path wins when both are set).
+    continuous_slots: int = 0
+    continuous_chunk: int = 8
+    continuous_max_prompt: int = 13312     # 64-frame LLaVA prompt + text
+    continuous_decode_slots: int = 512
 
     def __post_init__(self):
         self._device_lock = threading.Lock()
+        self._engine = None
+        if self.continuous_slots > 0:
+            if self.backbone is None:
+                raise ValueError("--continuous needs a backbone")
+            if not hasattr(self.backbone, "prepare_engine_request"):
+                raise ValueError(
+                    f"backbone {type(self.backbone).__name__} does not "
+                    "support the continuous engine (needs "
+                    "prepare_engine_request)")
+            from .continuous import ContinuousEngine
+            self._engine = ContinuousEngine(
+                self.backbone.params["lm"], self.backbone.cfg.lm,
+                slots=self.continuous_slots, chunk=self.continuous_chunk,
+                max_prompt=self.continuous_max_prompt,
+                decode_slots=self.continuous_decode_slots,
+                dtype=self.backbone.params["lm"]["embedding"].dtype,
+                device_lock=self._device_lock)
         self._batch_lock = threading.Lock()
         self._pending = []          # [(event, payload dict, result dict)]
         self._feat_cache = {}       # (path, mtime) -> img_feat float32 [T, P]
@@ -59,7 +85,8 @@ class ScoringService:
         # mutator at a time for the LRU bookkeeping (reads of the stored
         # arrays are safe — entries are immutable once inserted)
         self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
-                      "feature_cache_hits": 0}
+                      "feature_cache_hits": 0, "engine": 0,
+                      "engine_fallback": 0}
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
@@ -79,6 +106,15 @@ class ScoringService:
                                               sample_num=min(16, len(frames)))
             else:
                 self.scorer(frames, "warmup", sample_num=min(16, len(frames)))
+        if self._engine is not None:
+            # compile the engine's chunk program (shared by every request)
+            # and one prompt-bucket prefill before traffic arrives
+            import jax.numpy as jnp
+            dim = self.backbone.cfg.lm.hidden_size
+            S = min(self._engine.bucket, self._engine.S_max)
+            dummy = jnp.zeros((1, S, dim), self._engine.dtype)
+            self._engine.submit(
+                dummy, max_new_tokens=self._engine.chunk).result(timeout=None)
         return self
 
     def _cache_usable(self) -> bool:
@@ -179,8 +215,15 @@ class ScoringService:
         return (system + "\n\n" + user).strip() if system else user
 
     def _generate_text(self, prompt: str, kwargs: dict) -> str:
-        """Device-locked text-only generate with the TypeError fallback for
-        adapters that don't take max_new_tokens."""
+        """Text-only generate — through the continuous engine when enabled
+        (judge traffic batches with everything else), else device-locked
+        solo with the TypeError fallback for adapters that don't take
+        max_new_tokens."""
+        if self._engine is not None:
+            text = self._engine_answer(None, prompt,
+                                       kwargs.get("max_new_tokens"))
+            if text is not None:
+                return text
         with self._device_lock:
             try:
                 return self.backbone.generate(None, prompt, **kwargs)
@@ -255,7 +298,13 @@ class ScoringService:
 
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
-        if stream is None:
+        deltas = (self._engine_answer_stream(
+                      None, prompt, kwargs.get("max_new_tokens"))
+                  if self._engine is not None else None)
+        if deltas is not None:
+            for delta in deltas:
+                yield chunk({"content": delta})
+        elif stream is None:
             text = self._generate_text(prompt, kwargs)
             if text:
                 yield chunk({"content": text})
@@ -328,6 +377,66 @@ class ScoringService:
             raise slot["err"]
         return slot["out"]
 
+    # -- continuous batching path (serve/continuous.py) ---------------------
+
+    def _engine_submit(self, frames, question, max_new, stream_cb=None):
+        """Submit one request to the continuous engine.  Returns the
+        EngineRequest, or None when the prompt exceeds the engine's prompt
+        region (the caller then falls back to the solo decode path).
+        Prompt assembly (vision encode + splice) is device work — locked."""
+        with self._device_lock:
+            kw = self.backbone.prepare_engine_request(frames, question,
+                                                      max_new)
+        if kw["embeds"].shape[1] > self._engine.S_max:
+            with self._feat_lock:
+                self.stats["engine_fallback"] += 1
+            return None
+        embeds = kw.pop("embeds")
+        return self._engine.submit(embeds, stream_cb=stream_cb, **kw)
+
+    def _engine_answer(self, frames, question, max_new) -> str | None:
+        req = self._engine_submit(frames, question, max_new)
+        if req is None:
+            return None
+        toks = req.result()
+        with self._feat_lock:
+            self.stats["engine"] += 1
+        return self.backbone.decode(toks)
+
+    def _engine_answer_stream(self, frames, question, max_new):
+        """Text-delta generator through the engine, or None on prompt
+        overflow.  Chunk-boundary token pieces bridge through a queue into
+        the shared prefix-detokenizer (same U+FFFD holdback as
+        generate_stream); EOS never appears in engine pieces, so the block
+        stream simply ends at request completion."""
+        import queue as _queue
+        q: _queue.Queue = _queue.Queue()
+        req = self._engine_submit(frames, question, max_new,
+                                  stream_cb=q.put)
+        if req is None:
+            return None
+        from ..models.qwen2 import stream_detokenize
+
+        def blocks():
+            while True:
+                try:
+                    piece = q.get(timeout=0.05)
+                except _queue.Empty:
+                    if req.finished and q.empty():
+                        return
+                    continue
+                yield np.asarray(piece, np.int32)[None]
+
+        def gen():
+            eos = self.backbone.cfg.lm.eos_token_id
+            yield from stream_detokenize(blocks(), self.backbone.decode, eos)
+            if req.error is not None:
+                raise req.error
+            with self._feat_lock:
+                self.stats["engine"] += 1
+
+        return gen()
+
     def _select_frames(self, video_path: str, question: str, sample_num,
                        method: str, window_size):
         """Selection half of /v1/answer: returns (sel_frames, idx,
@@ -369,10 +478,13 @@ class ScoringService:
         sel, idx, n_frames = self._select_frames(video_path, question,
                                                  sample_num, method,
                                                  window_size)
-        if self.batch_window_s > 0 and \
+        answer = None
+        if self._engine is not None:
+            answer = self._engine_answer(sel, question, max_new_tokens)
+        if answer is None and self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
             answer = self._answer_batched(sel, question, max_new_tokens)
-        else:
+        elif answer is None:
             with self._device_lock:
                 answer = self._generate_one(sel, question, max_new_tokens)
         with self._feat_lock:
@@ -403,7 +515,12 @@ class ScoringService:
                "num_candidates": int(n_frames)}
         kwargs = {"max_new_tokens": max_new_tokens} if max_new_tokens else {}
         stream = getattr(self.backbone, "generate_stream", None)
-        if stream is None:
+        deltas = (self._engine_answer_stream(sel, question, max_new_tokens)
+                  if self._engine is not None else None)
+        if deltas is not None:
+            for delta in deltas:          # engine locks device work itself
+                yield {"delta": delta}
+        elif stream is None:
             with self._device_lock:
                 text = self._generate_one(sel, question, max_new_tokens)
             if text:
@@ -465,7 +582,11 @@ def make_handler(service: ScoringService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True, **service.stats})
+                payload = {"ok": True, **service.stats}
+                if service._engine is not None:
+                    payload["continuous"] = {**service._engine.stats,
+                                             "active": service._engine.n_active}
+                self._send(200, payload)
             elif self.path in ("/", "/index.html"):
                 from .webui import serve_index
                 serve_index(self)       # browser demo page (webui.py, C44)
