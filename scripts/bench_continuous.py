@@ -148,7 +148,10 @@ def run_continuous(params, cfg, reqs, prompt, slots, chunk):
     return lat, ttft, toks, wall, eng.stats
 
 
-CAPS = (16, 32, 64)
+# two answer-length classes (MC letter vs caption): enough for the straggler
+# mix while keeping the compile surface small through the tunneled backend
+# (every (B, cap) pair is its own greedy_decode program)
+CAPS = (16, 64)
 
 
 def main():
@@ -168,7 +171,10 @@ def main():
                       if a == "--n"), 24))
         rate = float(next((sys.argv[i + 1] for i, a in enumerate(sys.argv)
                            if a == "--rate"), 1.2))
-        prompt, slots, chunk = 3200, 4, 8
+        # chunk=16: this dev box pays ~70 ms tunneled round-trip per chunk
+        # boundary (KERNELS.md streaming section); production hosts at
+        # ~1-2 ms could run chunk=8 for finer admission granularity
+        prompt, slots, chunk = 3200, 4, 16
     jax.block_until_ready(params)
     print(json.dumps({"config": {"n": n, "rate_req_s": rate,
                                  "prompt": prompt, "caps": CAPS,
@@ -178,8 +184,9 @@ def main():
     reqs = build_workload(n, rate, prompt, cfg.hidden_size, CAPS)
 
     # warm compiles OUTSIDE the timed runs (every B the window path can form)
-    from tspo_tpu.models.qwen2 import KVCache, greedy_decode
-    for B in range(1, 5 if not tiny else 3):
+    from tspo_tpu.models.qwen2 import KVCache, decode_prefill, greedy_decode
+    max_b = 5 if not tiny else 3
+    for B in range(1, max_b):
         for cap in CAPS:
             emb = jnp.concatenate([reqs[0]["emb"]] * B, axis=0)
             cache = KVCache.create(cfg, B, prompt + cap + 8, jnp.bfloat16)
@@ -187,6 +194,22 @@ def main():
                                    cache, cfg, max_new_tokens=cap,
                                    eos_token_id=-1)
             np.asarray(out)
+    # engine programs: chunk + insert + B=1 admission via a throwaway
+    # engine, then the batched-admission prefills at every group size
+    from tspo_tpu.serve.continuous import ContinuousEngine
+    weng = ContinuousEngine(params, cfg, slots=slots, chunk=chunk,
+                            max_prompt=prompt,
+                            decode_slots=max(CAPS) + chunk,
+                            prompt_bucket=prompt, dtype=jnp.bfloat16,
+                            eos_token_id=-1)
+    weng.submit(reqs[0]["emb"], max_new_tokens=chunk).result(timeout=None)
+    weng.shutdown()
+    for B in range(2, (slots if not tiny else 2) + 1):
+        emb = jnp.concatenate([reqs[0]["emb"]] * B, axis=0)
+        cache = KVCache.create(cfg, B, prompt, jnp.bfloat16)
+        t, _c, _p = decode_prefill(params, emb, jnp.ones((B, prompt), bool),
+                                   cache, cfg)
+        np.asarray(t)
 
     results = {}
     lat, _, toks, wall = run_serial(params, cfg,

@@ -295,6 +295,31 @@ def test_qwen25vl_engine_matches_generate():
     assert got == want
 
 
+def test_batched_admission_groups_and_stays_exact(params):
+    """Queued standard-rope requests prefill as ONE ragged batch (the
+    window micro-batcher's prefill amortization, kept under continuous
+    batching) — white-box: park the worker on the device lock, queue three
+    requests, and check they admitted in one decode_prefill group with
+    solo-exact outputs."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, CFG.vocab_size - 1,
+                            size=rng.integers(4, S_MAX)).tolist()
+               for _ in range(3)]
+    wants = [_solo(params, ids, 6) for ids in prompts]
+    lock = threading.Lock()
+    eng = _engine(params, slots=3, chunk=3, device_lock=lock)
+    try:
+        with lock:
+            hs = [eng.submit(_embeds(params, ids), max_new_tokens=6)
+                  for ids in prompts]
+            time.sleep(0.2)        # worker parks inside the first admission
+        assert [h.result(timeout=120) for h in hs] == wants
+        assert eng.stats["admitted"] == 3
+        assert eng.stats["admit_batches"] <= 2   # >=1 multi-row group formed
+    finally:
+        eng.shutdown()
+
+
 def test_idle_engine_accepts_late_work(params):
     eng = _engine(params, slots=1)
     try:

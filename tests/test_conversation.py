@@ -443,6 +443,62 @@ def test_harness_multi_round_flow(tmp_path):
         ("followup after round2", "round3")]
 
 
+def test_harness_multi_round_uses_conversation_state(tmp_path):
+    """Backbones exposing new_conversation_state get per-doc prefix-KV
+    reuse through the harness multi-round loop: answers equal the stateless
+    path's, and the video encodes once per doc instead of once per round."""
+    import cv2
+    import jax.numpy as jnp
+    from tspo_tpu.eval.harness import evaluate_task
+    from tspo_tpu.eval.tasks import TASK_REGISTRY, BenchmarkTask
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig, LLaVAVideoModel
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(20):
+        w.write(np.full((48, 48, 3), i * 10, np.uint8))
+    w.release()
+
+    cfg = LLaVAVideoConfig.tiny()
+    model = LLaVAVideoModel.random_init(
+        0, cfg, dtype=jnp.float32,
+        encode=lambda s: [ord(c) % cfg.lm.vocab_size for c in s],
+        decode=lambda t: " ".join(str(x) for x in t),
+        batch_frames=4, max_new_tokens=3)
+    counts = {"n": 0}
+    orig = model.encode_video
+    model.encode_video = \
+        lambda f: (counts.__setitem__("n", counts["n"] + 1) or orig(f))
+
+    def round_prompt(doc, r, responses, kwargs):
+        return doc["question"] if r == 0 else "And then?"
+
+    task = BenchmarkTask(
+        name="_mr_state",
+        doc_to_text=lambda doc, kw=None: doc["question"],
+        process_response=lambda doc, resp, rng=None: {"final": resp},
+        aggregate=lambda rs: {"n": len(rs)},
+        output_type="generate_until_multi_round",
+        num_rounds=2, round_prompt=round_prompt)
+    TASK_REGISTRY["_mr_state"] = task
+    docs = [{"question_id": "q0", "question": "What?", "video_path": path,
+             "frame_idx": [0, 1, 2, 3]}]
+    try:
+        res = evaluate_task("_mr_state", docs, model, video_root="",
+                            max_frames_num=4)
+    finally:
+        TASK_REGISTRY.pop("_mr_state", None)
+        del model.encode_video
+    assert counts["n"] == 1                  # one vision encode per doc
+    # stateless expectation for both rounds on the exact gathered frames
+    from tspo_tpu.video.reader import load_video_indices
+    frames = load_video_indices(path, np.asarray([0, 1, 2, 3]))
+    a1 = model.generate_multi_round(frames, [("What?", None)])
+    a2 = model.generate_multi_round(frames, [("What?", a1),
+                                             ("And then?", None)])
+    assert res.samples[0]["rounds"] == [("What?", a1), ("And then?", a2)]
+
+
 def test_harness_multi_round_transcript_fallback(tmp_path):
     """Backbones without generate_multi_round get a plain transcript."""
     import cv2

@@ -405,6 +405,56 @@ def test_generate_multi_round(jax_model):
     assert isinstance(out2, str) and out2
 
 
+def test_multi_round_stateful_matches_stateless(jax_model):
+    """Conversation prefix-KV reuse: three rounds through one
+    ConversationState answer token-for-token like the stateless full
+    re-prefill path, while the video encodes exactly once for the whole
+    stateful conversation."""
+    v = CFG.vision
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    state = jax_model.new_conversation_state(headroom=64)
+    counts = {"n": 0}
+    orig = jax_model.encode_video
+    jax_model.encode_video = \
+        lambda f: (counts.__setitem__("n", counts["n"] + 1) or orig(f))
+    try:
+        turns = []
+        for r, q in enumerate(["What?", "And then?", "Why is that?"]):
+            want = jax_model.generate_multi_round(
+                frames, [*turns, (q, None)], max_new_tokens=3)
+            got = jax_model.generate_multi_round(
+                frames, [*turns, (q, None)], max_new_tokens=3, state=state)
+            assert got == want, f"round {r} diverged"
+            turns.append((q, want))
+    finally:
+        del jax_model.encode_video
+    # 3 stateless calls encode each time; the stateful path encodes once
+    assert counts["n"] == 4
+    assert state.cache is not None and state.covered > 0
+
+
+def test_multi_round_state_capacity_overflow_reprefills(jax_model):
+    """headroom=0 sizes the cache exactly to round 1, so round 2 overflows
+    capacity — the state must re-prefill into a larger cache and still
+    match the stateless answer."""
+    v = CFG.vision
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    state = jax_model.new_conversation_state(headroom=0)
+    a1 = jax_model.generate_multi_round(frames, [("What?", None)],
+                                        max_new_tokens=3, state=state)
+    cap1 = state.cache.k.shape[2]
+    turns = [("What?", a1), ("And then?", None)]
+    want = jax_model.generate_multi_round(frames, turns, max_new_tokens=3)
+    got = jax_model.generate_multi_round(frames, turns, max_new_tokens=3,
+                                         state=state)
+    assert got == want
+    assert state.cache.k.shape[2] > cap1
+
+
 def test_generate_speculative_matches_plain(jax_model):
     """speculative=True must produce the identical answer string (exact
     greedy verification; drafts come from the prompt text + history)."""

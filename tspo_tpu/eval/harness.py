@@ -318,13 +318,23 @@ def evaluate_task(task_name: str, docs: list, backbone: BackboneAdapter,
                     # FINAL answer is what process_results scores, rounds
                     # ride the sample record
                     turns, round_answers = [], []
+                    # per-doc conversation KV state: later rounds prefill
+                    # only the new turn instead of the full video history
+                    # (models/llava_video.py::ConversationState)
+                    mr_state = (backbone.new_conversation_state()
+                                if hasattr(backbone,
+                                           "new_conversation_state") else None)
                     for r in range(max(int(task.num_rounds), 1)):
                         rq = (task.round_prompt(doc, r, list(round_answers),
                                                 specific_kwargs)
                               if task.round_prompt is not None else prompt)
                         if hasattr(backbone, "generate_multi_round"):
-                            ans = backbone.generate_multi_round(
-                                frames, [*turns, (rq, None)])
+                            ans = (backbone.generate_multi_round(
+                                       frames, [*turns, (rq, None)],
+                                       state=mr_state)
+                                   if mr_state is not None else
+                                   backbone.generate_multi_round(
+                                       frames, [*turns, (rq, None)]))
                         else:
                             # single-turn backbones: plain-text transcript
                             transcript = "".join(f"{u}\n{a}\n"

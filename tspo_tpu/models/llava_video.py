@@ -305,18 +305,122 @@ class LLaVAVideoModel:
         return build_prompt(question, self.conv_template)
 
     def generate_multi_round(self, frames: np.ndarray, turns,
-                             max_new_tokens: int | None = None) -> str:
+                             max_new_tokens: int | None = None,
+                             state: "ConversationState | None" = None) -> str:
         """Multi-round chat over one video: ``turns`` is
         [(question, answer), ..., (question, None)] — earlier QA pairs ride
         the conversation template as context, the video splices once at the
         first turn's <image> slot.  Implements the lmms ABC's
         generate_until_multi_round surface (lmms-eval api/model.py:82-103),
         which the reference's own LLaVA adapter leaves NotImplementedError
-        (models/simple/llava.py:432-433)."""
+        (models/simple/llava.py:432-433).
+
+        With ``state`` (new_conversation_state()), rounds reuse the cached
+        prefix KV: round i+1's rendered prompt extends round i's prompt +
+        answer, so only the new turn's tokens are prefilled and the video
+        encodes once per conversation — vs a full ~12k-token re-prefill +
+        re-encode per round.  Token-exact vs the stateless path
+        (tests/test_llava_video.py)."""
         from .conversation import build_prompt_multi
         prompt = build_prompt_multi(turns, self.conv_template)
-        return self.generate(frames, question="", prompt=prompt,
-                             max_new_tokens=max_new_tokens)
+        if state is None:
+            return self.generate(frames, question="", prompt=prompt,
+                                 max_new_tokens=max_new_tokens)
+        return self._multi_round_stateful(frames, prompt, max_new_tokens,
+                                          state)
+
+    def new_conversation_state(self, headroom: int = 2048
+                               ) -> "ConversationState":
+        """Fresh per-conversation prefix-KV state for generate_multi_round.
+        ``headroom``: extra cache slots allocated beyond the first round's
+        need, bounding how many follow-up turns fit before a full
+        re-prefill into a larger cache."""
+        return ConversationState(headroom)
+
+    def _multi_round_stateful(self, frames, prompt: str, max_new_tokens,
+                              state: "ConversationState") -> str:
+        """Incremental prefill against the conversation cache: longest
+        common token prefix with the covered ids is reused; the suffix
+        prefills in dense <=256-token chunks (prefill_extend), decode
+        continues in place (greedy_decode_continue), and the answer's own
+        decode KV stays covered for the next round.  Falls back to a full
+        (flash) prefill on first use, prefix divergence at 0, or capacity
+        overflow."""
+        from .qwen2 import (decode_prefill, greedy_decode_continue,
+                            prefill_extend)
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        max_new = self.max_new_tokens if max_new_tokens is None \
+            else max_new_tokens
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
+        lm, cfg = self.params["lm"], self.cfg.lm
+        dtype = lm["embedding"].dtype
+        ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
+        if state.video_tokens is None:
+            state.video_tokens = (
+                self.encode_video(frames) if frames is not None
+                and len(frames) else jnp.zeros((0, cfg.hidden_size), dtype))
+        n_vid = int(state.video_tokens.shape[0])
+        sent = ids.index(IMAGE_TOKEN_INDEX) \
+            if IMAGE_TOKEN_INDEX in ids else None
+
+        def expand(i):            # id-index -> embed-index
+            return i + (n_vid - 1) if sent is not None and sent < i else i
+
+        total_e = expand(len(ids))
+        CH = 32                                    # decode chunk
+        need = total_e + (-(-max_new // CH)) * CH
+        if state.cache is not None and need > state.cache.k.shape[2]:
+            state.reset()         # conversation outgrew the cache
+        if need > self.cfg.max_context:
+            raise ValueError(
+                f"conversation needs {need} tokens but max_context="
+                f"{self.cfg.max_context} (fewer frames/rounds, or raise "
+                "max_context)")
+        c = 0
+        for a, b in zip(ids, state.ids):
+            if a != b:
+                break
+            c += 1
+        c = min(c, len(ids) - 1)   # always prefill >= 1 new token
+        if state.cache is None:
+            c = 0
+        L = expand(c)
+        vid = state.video_tokens if (sent is not None and sent >= c) \
+            else jnp.zeros((0, cfg.hidden_size), dtype)
+        sfx = self.splice_embeddings(ids[c:], vid).astype(dtype)
+        S_sfx = int(sfx.shape[1])
+        if state.cache is None:
+            cap = min(self.cfg.max_context, need + state.headroom)
+            cache = KVCache.create(cfg, 1, cap, dtype)
+            Sb = min(cap, -(-S_sfx // 256) * 256)
+            emb = jnp.pad(sfx, ((0, 0), (0, Sb - S_sfx), (0, 0)))
+            valid = jnp.zeros((1, Sb), bool).at[:, :S_sfx].set(True)
+            first_tok, cache, _ = decode_prefill(lm, emb, valid, cache, cfg)
+        else:
+            cache = KVCache(state.cache.k, state.cache.v, jnp.int32(L))
+            first_tok = None
+            off = 0
+            while off < S_sfx:
+                n = min(256, S_sfx - off)
+                nb = 64 if n <= 64 else 256        # two chunk programs only
+                chunk = jnp.pad(sfx[:, off:off + n],
+                                ((0, 0), (0, nb - n), (0, 0)))
+                first_tok, cache = prefill_extend(lm, chunk, jnp.int32(n),
+                                                  cache, cfg)
+                off += n
+                # reclaim pad slots: the next append/decode overwrites them
+                cache = KVCache(cache.k, cache.v, jnp.int32(L + off))
+        # reclaim prefill pads, decode in place
+        cache = KVCache(cache.k, cache.v, jnp.int32(total_e))
+        toks, cache = greedy_decode_continue(lm, first_tok, cache, cfg,
+                                             max_new, chunk=CH)
+        state.cache = KVCache(cache.k, cache.v,
+                              jnp.int32(total_e + len(toks)))
+        state.ids = list(ids) + [int(t) for t in toks]
+        state.covered = total_e + len(toks)
+        return self.decode([int(t) for t in toks])
 
     def encode_video(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, 3] uint8 -> [T*tokens_per_frame, D] spliceable tokens.
@@ -668,6 +772,36 @@ class LLaVAVideoModel:
             "image_newline": jnp.zeros(D, dtype),
         }
         return cls(params=params, cfg=cfg, **kw)
+
+
+class ConversationState:
+    """Prefix-KV reuse across conversation rounds (generate_multi_round).
+
+    Round i+1's rendered prompt string extends round i's prompt + answer
+    (chat templates append turns), so nearly every token of the new prompt
+    already has K/V in the cache; only the separator + new-turn tokens need
+    a forward pass, and the video encodes once per conversation.  The
+    reference-shaped stateless path re-encodes the video and re-prefills the
+    full ~12k-token history every round.
+
+    Invariants: cache slots [0, covered) are hole-free real tokens whose
+    sentinel-level token ids are ``ids`` (the <image> sentinel expands to
+    n_video embed slots).  Reuse is the longest common token prefix —
+    divergence anywhere (edited history, BPE seams) degrades gracefully to
+    partial or zero reuse, never to wrong output.
+    """
+
+    def __init__(self, headroom: int = 2048):
+        self.ids: list[int] = []
+        self.covered = 0               # embed-level tokens in cache
+        self.cache: KVCache | None = None
+        self.video_tokens = None       # encoded once per conversation
+        self.headroom = int(headroom)
+
+    def reset(self):
+        """Drop the cache (capacity overflow): the next round re-prefills
+        fully into a larger cache.  Video tokens stay."""
+        self.ids, self.covered, self.cache = [], 0, None
 
 
 def llava_video_param_shardings(params, mesh):

@@ -527,6 +527,71 @@ def decode_chunk(params, tok, cache: KVCache, pos0, i0, prompt_valid, done,
     return out, tok, cache, done
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill_extend(params, embeds, valid_len, cache: KVCache,
+                   cfg: Qwen2Config):
+    """Append a prompt-suffix chunk after an already-prefilled cache — the
+    incremental half of conversation prefix reuse (multi-round chat re-sends
+    the full history; only the new turn's tokens need a forward pass).
+
+    embeds [1, S, D] right-padded, first ``valid_len`` real; appended at
+    [cache.length, cache.length + S) with rope positions continuing from
+    cache.length.  The cache below cache.length must be hole-free (every
+    slot real).  Pads are masked as keys and their garbage K/V slots are
+    reclaimed by the caller rewinding cache.length to
+    ``cache.length + valid_len`` (the next append overwrites them).
+    Always dense attention (the flash path assumes start == 0), so keep
+    chunks under ~512 tokens.  Returns (last_tok [B], cache) where last_tok
+    is the greedy next token after the final REAL suffix position."""
+    B, S, _ = embeds.shape
+    T = cache.k.shape[2]
+    start = cache.length
+    attn_valid = jnp.arange(T)[None, :] < start + valid_len
+    hidden, cache = qwen2_forward(params, embeds, cache,
+                                  start + jnp.arange(S), attn_valid, cfg,
+                                  flash_threshold=10**9)
+    last = hidden[jnp.arange(B), valid_len - 1]
+    tok = jnp.argmax(lm_logits(params, last, cfg), axis=-1).astype(jnp.int32)
+    return tok, cache
+
+
+def greedy_decode_continue(params, first_tok, cache: KVCache,
+                           cfg: Qwen2Config, max_new_tokens: int,
+                           eos_token_id: int | None = None, chunk: int = 32):
+    """Greedy decode continuing from a hole-free prefilled cache (every slot
+    below cache.length real — the conversation-reuse invariant).  Reuses
+    :func:`decode_chunk` with an all-ones width-1 prompt mask: validity
+    reduces to ``slot < cache.length + 1``, so ONE compiled program serves
+    every conversation length at a given cache capacity.  Returns
+    (tokens np[<= max_new] eos-trimmed, cache) — the final chunk may run
+    garbage steps past eos; the caller rewinds cache.length over them."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    T = cache.k.shape[2]
+    L = int(cache.length)
+    n_chunks = -(-max_new_tokens // chunk)
+    if L + n_chunks * chunk > T:
+        raise ValueError(
+            f"conversation cache needs >= {L + n_chunks * chunk} slots "
+            f"(L={L} + {n_chunks}x{chunk}), got {T}")
+    tok = jnp.asarray(first_tok, jnp.int32).reshape(1)
+    pv = jnp.ones((1, 1), bool)
+    pos0 = jnp.full((1,), L, jnp.int32)
+    done = jnp.zeros((1,), bool)
+    outs = []
+    for c in range(n_chunks):
+        out, tok, cache, done = decode_chunk(
+            params, tok, cache, pos0, jnp.int32(c * chunk), pv, done,
+            cfg, chunk, jnp.int32(eos))
+        outs.append(np.asarray(out)[0])
+        if bool(np.asarray(done)[0]):
+            break
+    toks = (np.concatenate(outs)[:max_new_tokens] if outs
+            else np.zeros(0, np.int32))
+    if eos in toks:
+        toks = toks[: int(np.argmax(toks == eos))]
+    return toks, cache
+
+
 def greedy_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
                          cfg: Qwen2Config, max_new_tokens: int,
                          eos_token_id: int | None = None, chunk: int = 8,

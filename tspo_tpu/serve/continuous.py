@@ -267,7 +267,7 @@ class ContinuousEngine:
         self._stop = False
         self._dead: Exception | None = None
         self.stats = {"completed": 0, "chunks": 0, "admitted": 0,
-                      "peak_active": 0}
+                      "admit_batches": 0, "peak_active": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tspo-continuous-engine")
         self._thread.start()
@@ -334,49 +334,85 @@ class ContinuousEngine:
             with self._lock:
                 if not self._queue:
                     return
-                try:
-                    b = self._req.index(None)
-                except ValueError:
+                free = [b for b, r in enumerate(self._req) if r is None]
+                if not free:
                     return
-                req = self._queue.popleft()
+                # batched admission: standard-rope requests prefill together
+                # as ONE ragged decode_prefill (prefill is GEMM-bound, so a
+                # B=k pass costs far less than k solo passes — the window
+                # micro-batcher's advantage, kept here).  Per-row mrope
+                # tables admit solo (their rope tables are per-row).
+                group, solo = [], None
+                while self._queue and len(group) < len(free):
+                    head = self._queue[0]
+                    if head.rope_cos_sin is None and \
+                            head.pos0_override is None:
+                        group.append(self._queue.popleft())
+                    elif not group:
+                        solo = self._queue.popleft()
+                        break
+                    else:
+                        break           # flush the group first
+            targets = free[: len(group)] if group else free[:1]
+            reqs = group if group else ([solo] if solo else [])
+            if not reqs:
+                return
             try:
-                self._admit_one(b, req)
-            except Exception as exc:  # noqa: BLE001 — bad request only
-                req._finish(error=exc)
+                self._admit_group(targets[: len(reqs)], reqs)
+            except Exception as exc:  # noqa: BLE001 — bad request(s) only
+                for r in reqs:
+                    r._finish(error=exc)
                 continue
-            self.stats["admitted"] += 1
+            self.stats["admitted"] += len(reqs)
             self.stats["peak_active"] = max(self.stats["peak_active"],
                                             self.n_active)
 
-    def _admit_one(self, b: int, req: EngineRequest):
-        S = int(req.embeds.shape[1])
-        Sb = min(self.S_max, -(-S // self.bucket) * self.bucket)
-        emb = jnp.pad(req.embeds.astype(self.dtype),
-                      ((0, 0), (0, Sb - S), (0, 0)))
-        valid = np.zeros(Sb, bool)
-        valid[:S] = req.valid
-        rope = req.rope_cos_sin
-        if rope is not None and Sb != S:
+    def _admit_group(self, slots: list[int], reqs: list[EngineRequest]):
+        """Prefill ``reqs`` as one ragged batch (right-padded to the group's
+        largest prompt bucket) and insert each row into its slot.  A 1-long
+        group is the solo path; mrope requests always arrive 1-long with
+        their rope tables threaded through."""
+        k = len(reqs)
+        Sb = 0
+        for r in reqs:
+            S = int(r.embeds.shape[1])
+            Sb = max(Sb, min(self.S_max, -(-S // self.bucket) * self.bucket))
+        embs, valids = [], np.zeros((k, Sb), bool)
+        for i, r in enumerate(reqs):
+            S = int(r.embeds.shape[1])
+            embs.append(jnp.pad(r.embeds.astype(self.dtype),
+                                ((0, 0), (0, Sb - S), (0, 0))))
+            valids[i, :S] = r.valid
+        emb = jnp.concatenate(embs, axis=0)
+        rope = reqs[0].rope_cos_sin if k == 1 else None
+        if rope is not None and Sb != int(reqs[0].embeds.shape[1]):
+            S = int(reqs[0].embeds.shape[1])
             cos, sin = rope
             rope = (jnp.pad(cos, ((0, Sb - S), (0, 0))),
                     jnp.pad(sin, ((0, Sb - S), (0, 0))))
+        pos_override = reqs[0].pos0_override if k == 1 else None
+        self.stats["admit_batches"] += 1
         with self._device_lock:
-            row = KVCache.create(self.cfg, 1, Sb, self.dtype)
+            row = KVCache.create(self.cfg, k, Sb, self.dtype)
             first_tok, row, pos0 = decode_prefill(
-                self.params, emb, jnp.asarray(valid)[None], row, self.cfg,
-                prompt_rope_cos_sin=rope,
-                decode_pos_start=req.pos0_override)
-            self._k, self._v = _insert_row(self._k, self._v, row.k, row.v,
-                                           jnp.int32(b))
-            first = int(np.asarray(first_tok)[0])
-            p0 = int(np.asarray(pos0)[0])
-        self._tok[b] = first
-        self._pos0[b] = p0
-        self._own[b] = 0
-        self._done[b] = False
-        self._pv[b] = False
-        self._pv[b, :Sb] = valid
-        self._req[b] = req
+                self.params, emb, jnp.asarray(valids), row, self.cfg,
+                prompt_rope_cos_sin=rope, decode_pos_start=pos_override)
+            for i, b in enumerate(slots):
+                self._k, self._v = _insert_row(
+                    self._k, self._v,
+                    jax.lax.dynamic_slice_in_dim(row.k, i, 1, axis=1),
+                    jax.lax.dynamic_slice_in_dim(row.v, i, 1, axis=1),
+                    jnp.int32(b))
+            first = np.asarray(first_tok)
+            p0 = np.asarray(pos0)
+        for i, (b, req) in enumerate(zip(slots, reqs)):
+            self._tok[b] = int(first[i])
+            self._pos0[b] = int(p0[i])
+            self._own[b] = 0
+            self._done[b] = False
+            self._pv[b] = False
+            self._pv[b, :Sb] = valids[i]
+            self._req[b] = req
 
     def _step_chunk(self):
         with self._device_lock:
