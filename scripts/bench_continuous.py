@@ -49,15 +49,30 @@ def _percentiles(xs):
             "p99": round(float(np.percentile(xs, 99)), 3)}
 
 
-def build_workload(n, rate, prompt, hidden, caps, seed=0):
+def _lat_stats(pairs):
+    """pairs: [(cap, latency_s)] -> overall + per-cap percentiles (the
+    long-tail question is specifically the SHORT requests' latency)."""
+    out = _percentiles([v for _, v in pairs])
+    for cap in sorted({c for c, _ in pairs}):
+        out[f"cap{cap}"] = _percentiles([v for c, v in pairs if c == cap])
+    return out
+
+
+def build_workload(n, rate, prompt, hidden, caps, seed=0, p_long=None):
+    """p_long: probability of the LAST (longest) cap — the long-tail mix
+    (--longtail: 25% long caption decodes among short MC answers, where a
+    short request arriving behind a long batch shows the discipline gap)."""
     rng = np.random.default_rng(seed)
     arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n))
     arrivals -= arrivals[0]
+    probs = None
+    if p_long is not None:
+        probs = [(1 - p_long) / (len(caps) - 1)] * (len(caps) - 1) + [p_long]
     reqs = []
     for i in range(n):
         emb = jnp.asarray(rng.normal(size=(1, prompt, hidden)) * 0.02,
                           jnp.bfloat16)
-        reqs.append({"emb": emb, "max_new": int(rng.choice(caps)),
+        reqs.append({"emb": emb, "max_new": int(rng.choice(caps, p=probs)),
                      "arrival": float(arrivals[i])})
     return reqs
 
@@ -75,7 +90,8 @@ def run_serial(params, cfg, reqs, prompt):
         out, n = greedy_decode(params, r["emb"], valid, cache, cfg,
                                max_new_tokens=r["max_new"], eos_token_id=-1)
         np.asarray(out)                      # host-fetch sync (KERNELS.md)
-        lat.append(time.perf_counter() - t0 - r["arrival"])
+        lat.append((r["max_new"],
+                    time.perf_counter() - t0 - r["arrival"]))
         toks += r["max_new"]
     return lat, lat, toks, time.perf_counter() - t0
 
@@ -107,7 +123,7 @@ def run_window(params, cfg, reqs, prompt, max_batch=4):
         done = time.perf_counter() - t0
         taken = {id(r) for r in batch}
         for r in batch:
-            lat.append(done - r["arrival"])
+            lat.append((cap, done - r["arrival"]))
             toks += cap
         pending = [r for r in pending if id(r) not in taken]
     return lat, lat, toks, time.perf_counter() - t0
@@ -143,8 +159,9 @@ def run_continuous(params, cfg, reqs, prompt, slots, chunk):
         eng.shutdown()
     for r, h, first in handles:
         toks += len(h.tokens)
-        lat.append(h.finished_at - t0 - r["arrival"])
-        ttft.append(first["t"] - r["arrival"] if first["t"] else wall)
+        lat.append((r["max_new"], h.finished_at - t0 - r["arrival"]))
+        ttft.append((r["max_new"],
+                     first["t"] - r["arrival"] if first["t"] else wall))
     return lat, ttft, toks, wall, eng.stats
 
 
@@ -160,6 +177,10 @@ def main():
     from tspo_tpu.models.qwen2 import Qwen2Config, init_qwen2_params
 
     tiny = "--tiny" in sys.argv
+    global CAPS
+    longtail = "--longtail" in sys.argv
+    if longtail:
+        CAPS = (16, 256)          # short MC answers + long caption decodes
     if tiny:
         cfg = Qwen2Config.tiny()
         params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
@@ -181,7 +202,8 @@ def main():
                                  "slots": slots, "chunk": chunk}}),
           flush=True)
 
-    reqs = build_workload(n, rate, prompt, cfg.hidden_size, CAPS)
+    reqs = build_workload(n, rate, prompt, cfg.hidden_size, CAPS,
+                          p_long=0.25 if longtail else None)
 
     # warm compiles OUTSIDE the timed runs (every B the window path can form)
     from tspo_tpu.models.qwen2 import KVCache, decode_prefill, greedy_decode
@@ -214,22 +236,22 @@ def main():
     results = {}
     lat, _, toks, wall = run_serial(params, cfg,
                                     [dict(r) for r in reqs], prompt)
-    results["serial"] = {"latency_s": _percentiles(lat),
+    results["serial"] = {"latency_s": _lat_stats(lat),
                          "tok_s": round(toks / wall, 1),
                          "makespan_s": round(wall, 2)}
     print(json.dumps({"serial": results["serial"]}), flush=True)
 
     lat, _, toks, wall = run_window(params, cfg,
                                     [dict(r) for r in reqs], prompt)
-    results["window"] = {"latency_s": _percentiles(lat),
+    results["window"] = {"latency_s": _lat_stats(lat),
                          "tok_s": round(toks / wall, 1),
                          "makespan_s": round(wall, 2)}
     print(json.dumps({"window": results["window"]}), flush=True)
 
     lat, ttft, toks, wall, stats = run_continuous(
         params, cfg, [dict(r) for r in reqs], prompt, slots, chunk)
-    results["continuous"] = {"latency_s": _percentiles(lat),
-                             "ttft_s": _percentiles(ttft),
+    results["continuous"] = {"latency_s": _lat_stats(lat),
+                             "ttft_s": _lat_stats(ttft),
                              "tok_s": round(toks / wall, 1),
                              "makespan_s": round(wall, 2),
                              "engine_stats": stats}

@@ -329,3 +329,22 @@ def test_idle_engine_accepts_late_work(params):
         assert h.result(timeout=120) == _solo(params, ids, 4)
     finally:
         eng.shutdown()
+
+
+def test_shutdown_fails_waiters_and_rejects_submits(params):
+    """shutdown() must error out still-pending requests (not hang their
+    waiters) and later submits must raise."""
+    lock = threading.Lock()
+    eng = _engine(params, slots=1, device_lock=lock)
+    with lock:                                 # park the worker
+        h = eng.submit(_embeds(params, list(range(6))), max_new_tokens=4)
+        h2 = eng.submit(_embeds(params, list(range(8))), max_new_tokens=4)
+        eng.shutdown(timeout=0.2)              # worker still parked
+    with pytest.raises(RuntimeError):
+        h2.result(timeout=30)
+    try:        # h was mid-admission: must resolve either way, never hang
+        h.result(timeout=30)
+    except RuntimeError:
+        pass
+    with pytest.raises(RuntimeError, match="shut down|dead"):
+        eng.submit(_embeds(params, list(range(4))), max_new_tokens=2)

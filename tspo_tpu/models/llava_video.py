@@ -789,6 +789,10 @@ class ConversationState:
     n_video embed slots).  Reuse is the longest common token prefix —
     divergence anywhere (edited history, BPE seams) degrades gracefully to
     partial or zero reuse, never to wrong output.
+
+    One state belongs to ONE (video, conversation): the video encodes on
+    first use and is reused for every later round — start a fresh state per
+    video (the eval harness makes one per doc).
     """
 
     def __init__(self, headroom: int = 2048):

@@ -296,6 +296,8 @@ class ContinuousEngine:
         with self._lock:
             if self._dead is not None:
                 raise RuntimeError("engine is dead") from self._dead
+            if self._stop:
+                raise RuntimeError("engine is shut down")
             self._queue.append(req)
         self._wake.set()
         return req
@@ -304,6 +306,14 @@ class ContinuousEngine:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout)
+        # nothing will run these now — fail them rather than hang waiters
+        err = RuntimeError("engine shut down")
+        with self._lock:
+            pending = list(self._queue)
+            self._queue.clear()
+        for req in pending + [r for r in self._req if r is not None]:
+            req._finish(error=err)
+        self._req = [None] * self.slots
 
     @property
     def n_active(self) -> int:
@@ -323,10 +333,15 @@ class ContinuousEngine:
         except Exception as exc:  # noqa: BLE001 — deliver, don't hang waiters
             with self._lock:
                 self._dead = exc
+        finally:
+            # graceful stop or crash: fail whatever is still queued/active
+            # so no waiter hangs (incl. a request caught mid-admission)
+            err = self._dead or RuntimeError("engine shut down")
+            with self._lock:
                 pending = list(self._queue)
                 self._queue.clear()
             for req in pending + [r for r in self._req if r is not None]:
-                req._finish(error=exc)
+                req._finish(error=err)
             self._req = [None] * self.slots
 
     def _admit(self):
