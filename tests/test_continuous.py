@@ -270,6 +270,55 @@ def test_service_engine_prompt_overflow_falls_back(tiny_video):
         svc._engine.shutdown()
 
 
+def test_service_sessions_reuse_conversation(tiny_video):
+    """/v1/answer with session_id: follow-up rounds ride the conversation
+    state (video encoded once, turn history in the template) and answer
+    exactly like the stateless multi-round path."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, max_sessions=2)
+    counts = {"n": 0}
+    orig = bb.encode_video
+    bb.encode_video = \
+        lambda f: (counts.__setitem__("n", counts["n"] + 1) or orig(f))
+    try:
+        r1 = svc.answer(video_path=tiny_video, question="What?",
+                        sample_num=4, max_new_tokens=3, session_id="s1")
+        r2 = svc.answer(video_path=tiny_video, question="And then?",
+                        sample_num=4, max_new_tokens=3, session_id="s1")
+        assert (r1["round"], r2["round"]) == (1, 2)
+        assert r2["frame_indices"] == r1["frame_indices"]
+        n_session_encodes = counts["n"]
+        from tspo_tpu.video.reader import load_video
+        cands, _, _ = load_video(tiny_video, max_frames_num=128, fps=1,
+                                 min_frames_num=0)
+        frames = cands[np.asarray(r1["frame_indices"])]
+        a1 = bb.generate_multi_round(frames, [("What?", None)],
+                                     max_new_tokens=3)
+        a2 = bb.generate_multi_round(frames, [("What?", a1),
+                                              ("And then?", None)],
+                                     max_new_tokens=3)
+        assert (r1["answer"], r2["answer"]) == (a1, a2)
+        assert n_session_encodes == 1      # whole session: one vision pass
+        assert svc.stats["session_rounds"] == 2
+    finally:
+        del bb.encode_video
+
+
+def test_service_session_eviction_and_new_video(tiny_video):
+    """LRU eviction (max_sessions=1) restarts an evicted session at round
+    1; reusing a session_id with a different video also restarts."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, max_sessions=1)
+    r1 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=3, session_id="a")
+    svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+               max_new_tokens=3, session_id="b")     # evicts "a"
+    r3 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=3, session_id="a")
+    assert r1["round"] == 1 and r3["round"] == 1
+    assert r3["answer"] == r1["answer"]
+
+
 def test_qwen25vl_engine_matches_generate():
     """The mrope backbone's prepare_engine_request (rope tables + decode
     delta) produces engine outputs equal to its solo generate()."""

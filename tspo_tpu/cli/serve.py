@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--continuous-decode-slots", type=int, default=512,
                    help="engine decode-region size = max tokens one request "
                         "may generate")
+    p.add_argument("--max-sessions", type=int, default=4,
+                   help="LRU cap on /v1/answer chat sessions (session_id "
+                        "conversations; each holds one prefix-KV cache, "
+                        "~0.9 GB at the 7B/64-frame geometry)")
     p.add_argument("--video-feature-cache", type=int, default=2,
                    help="per-video image-feature LRU size in videos (~150 MB "
                         "host RAM per 50k-frame video); 0 = always run the "
@@ -74,6 +78,7 @@ def main(argv=None):
                              batch_window_s=args.batch_window,
                              max_batch=args.max_batch,
                              video_feature_cache=args.video_feature_cache,
+                             max_sessions=args.max_sessions,
                              continuous_slots=args.continuous,
                              continuous_chunk=args.continuous_chunk,
                              continuous_max_prompt=args.continuous_max_prompt,

@@ -57,6 +57,12 @@ class ScoringService:
     continuous_chunk: int = 8
     continuous_max_prompt: int = 13312     # 64-frame LLaVA prompt + text
     continuous_decode_slots: int = 512
+    # chat sessions: /v1/answer with "session_id" keeps a per-session
+    # conversation (turn history + prefix-KV ConversationState) so
+    # follow-up questions about the same video prefill only the new turn.
+    # LRU-capped in sessions; each holds one conversation KV cache
+    # (~0.9 GB at the 7B/64-frame geometry).
+    max_sessions: int = 4
 
     def __post_init__(self):
         self._device_lock = threading.Lock()
@@ -84,9 +90,11 @@ class ScoringService:
         self._feat_lock = threading.Lock()   # ThreadingHTTPServer: one
         # mutator at a time for the LRU bookkeeping (reads of the stored
         # arrays are safe — entries are immutable once inserted)
+        self._sessions = {}          # session_id -> dict (LRU, _feat_lock)
+        self._session_order = []
         self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
                       "feature_cache_hits": 0, "engine": 0,
-                      "engine_fallback": 0}
+                      "engine_fallback": 0, "session_rounds": 0}
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
@@ -469,12 +477,70 @@ class ScoringService:
                                  self.default_window, method=method)
         return frames[np.asarray(idx)], np.asarray(idx), len(frames)
 
+    def _answer_session(self, *, session_id: str, video_path: str,
+                        question: str, sample_num, method, window_size,
+                        max_new_tokens, t0) -> dict:
+        """Follow-up-aware /v1/answer: a session is one conversation over
+        one video — turn history rides the chat template, the video encodes
+        once, and each follow-up round prefills only the new turn through
+        the ConversationState prefix-KV (models/llava_video.py).  Frames
+        are selected ONCE per session, conditioned on the FIRST question
+        (the conversation sees one fixed video splice, matching
+        generate_multi_round semantics)."""
+        with self._feat_lock:
+            sess = self._sessions.get(session_id)
+            if sess is not None and sess["video_path"] != video_path:
+                sess = None                      # new video = new session
+            if sess is None:
+                sess = {"video_path": video_path, "turns": [],
+                        "state": self.backbone.new_conversation_state(),
+                        "frame_indices": None, "num_candidates": 0}
+                self._sessions[session_id] = sess
+                if session_id in self._session_order:
+                    self._session_order.remove(session_id)
+            else:
+                self._session_order.remove(session_id)
+            self._session_order.append(session_id)
+            while len(self._session_order) > self.max_sessions:
+                self._sessions.pop(self._session_order.pop(0), None)
+        frames = None
+        if sess["frame_indices"] is None:        # first round: select once
+            frames, idx, n_frames = self._select_frames(
+                video_path, question, sample_num, method, window_size)
+            sess["frame_indices"] = [int(i) for i in idx]
+            sess["num_candidates"] = int(n_frames)
+            with self._feat_lock:
+                self.stats["frames_scored"] += n_frames
+        with self._device_lock:
+            answer = self.backbone.generate_multi_round(
+                frames, [*sess["turns"], (question, None)],
+                max_new_tokens=max_new_tokens, state=sess["state"])
+        sess["turns"].append((question, answer))
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            self.stats["session_rounds"] += 1
+        return {"answer": answer,
+                "frame_indices": sess["frame_indices"],
+                "num_candidates": sess["num_candidates"],
+                "session_id": session_id, "round": len(sess["turns"]),
+                "latency_s": round(time.perf_counter() - t0, 4)}
+
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
-               max_new_tokens: int | None = None) -> dict:
+               max_new_tokens: int | None = None,
+               session_id: str | None = None) -> dict:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
+        if session_id is not None:
+            if not hasattr(self.backbone, "new_conversation_state"):
+                raise ValueError("session_id needs a backbone with "
+                                 "conversation support (llava_video)")
+            return self._answer_session(
+                session_id=str(session_id), video_path=video_path,
+                question=question, sample_num=sample_num, method=method,
+                window_size=window_size, max_new_tokens=max_new_tokens,
+                t0=t0)
         sel, idx, n_frames = self._select_frames(video_path, question,
                                                  sample_num, method,
                                                  window_size)
@@ -498,12 +564,16 @@ class ScoringService:
     def answer_stream(self, *, video_path: str, question: str,
                       sample_num=None, method: str = "topk",
                       window_size=None, max_new_tokens: int | None = None,
-                      **_ignored):
+                      session_id: str | None = None, **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
         whole-answer fallback otherwise), then a ``done`` event with stats.
         The device lock wraps only device work, never socket writes."""
+        if session_id is not None:
+            # loud, not silently non-conversational (codebase rule)
+            raise ValueError("session_id is not supported with stream=true "
+                             "yet — use plain /v1/answer for sessions")
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
