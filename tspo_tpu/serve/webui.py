@@ -48,7 +48,13 @@ agent, then answers from the selected keyframes.</p>
 </select>
 <label>Frame budget</label>
 <input id="sample_num" type="number" value="64" min="1" max="512">
+<label style="font-weight:400">
+  <input id="chat" type="checkbox" style="width:auto"> keep conversation
+  (follow-up questions reuse the video + context via a server session)
+</label>
 <button id="go">Run</button>
+<button id="reset" style="display:none">New conversation</button>
+<div id="transcript"></div>
 <div id="out"></div>
 <script>
 async function health() {
@@ -62,6 +68,17 @@ async function health() {
   }
 }
 health(); setInterval(health, 5000);
+
+let sessionId = null;
+const resetBtn = document.getElementById('reset');
+const chatBox = document.getElementById('chat');
+chatBox.onchange = () => {
+  resetBtn.style.display = chatBox.checked ? '' : 'none';
+};
+resetBtn.onclick = () => {
+  sessionId = null;
+  document.getElementById('transcript').replaceChildren();
+};
 
 document.getElementById('go').onclick = async () => {
   const out = document.getElementById('out');
@@ -81,6 +98,27 @@ document.getElementById('go').onclick = async () => {
     sample_num: parseInt(document.getElementById('sample_num').value),
   };
   try {
+    if (mode === 'answer' && chatBox.checked) {
+      // conversation: plain /v1/answer with a session_id; turns accumulate
+      sessionId = sessionId ||
+        'web-' + Math.random().toString(36).slice(2);
+      const r = await fetch('/v1/answer', {
+        method: 'POST', headers: {'Content-Type': 'application/json'},
+        body: JSON.stringify({...body, session_id: sessionId})});
+      const j = await r.json();
+      if (!r.ok) { show([pre('error: ' + j.error)]); return; }
+      const t = document.getElementById('transcript');
+      const q = pre('Q' + j.round + ': ' + body.question);
+      const a = document.createElement('div');
+      a.className = 'answer';
+      a.textContent = j.answer;
+      t.append(q, a);
+      document.getElementById('question').value = '';
+      show([pre('round ' + j.round + ' · ' + j.latency_s + 's · frames [' +
+                j.frame_indices.slice(0, 8).join(', ') +
+                (j.frame_indices.length > 8 ? ', …]' : ']'))]);
+      return;
+    }
     if (mode === 'answer') {        // stream: text appears as it decodes
       const r = await fetch('/v1/answer', {
         method: 'POST', headers: {'Content-Type': 'application/json'},
