@@ -414,7 +414,9 @@ def test_multi_round_stateful_matches_stateless(jax_model):
     rng = np.random.default_rng(8)
     frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
                           dtype=np.uint8)
-    state = jax_model.new_conversation_state(headroom=64)
+    # default headroom: rounds 2-3 take the real chunked-extension path
+    # (small headrooms would silently reset + re-prefill instead)
+    state = jax_model.new_conversation_state()
     counts = {"n": 0}
     orig = jax_model.encode_video
     jax_model.encode_video = \
@@ -453,6 +455,35 @@ def test_multi_round_state_capacity_overflow_reprefills(jax_model):
                                          state=state)
     assert got == want
     assert state.cache.k.shape[2] > cap1
+
+
+def test_multi_round_state_recovers_from_midround_failure(jax_model):
+    """An exception during a stateful round (after the cache was donated
+    into device calls) must leave the state clean — the next round falls
+    back to a full re-prefill and still matches stateless."""
+    import tspo_tpu.models.qwen2 as q2
+    v = CFG.vision
+    rng = np.random.default_rng(10)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    state = jax_model.new_conversation_state(headroom=256)
+    a1 = jax_model.generate_multi_round(frames, [("What?", None)],
+                                        max_new_tokens=3, state=state)
+    turns = [("What?", a1), ("And then?", None)]
+    orig = q2.prefill_extend
+    q2.prefill_extend = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected"))
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            jax_model.generate_multi_round(frames, turns, max_new_tokens=3,
+                                           state=state)
+    finally:
+        q2.prefill_extend = orig
+    assert state.cache is None              # checked out, not dangling
+    want = jax_model.generate_multi_round(frames, turns, max_new_tokens=3)
+    got = jax_model.generate_multi_round(frames, turns, max_new_tokens=3,
+                                         state=state)
+    assert got == want
 
 
 def test_generate_speculative_matches_plain(jax_model):

@@ -73,6 +73,11 @@ def main(argv=None):
     backbone = (load_backbone(args.backbone, args.backbone_path,
                                speculative=args.speculative)
                 if args.backbone else None)
+    if args.continuous and args.speculative:
+        print("note: --continuous routes answers through the batched "
+              "engine, which does not speculate; --speculative still "
+              "applies to prompts that overflow the engine and fall back "
+              "to solo decode")
     service = ScoringService(scorer=scorer, backbone=backbone,
                              max_candidates=args.max_candidates,
                              batch_window_s=args.batch_window,

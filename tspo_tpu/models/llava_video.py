@@ -399,7 +399,12 @@ class LLaVAVideoModel:
             valid = jnp.zeros((1, Sb), bool).at[:, :S_sfx].set(True)
             first_tok, cache, _ = decode_prefill(lm, emb, valid, cache, cfg)
         else:
+            # check the cache OUT of the state before any donating call: an
+            # exception mid-round must leave the state holding None (clean
+            # full re-prefill next round), never donated-away buffers
             cache = KVCache(state.cache.k, state.cache.v, jnp.int32(L))
+            state.cache = None
+            state.ids, state.covered = [], 0
             first_tok = None
             off = 0
             while off < S_sfx:
