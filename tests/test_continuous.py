@@ -306,7 +306,8 @@ def test_service_sessions_reuse_conversation(tiny_video):
 
 def test_service_session_eviction_and_new_video(tiny_video):
     """LRU eviction (max_sessions=1) restarts an evicted session at round
-    1; reusing a session_id with a different video also restarts."""
+    1 AND marks the response restarted=True so clients know the context
+    was lost (never silently)."""
     bb = _tiny_llava()
     svc = _tiny_service(bb, max_sessions=1)
     r1 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
@@ -316,7 +317,60 @@ def test_service_session_eviction_and_new_video(tiny_video):
     r3 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
                     max_new_tokens=3, session_id="a")
     assert r1["round"] == 1 and r3["round"] == 1
+    assert "restarted" not in r1
+    assert r3["restarted"] is True
     assert r3["answer"] == r1["answer"]
+
+
+def test_service_session_failed_first_round_drops_session(tiny_video):
+    """A failed FIRST round must drop the session: a retry re-selects and
+    re-encodes the video instead of silently answering without it
+    (round-4 review finding)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    calls = {"n": 0}
+    orig = bb.generate_multi_round
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient device error")
+        return orig(*a, **kw)
+
+    bb.generate_multi_round = flaky
+    try:
+        with pytest.raises(RuntimeError, match="transient"):
+            svc.answer(video_path=tiny_video, question="What?",
+                       sample_num=4, max_new_tokens=3, session_id="s")
+        assert "s" not in svc._sessions
+        r = svc.answer(video_path=tiny_video, question="What?",
+                       sample_num=4, max_new_tokens=3, session_id="s")
+    finally:
+        del bb.generate_multi_round
+    assert r["round"] == 1 and r["answer"]
+    # the retry's conversation really carries the video
+    assert svc._sessions["s"]["state"].video_tokens.shape[0] > 0
+
+
+def test_service_engine_death_falls_back_to_solo(tiny_video):
+    """A dead engine must not 500 every later request: answers fall back
+    to the solo decode path (round-4 review finding)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=2, continuous_chunk=4,
+                        continuous_max_prompt=256,
+                        continuous_decode_slots=16)
+    try:
+        ok = svc.answer(video_path=tiny_video, question="What?",
+                        sample_num=4, max_new_tokens=3)
+        assert svc.stats["engine"] == 1
+        svc._engine.shutdown()               # simulate engine death
+        r = svc.answer(video_path=tiny_video, question="What?",
+                       sample_num=4, max_new_tokens=3)
+        assert r["answer"] == ok["answer"]
+        assert svc.stats["engine"] == 1      # second answer went solo
+        assert svc.stats["engine_fallback"] >= 1
+    finally:
+        svc._engine.shutdown()
 
 
 def test_qwen25vl_engine_matches_generate():

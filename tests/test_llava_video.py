@@ -457,7 +457,56 @@ def test_multi_round_state_capacity_overflow_reprefills(jax_model):
     assert state.cache.k.shape[2] > cap1
 
 
-def test_multi_round_state_recovers_from_midround_failure(jax_model):
+def test_multi_round_state_headroom_boundary_sweep(jax_model):
+    """Property: stateful == stateless at EVERY cache headroom, including
+    capacities just past the reuse boundary.  Regression for the
+    extension-pad clamp bug: chunks pad to a 64/256 bucket, and a
+    near-capacity cache let the pad writes silently clamp onto covered
+    prefix KV (dynamic_update_slice clamps instead of erroring) — wrong
+    answers with no exception.  The capacity check now budgets the pad
+    overhang, resetting to a full re-prefill instead."""
+    v = CFG.vision
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    for headroom in (0, 40, 72, 120, 200):
+        state = jax_model.new_conversation_state(headroom=headroom)
+        turns = []
+        for q in ("What?", "And then after that happens?"):
+            want = jax_model.generate_multi_round(
+                frames, [*turns, (q, None)], max_new_tokens=3)
+            got = jax_model.generate_multi_round(
+                frames, [*turns, (q, None)], max_new_tokens=3, state=state)
+            assert got == want, f"headroom={headroom!r} q={q!r}"
+            turns.append((q, want))
+
+
+def test_multi_round_state_clamps_max_new_like_stateless(jax_model):
+    """Near max_context the stateful path must truncate the generation
+    budget like generate() does, not raise (round-4 review finding)."""
+    import dataclasses
+    v = CFG.vision
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    # measure the prompt size, then shrink max_context to prompt + a few
+    state = jax_model.new_conversation_state()
+    jax_model.generate_multi_round(frames, [("What?", None)],
+                                   max_new_tokens=1, state=state)
+    prompt_e = state.covered - 1            # prompt embeds + 1 answer token
+    tight = dataclasses.replace(
+        jax_model, cfg=dataclasses.replace(jax_model.cfg,
+                                           max_context=prompt_e + 5))
+    s2 = tight.new_conversation_state()
+    got = tight.generate_multi_round(frames, [("What?", None)],
+                                     max_new_tokens=64, state=s2)
+    want = tight.generate(frames, "", max_new_tokens=64,
+                          prompt=__import__(
+                              "tspo_tpu.models.conversation",
+                              fromlist=["build_prompt_multi"]
+                          ).build_prompt_multi([("What?", None)],
+                                               tight.conv_template))
+    assert got == want                      # both truncated, both answer
     """An exception during a stateful round (after the cache was donated
     into device calls) must leave the state clean — the next round falls
     back to a full re-prefill and still matches stateless."""

@@ -369,15 +369,28 @@ class LLaVAVideoModel:
             return i + (n_vid - 1) if sent is not None and sent < i else i
 
         total_e = expand(len(ids))
+        # generation-budget clamp mirrors the stateless path
+        # (_prepare_generate): truncate max_new to the remaining context,
+        # refuse only a FULL prompt — not a merely-tight one
+        headroom = self.cfg.max_context - total_e
+        if headroom < 1:
+            raise ValueError(
+                f"conversation is {total_e} tokens but max_context="
+                f"{self.cfg.max_context}: no cache slot left to generate "
+                "into (fewer frames/rounds, or raise max_context)")
+        max_new = min(max_new, headroom)
         CH = 32                                    # decode chunk
-        need = total_e + (-(-max_new // CH)) * CH
+        if (-(-max_new // CH)) * CH > headroom:
+            CH = max_new       # near-full context: one exact-size chunk
+        # slack past total_e that device writes may touch: the decode
+        # chunks, AND the last extension chunk's pad overhang (chunks pad
+        # to EXT_PAD; writes past capacity would be silently CLAMPED by
+        # dynamic_update_slice onto valid prefix KV — corruption, not error)
+        EXT_PAD = 256
+        n_dec = (-(-max_new // CH)) * CH
+        need = total_e + max(n_dec, EXT_PAD)
         if state.cache is not None and need > state.cache.k.shape[2]:
             state.reset()         # conversation outgrew the cache
-        if need > self.cfg.max_context:
-            raise ValueError(
-                f"conversation needs {need} tokens but max_context="
-                f"{self.cfg.max_context} (fewer frames/rounds, or raise "
-                "max_context)")
         c = 0
         for a, b in zip(ids, state.ids):
             if a != b:

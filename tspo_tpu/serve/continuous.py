@@ -72,6 +72,14 @@ def _slotted_forward(params, emb, k, v, write_pos, attn_valid, cos, sin, cfg):
     [B, 1, hd].  Mirrors qwen2_forward's dense decode path except the
     ``dynamic_update_slice`` at a shared scalar position becomes a batched
     scatter at ``write_pos`` — the one change continuous batching needs.
+
+    MAINTENANCE NOTE: this intentionally forks qwen2_forward's block body
+    (its validity model — per-row progress masks instead of a global cache
+    length — doesn't fit the shared signature).  Divergence is guarded by
+    the bit-exactness tests in tests/test_continuous.py, which compare
+    every engine output against greedy_decode (i.e. against qwen2_forward);
+    a semantic change to the solo path that this fork misses fails those
+    tests, not production.
     """
     B = emb.shape[0]
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -149,14 +157,14 @@ def decode_chunk_slots(params, tok, k, v, own_step, pos0, prompt_valid,
 
 
 @jax.jit
-def _insert_row(k, v, row_k, row_v, slot):
-    """Copy an admission prefill's KV ([L, 1, Sb, KV, hd]) into slot ``slot``
-    of the engine cache's prompt region.  Not donated: the engine snapshots
-    pre-insert buffers so a failed admission can't strand the cache."""
-    k = jax.lax.dynamic_update_slice(k, row_k.astype(k.dtype),
-                                     (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(v, row_v.astype(v.dtype),
-                                     (0, slot, 0, 0, 0))
+def _insert_rows(k, v, row_k, row_v, slots):
+    """Copy a batched admission prefill's KV ([L, kB, Sb, KV, hd]) into the
+    engine-cache rows given by ``slots`` [kB] — ONE scatter per admission
+    group (a per-row loop would copy the multi-GB cache once per row).
+    Not donated: a failed admission must not strand the live cache."""
+    Sb = row_k.shape[2]
+    k = k.at[:, slots, :Sb].set(row_k.astype(k.dtype))
+    v = v.at[:, slots, :Sb].set(row_v.astype(v.dtype))
     return k, v
 
 
@@ -412,12 +420,9 @@ class ContinuousEngine:
             first_tok, row, pos0 = decode_prefill(
                 self.params, emb, jnp.asarray(valids), row, self.cfg,
                 prompt_rope_cos_sin=rope, decode_pos_start=pos_override)
-            for i, b in enumerate(slots):
-                self._k, self._v = _insert_row(
-                    self._k, self._v,
-                    jax.lax.dynamic_slice_in_dim(row.k, i, 1, axis=1),
-                    jax.lax.dynamic_slice_in_dim(row.v, i, 1, axis=1),
-                    jnp.int32(b))
+            self._k, self._v = _insert_rows(
+                self._k, self._v, row.k, row.v,
+                jnp.asarray(slots, jnp.int32))
             first = np.asarray(first_tok)
             p0 = np.asarray(pos0)
         for i, (b, req) in enumerate(zip(slots, reqs)):

@@ -92,6 +92,7 @@ class ScoringService:
         # arrays are safe — entries are immutable once inserted)
         self._sessions = {}          # session_id -> dict (LRU, _feat_lock)
         self._session_order = []
+        self._session_seen = set()   # ids ever created (eviction signal)
         self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
                       "feature_cache_hits": 0, "engine": 0,
                       "engine_fallback": 0, "session_rounds": 0}
@@ -387,11 +388,35 @@ class ScoringService:
 
     # -- continuous batching path (serve/continuous.py) ---------------------
 
+    def _engine_usable(self) -> bool:
+        """False once the engine worker died or stopped — requests then
+        fall back to the solo decode path instead of 500ing forever (the
+        chip and the non-engine generate path still work)."""
+        return (self._engine is not None and self._engine._dead is None
+                and not self._engine._stop)
+
     def _engine_submit(self, frames, question, max_new, stream_cb=None):
         """Submit one request to the continuous engine.  Returns the
-        EngineRequest, or None when the prompt exceeds the engine's prompt
-        region (the caller then falls back to the solo decode path).
-        Prompt assembly (vision encode + splice) is device work — locked."""
+        EngineRequest, or None when the request can't ride the engine
+        (prompt too long, engine dead) — the caller then falls back to the
+        solo decode path.  Prompt assembly (vision encode + splice) is
+        device work — locked."""
+        if not self._engine_usable():
+            with self._feat_lock:
+                self.stats["engine_fallback"] += 1
+            return None
+        # cheap pre-check before paying the vision encode: backbones that
+        # expose tokens_per_frame let us bound the prompt without running
+        # the tower (the post-prepare check below stays as the exact guard)
+        tpf = getattr(self.backbone.cfg, "tokens_per_frame", None)
+        if tpf and frames is not None and len(frames) and \
+                self.backbone.encode is not None:
+            est = (len(frames) * (tpf + 16)
+                   + len(self.backbone.encode(question)) + 128)
+            if est > self._engine.S_max:
+                with self._feat_lock:
+                    self.stats["engine_fallback"] += 1
+                return None
         with self._device_lock:
             kw = self.backbone.prepare_engine_request(frames, question,
                                                       max_new)
@@ -400,13 +425,27 @@ class ScoringService:
                 self.stats["engine_fallback"] += 1
             return None
         embeds = kw.pop("embeds")
-        return self._engine.submit(embeds, stream_cb=stream_cb, **kw)
+        try:
+            return self._engine.submit(embeds, stream_cb=stream_cb, **kw)
+        except RuntimeError:         # engine died between check and submit
+            with self._feat_lock:
+                self.stats["engine_fallback"] += 1
+            return None
 
     def _engine_answer(self, frames, question, max_new) -> str | None:
         req = self._engine_submit(frames, question, max_new)
         if req is None:
             return None
-        toks = req.result()
+        try:
+            toks = req.result()
+        except Exception:
+            if not self._engine_usable():
+                # the engine died with this request in flight — the solo
+                # path still works; fall back instead of surfacing a 500
+                with self._feat_lock:
+                    self.stats["engine_fallback"] += 1
+                return None
+            raise
         with self._feat_lock:
             self.stats["engine"] += 1
         return self.backbone.decode(toks)
@@ -487,15 +526,23 @@ class ScoringService:
         are selected ONCE per session, conditioned on the FIRST question
         (the conversation sees one fixed video splice, matching
         generate_multi_round semantics)."""
+        restarted = False
         with self._feat_lock:
             sess = self._sessions.get(session_id)
             if sess is not None and sess["video_path"] != video_path:
                 sess = None                      # new video = new session
             if sess is None:
+                # a previously-known id means the session was evicted (LRU)
+                # or rebound — surface it so clients know context was lost
+                restarted = session_id in self._session_seen
                 sess = {"video_path": video_path, "turns": [],
                         "state": self.backbone.new_conversation_state(),
-                        "frame_indices": None, "num_candidates": 0}
+                        "frame_indices": None, "num_candidates": 0,
+                        "lock": threading.Lock()}
                 self._sessions[session_id] = sess
+                self._session_seen.add(session_id)
+                if len(self._session_seen) > 4096:   # bounded tombstones
+                    self._session_seen.clear()
                 if session_id in self._session_order:
                     self._session_order.remove(session_id)
             else:
@@ -503,27 +550,45 @@ class ScoringService:
             self._session_order.append(session_id)
             while len(self._session_order) > self.max_sessions:
                 self._sessions.pop(self._session_order.pop(0), None)
-        frames = None
-        if sess["frame_indices"] is None:        # first round: select once
-            frames, idx, n_frames = self._select_frames(
-                video_path, question, sample_num, method, window_size)
-            sess["frame_indices"] = [int(i) for i in idx]
-            sess["num_candidates"] = int(n_frames)
-            with self._feat_lock:
-                self.stats["frames_scored"] += n_frames
-        with self._device_lock:
-            answer = self.backbone.generate_multi_round(
-                frames, [*sess["turns"], (question, None)],
-                max_new_tokens=max_new_tokens, state=sess["state"])
-        sess["turns"].append((question, answer))
+        with sess["lock"]:        # concurrent rounds on one session serialize
+            frames = None
+            if sess["frame_indices"] is None:    # first round: select once
+                frames, idx, n_frames = self._select_frames(
+                    video_path, question, sample_num, method, window_size)
+            try:
+                with self._device_lock:
+                    answer = self.backbone.generate_multi_round(
+                        frames, [*sess["turns"], (question, None)],
+                        max_new_tokens=max_new_tokens, state=sess["state"])
+            except Exception:
+                if not sess["turns"]:
+                    # a failed FIRST round must not strand a session whose
+                    # video never made it into the state (a retry would
+                    # silently answer without the video) — drop it entirely
+                    with self._feat_lock:
+                        self._sessions.pop(session_id, None)
+                        if session_id in self._session_order:
+                            self._session_order.remove(session_id)
+                raise
+            # commit only after success
+            if frames is not None:
+                sess["frame_indices"] = [int(i) for i in idx]
+                sess["num_candidates"] = int(n_frames)
+                with self._feat_lock:
+                    self.stats["frames_scored"] += n_frames
+            sess["turns"].append((question, answer))
+            n_round = len(sess["turns"])
         with self._feat_lock:
             self.stats["requests"] += 1
             self.stats["session_rounds"] += 1
-        return {"answer": answer,
-                "frame_indices": sess["frame_indices"],
-                "num_candidates": sess["num_candidates"],
-                "session_id": session_id, "round": len(sess["turns"]),
-                "latency_s": round(time.perf_counter() - t0, 4)}
+        out = {"answer": answer,
+               "frame_indices": sess["frame_indices"],
+               "num_candidates": sess["num_candidates"],
+               "session_id": session_id, "round": n_round,
+               "latency_s": round(time.perf_counter() - t0, 4)}
+        if restarted:
+            out["restarted"] = True       # prior context was evicted/rebound
+        return out
 
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
