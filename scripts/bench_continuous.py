@@ -22,6 +22,11 @@ makespan, and aggregate decoded tok/s.
 
 Run detached on the chip: nohup python scripts/bench_continuous.py &
 CPU smoke: python scripts/bench_continuous.py --tiny
+
+IMPORTANT on 1-core dev hosts: the disciplines are host-loop-driven
+(arrival sleeps, per-chunk dispatch), so ANY concurrent CPU work skews the
+comparison — continuous suffers most (it pays host work every chunk).
+Run with an idle host; a contended run measured 3-6x inflated latencies.
 """
 
 from __future__ import annotations
@@ -129,12 +134,13 @@ def run_window(params, cfg, reqs, prompt, max_batch=4):
     return lat, lat, toks, time.perf_counter() - t0
 
 
-def run_continuous(params, cfg, reqs, prompt, slots, chunk):
+def run_continuous(params, cfg, reqs, prompt, slots, chunk,
+                   prefill_chunk=0):
     from tspo_tpu.serve.continuous import ContinuousEngine
     eng = ContinuousEngine(params, cfg, slots=slots, chunk=chunk,
                            max_prompt=prompt, decode_slots=max(CAPS) + chunk,
                            prompt_bucket=prompt, dtype=jnp.bfloat16,
-                           eos_token_id=-1)
+                           eos_token_id=-1, prefill_chunk=prefill_chunk)
     lat, ttft, toks = [], [], 0
     t0 = time.perf_counter()
     handles = []
@@ -256,6 +262,27 @@ def main():
                              "makespan_s": round(wall, 2),
                              "engine_stats": stats}
     print(json.dumps({"continuous": results["continuous"]}), flush=True)
+
+    # chunked admission: bounded decode stalls while a new prompt prefills
+    pfc = 2048 if not tiny else 16
+    from tspo_tpu.models.qwen2 import prefill_extend
+    Wb = -(-prompt // pfc) * pfc
+    row = KVCache.create(cfg, 1, Wb, jnp.bfloat16)
+    for off in range(0, prompt, pfc):          # warm the chunk programs
+        real = min(pfc, prompt - off)
+        t, row = prefill_extend(params, reqs[0]["emb"][:, :pfc],
+                                jnp.int32(real), row, cfg)
+        np.asarray(t)
+    lat, ttft, toks, wall, stats = run_continuous(
+        params, cfg, [dict(r) for r in reqs], prompt, slots, chunk,
+        prefill_chunk=pfc)
+    results["continuous_chunked_prefill"] = {
+        "latency_s": _lat_stats(lat), "ttft_s": _lat_stats(ttft),
+        "tok_s": round(toks / wall, 1), "makespan_s": round(wall, 2),
+        "engine_stats": stats}
+    print(json.dumps(
+        {"continuous_chunked_prefill":
+         results["continuous_chunked_prefill"]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -398,6 +398,33 @@ def test_qwen25vl_engine_matches_generate():
     assert got == want
 
 
+def test_chunked_admission_matches_solo(params):
+    """prefill_chunk > 0: a solo admission arriving while rows decode
+    prefills in pieces interleaved with decode chunks.  Outputs stay
+    solo-exact, and at least one admission actually took the chunked path
+    (slot frees mid-flight -> solo admission with active rows)."""
+    rng = np.random.default_rng(5)
+    reqs = []
+    lock = threading.Lock()
+    eng = _engine(params, slots=2, chunk=3, device_lock=lock,
+                  prefill_chunk=16)
+    try:
+        with lock:
+            for i in range(6):
+                ids = rng.integers(0, CFG.vocab_size - 1,
+                                   size=rng.integers(18, S_MAX)).tolist()
+                max_new = int(rng.integers(6, 16))
+                want = _solo(params, ids, max_new)
+                h = eng.submit(_embeds(params, ids), max_new_tokens=max_new)
+                reqs.append((want, h))
+        for i, (want, h) in enumerate(reqs):
+            assert h.result(timeout=120) == want, f"request {i} diverged"
+        assert eng.stats["admitted"] == 6
+        assert eng.stats["chunked_admissions"] >= 1
+    finally:
+        eng.shutdown()
+
+
 def test_batched_admission_groups_and_stays_exact(params):
     """Queued standard-rope requests prefill as ONE ragged batch (the
     window micro-batcher's prefill amortization, kept under continuous

@@ -82,3 +82,26 @@ def test_pallas_bf16_inputs():
     cos = (want.ravel() @ got.ravel()) / (
         np.linalg.norm(want) * np.linalg.norm(got) + 1e-9)
     assert cos > 0.999
+
+
+def test_pallas_q_offset_suffix_prefill():
+    """q rows placed at key positions [off, off + Sq) over a longer key
+    window — the suffix-prefill form (conversation extension, chunked
+    engine admission).  Reference: full-sequence causal attention sliced
+    at those rows."""
+    B, T, Sq, H, KV, hd = 2, 96, 32, 4, 2, 16
+    off = 40                 # 40-token real prefix, then the 32 new rows
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, KV, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, KV, hd)), jnp.float32)
+    valid = jnp.asarray(np.arange(T)[None, :] < off + Sq).repeat(B, 0)
+    k_rep = jnp.repeat(k, H // KV, axis=2)
+    v_rep = jnp.repeat(v, H // KV, axis=2)
+    want = flash_attention(q, k_rep, v_rep, valid,
+                           causal=True)[:, off:off + Sq]
+    got = pallas_flash_attention(q[:, off:off + Sq], k, v, valid,
+                                 causal=True, blk_q=16, blk_k=32,
+                                 interpret=True, q_offset=off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

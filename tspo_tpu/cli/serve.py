@@ -46,6 +46,12 @@ def build_parser():
     p.add_argument("--continuous-decode-slots", type=int, default=512,
                    help="engine decode-region size = max tokens one request "
                         "may generate")
+    p.add_argument("--continuous-prefill-chunk", type=int, default=0,
+                   help="chunked admission: solo prompts arriving while "
+                        "rows decode prefill in pieces of this many tokens "
+                        "between decode chunks (0 = whole-prompt prefill); "
+                        "must tile with --continuous-max-prompt's 256 "
+                        "bucket, e.g. 2048")
     p.add_argument("--max-sessions", type=int, default=4,
                    help="LRU cap on /v1/answer chat sessions (session_id "
                         "conversations; each holds one prefix-KV cache, "
@@ -87,7 +93,8 @@ def main(argv=None):
                              continuous_slots=args.continuous,
                              continuous_chunk=args.continuous_chunk,
                              continuous_max_prompt=args.continuous_max_prompt,
-                             continuous_decode_slots=args.continuous_decode_slots)
+                             continuous_decode_slots=args.continuous_decode_slots,
+                             continuous_prefill_chunk=args.continuous_prefill_chunk)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")
         service.warmup()

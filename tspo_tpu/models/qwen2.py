@@ -263,7 +263,8 @@ def _attention(q, k, v, mask_bias):
 def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                   positions: jnp.ndarray, attn_valid: jnp.ndarray,
                   cfg: Qwen2Config, rope_cos_sin: tuple | None = None,
-                  flash_threshold: int = 512, flash_impl: str = "auto"):
+                  flash_threshold: int = 512, flash_impl: str = "auto",
+                  flash_q_offset=None):
     """Run the decoder over ``embeds`` [B, S, D] appended after the cache.
 
     positions:  [S] rope positions of the new tokens.
@@ -282,6 +283,11 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
     pallas_call has no differentiation rule); "jax" pins the pure-JAX
     online-softmax flash, which autodiff handles — training losses that may
     cross flash_threshold (SFT/DPO length buckets >= 512) must use it.
+    ``flash_q_offset``: traced scalar placing the S new rows at key
+    positions [offset, offset + S) over the FULL cache window (suffix
+    prefill after an existing prefix — conversation extension, chunked
+    admission).  None = the ordinary start-of-cache prefill, which attends
+    only the first S cache slots.  Pallas-path only.
     """
     B, S, D = embeds.shape
     T = cache.k.shape[2]
@@ -347,11 +353,24 @@ def qwen2_forward(params: Mapping, embeds: jnp.ndarray, cache: KVCache,
                 # P=3200 rollout shape (368 vs 2271 ms/28 layers,
                 # docs/KERNELS.md)
                 from ..ops.pallas_attention import pallas_flash_attention
-                ctx = pallas_flash_attention(
-                    q, k_l[:, :S], v_l[:, :S], attn_valid[:, :S],
-                    causal=True, blk_q=1024, blk_k=1024,
-                    window=cfg.sliding_window).reshape(B, S, D)
+                if flash_q_offset is not None:
+                    # suffix prefill: keys are the whole cache window (the
+                    # prefix below ``start`` + this block), q rows offset
+                    ctx = pallas_flash_attention(
+                        q, k_l, v_l, attn_valid,
+                        causal=True, blk_q=1024, blk_k=1024,
+                        window=cfg.sliding_window,
+                        q_offset=flash_q_offset).reshape(B, S, D)
+                else:
+                    ctx = pallas_flash_attention(
+                        q, k_l[:, :S], v_l[:, :S], attn_valid[:, :S],
+                        causal=True, blk_q=1024, blk_k=1024,
+                        window=cfg.sliding_window).reshape(B, S, D)
             else:
+                if flash_q_offset is not None:
+                    raise NotImplementedError(
+                        "flash_q_offset needs the Pallas path; callers pin "
+                        "flash_threshold high off-TPU (prefill_extend)")
                 from ..ops.flash_attention import flash_attention
                 G = H // KV
                 k_rep = jnp.repeat(k_l[:, :S], G, axis=2)  # [B, S, H, hd]
@@ -529,27 +548,31 @@ def decode_chunk(params, tok, cache: KVCache, pos0, i0, prompt_valid, done,
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def prefill_extend(params, embeds, valid_len, cache: KVCache,
-                   cfg: Qwen2Config):
+                   cfg: Qwen2Config, rope_cos_sin: tuple | None = None):
     """Append a prompt-suffix chunk after an already-prefilled cache — the
-    incremental half of conversation prefix reuse (multi-round chat re-sends
-    the full history; only the new turn's tokens need a forward pass).
+    incremental half of conversation prefix reuse and of chunked engine
+    admission (only the new tokens need a forward pass).
 
     embeds [1, S, D] right-padded, first ``valid_len`` real; appended at
     [cache.length, cache.length + S) with rope positions continuing from
-    cache.length.  The cache below cache.length must be hole-free (every
-    slot real).  Pads are masked as keys and their garbage K/V slots are
-    reclaimed by the caller rewinding cache.length to
-    ``cache.length + valid_len`` (the next append overwrites them).
-    Always dense attention (the flash path assumes start == 0), so keep
-    chunks under ~512 tokens.  Returns (last_tok [B], cache) where last_tok
-    is the greedy next token after the final REAL suffix position."""
+    cache.length (or from ``rope_cos_sin`` tables for mrope prompts).  The
+    cache below cache.length must be hole-free (every slot real).  Pads are
+    masked as keys and their garbage K/V slots are reclaimed by the caller
+    rewinding cache.length to ``cache.length + valid_len`` (the next append
+    overwrites them).  Attention: the Pallas suffix flash (q_offset) on
+    TPU for blocks >= 512; dense otherwise (the pure-JAX flash has no
+    offset form).  Returns (last_tok [B], cache) where last_tok is the
+    greedy next token after the final REAL suffix position."""
     B, S, _ = embeds.shape
     T = cache.k.shape[2]
     start = cache.length
     attn_valid = jnp.arange(T)[None, :] < start + valid_len
+    tpu = jax.default_backend() == "tpu"
     hidden, cache = qwen2_forward(params, embeds, cache,
                                   start + jnp.arange(S), attn_valid, cfg,
-                                  flash_threshold=10**9)
+                                  rope_cos_sin=rope_cos_sin,
+                                  flash_threshold=512 if tpu else 10**9,
+                                  flash_q_offset=start if tpu else None)
     last = hidden[jnp.arange(B), valid_len - 1]
     tok = jnp.argmax(lm_logits(params, last, cfg), axis=-1).astype(jnp.int32)
     return tok, cache

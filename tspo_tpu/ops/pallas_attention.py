@@ -43,8 +43,8 @@ _NEG = -1e30
 _LANES = 128
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            scale: float, causal: bool, blk_q: int, blk_k: int,
+def _kernel(len_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+            acc_scr, *, scale: float, causal: bool, blk_q: int, blk_k: int,
             window: int | None):
     ki = pl.program_id(3)
     qi = pl.program_id(2)                 # bound at top level: the CPU
@@ -58,12 +58,17 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     n_valid = len_ref[bi]                 # SMEM, indexed by the grid's b axis
+    q_off = qoff_ref[0]                   # q rows sit at key positions
+    #                                       [q_off, q_off + Sq) — suffix
+    #                                       prefill over an existing cache
     live = ki * blk_k < n_valid           # block has at least one valid key
     if causal:                            # ...and is not above the diagonal
-        live = jnp.logical_and(live, ki * blk_k <= (qi + 1) * blk_q - 1)
+        live = jnp.logical_and(
+            live, ki * blk_k <= q_off + (qi + 1) * blk_q - 1)
     if window is not None:                # ...and not wholly past the window
         live = jnp.logical_and(
-            live, qi * blk_q - (ki * blk_k + blk_k - 1) < window)
+            live,
+            q_off + qi * blk_q - (ki * blk_k + blk_k - 1) < window)
 
     @pl.when(live)
     def _():
@@ -75,7 +80,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         k_pos = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = k_pos < n_valid
         if causal or window is not None:
-            q_pos = qi * blk_q + \
+            q_pos = q_off + qi * blk_q + \
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             if causal:
                 mask = mask & (q_pos >= k_pos)
@@ -104,7 +109,8 @@ def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            valid_k: jnp.ndarray | None = None,
                            causal: bool = False, blk_q: int = 512,
                            blk_k: int = 512, interpret: bool = False,
-                           window: int | None = None) -> jnp.ndarray:
+                           window: int | None = None,
+                           q_offset=0) -> jnp.ndarray:
     """q [B, Sq, H, hd], k/v [B, Sk, KV, hd] -> [B, Sq, H, hd].
 
     ``KV`` may divide ``H`` (grouped-query attention): head h attends to kv
@@ -112,7 +118,10 @@ def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     [B, Sk] bool must be a contiguous True prefix (right-padded sequences) —
     only its per-row count enters the kernel.  ``window`` restricts keys to
     q_pos - k_pos < window (Mistral sliding-window), with whole dead blocks
-    skipped like the causal triangle.
+    skipped like the causal triangle.  ``q_offset`` (traced scalar) places
+    the q rows at key positions [q_offset, q_offset + Sq) — suffix prefill
+    appended after an existing cache (conversation extension, chunked
+    admission); 0 is the ordinary full-prompt case.
     """
     B, Sq, H, hd = q.shape
     Sk = k.shape[1]
@@ -145,6 +154,8 @@ def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             # sub-blocks whose dims neither tile nor equal the array)
             pl.BlockSpec((B,), lambda b, h, qi, ki: (0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, h, qi, ki: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, blk_q, hd), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, blk_k, hd),
                          lambda b, h, qi, ki, g=group: (b, h // g, ki, 0)),
@@ -160,5 +171,5 @@ def pallas_flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((blk_q, hd), jnp.float32),       # output accumulator
         ],
         interpret=interpret,
-    )(lengths, qt, kt, vt)
+    )(lengths, jnp.asarray(q_offset, jnp.int32).reshape(1), qt, kt, vt)
     return out.transpose(0, 2, 1, 3)[:, :Sq]

@@ -54,7 +54,7 @@ import numpy as np
 
 from ..models.qwen2 import (KVCache, Qwen2Config, _apply_rope, _attention,
                             _linear, _rms_norm, _rope, decode_prefill,
-                            embed_tokens, lm_logits)
+                            embed_tokens, lm_logits, prefill_extend)
 
 __all__ = ["ContinuousEngine", "EngineRequest"]
 
@@ -238,13 +238,19 @@ class ContinuousEngine:
                  chunk: int = 8, max_prompt: int = 1024,
                  decode_slots: int = 128, prompt_bucket: int = 256,
                  dtype=jnp.bfloat16, eos_token_id: int | None = None,
-                 device_lock: threading.Lock | None = None):
+                 device_lock: threading.Lock | None = None,
+                 prefill_chunk: int = 0):
         if cfg.sliding_window is not None:
             raise ValueError("ContinuousEngine supports sliding_window=None "
                              "configs (Qwen2/Llama3); got a windowed config")
         if decode_slots < chunk:
             raise ValueError(f"decode_slots ({decode_slots}) must be >= "
                              f"chunk ({chunk})")
+        if prefill_chunk and prefill_chunk % prompt_bucket and \
+                prompt_bucket % prefill_chunk:
+            raise ValueError("prefill_chunk must divide (or be a multiple "
+                             "of) prompt_bucket so chunk slices tile the "
+                             "padded prompt")
         self.params = lm_params
         self.cfg = cfg
         self.slots = int(slots)
@@ -252,6 +258,13 @@ class ContinuousEngine:
         self.S_max = int(max_prompt)
         self.D = int(decode_slots)
         self.bucket = int(prompt_bucket)
+        # >0: a SOLO admission arriving while rows are decoding prefills in
+        # ``prefill_chunk``-token pieces interleaved with decode chunks, so
+        # active requests stall at most one piece (not a whole 12k-token
+        # prefill).  Groups and idle-engine admissions stay unchunked (the
+        # batched/uninterrupted prefill is cheaper when nothing is waiting).
+        self.prefill_chunk = int(prefill_chunk)
+        self._pending: dict | None = None
         self.dtype = dtype
         self.eos = int(cfg.eos_token_id if eos_token_id is None
                        else eos_token_id)
@@ -275,7 +288,8 @@ class ContinuousEngine:
         self._stop = False
         self._dead: Exception | None = None
         self.stats = {"completed": 0, "chunks": 0, "admitted": 0,
-                      "admit_batches": 0, "peak_active": 0}
+                      "admit_batches": 0, "chunked_admissions": 0,
+                      "peak_active": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tspo-continuous-engine")
         self._thread.start()
@@ -332,12 +346,19 @@ class ContinuousEngine:
     def _loop(self):
         try:
             while not self._stop:
-                self._admit()
-                if self.n_active == 0:
+                if self._pending is not None:
+                    try:
+                        self._prefill_step()
+                    except Exception as exc:  # noqa: BLE001 — that request
+                        p, self._pending = self._pending, None
+                        p["req"]._finish(error=exc)
+                else:
+                    self._admit()
+                if self.n_active:
+                    self._step_chunk()
+                elif self._pending is None:
                     self._wake.wait(timeout=0.1)
                     self._wake.clear()
-                    continue
-                self._step_chunk()
         except Exception as exc:  # noqa: BLE001 — deliver, don't hang waiters
             with self._lock:
                 self._dead = exc
@@ -348,6 +369,9 @@ class ContinuousEngine:
             with self._lock:
                 pending = list(self._queue)
                 self._queue.clear()
+            if self._pending is not None:
+                pending.append(self._pending["req"])
+                self._pending = None
             for req in pending + [r for r in self._req if r is not None]:
                 req._finish(error=err)
             self._req = [None] * self.slots
@@ -381,6 +405,10 @@ class ContinuousEngine:
             if not reqs:
                 return
             try:
+                if (len(reqs) == 1 and self.prefill_chunk > 0
+                        and self.n_active > 0
+                        and self._setup_pending(targets[0], reqs[0])):
+                    return          # prefills piecewise between decode chunks
                 self._admit_group(targets[: len(reqs)], reqs)
             except Exception as exc:  # noqa: BLE001 — bad request(s) only
                 for r in reqs:
@@ -389,6 +417,76 @@ class ContinuousEngine:
             self.stats["admitted"] += len(reqs)
             self.stats["peak_active"] = max(self.stats["peak_active"],
                                             self.n_active)
+
+    def _setup_pending(self, b: int, req: EngineRequest) -> bool:
+        """Stage a chunked admission for slot ``b``: the prompt prefills in
+        ``prefill_chunk``-token pieces between decode chunks (_prefill_step)
+        so active rows stall at most one piece.  Returns False when the
+        request can't chunk (non-contiguous validity) — the caller admits
+        it unchunked instead."""
+        S = int(req.embeds.shape[1])
+        nv = int(np.asarray(req.valid).sum())
+        if not bool(np.asarray(req.valid)[:nv].all()):
+            return False            # non-prefix validity: unchunked path
+        Sb = min(self.S_max, -(-S // self.bucket) * self.bucket)
+        W = min(self.prefill_chunk, Sb)
+        Wb = -(-Sb // W) * W        # row capacity: pad writes never clamp
+        emb = jnp.pad(req.embeds.astype(self.dtype),
+                      ((0, 0), (0, Wb - S), (0, 0)))
+        rope = req.rope_cos_sin
+        if rope is not None:
+            cos, sin = rope
+            rope = (jnp.pad(cos, ((0, Wb - S), (0, 0))),
+                    jnp.pad(sin, ((0, Wb - S), (0, 0))))
+        self._pending = {
+            "req": req, "slot": b, "emb": emb, "rope": rope,
+            "valid_n": nv, "off": 0, "W": W, "Sb": Sb,
+            "cache": KVCache.create(self.cfg, 1, Wb, self.dtype),
+            "tok": None,
+        }
+        return True
+
+    def _prefill_step(self):
+        """One admission-prefill piece; finalizes the admission (row insert
+        + host state) when the last real token has been prefilled."""
+        p = self._pending
+        W, off = p["W"], p["off"]
+        chunk = jax.lax.slice_in_dim(p["emb"], off, off + W, axis=1)
+        real = min(W, p["valid_n"] - off)
+        rope = p["rope"]
+        if rope is not None:
+            rope = (jax.lax.slice_in_dim(rope[0], off, off + W, axis=0),
+                    jax.lax.slice_in_dim(rope[1], off, off + W, axis=0))
+        with self._device_lock:
+            tok, cache = prefill_extend(self.params, chunk, jnp.int32(real),
+                                        p["cache"], self.cfg,
+                                        rope_cos_sin=rope)
+        p["cache"] = cache
+        p["tok"] = tok
+        p["off"] = off + W
+        if p["off"] < p["valid_n"]:
+            return
+        # finalize
+        req, b, Sb = p["req"], p["slot"], p["Sb"]
+        with self._device_lock:
+            self._k, self._v = _insert_rows(
+                self._k, self._v,
+                p["cache"].k[:, :, :Sb], p["cache"].v[:, :, :Sb],
+                jnp.asarray([b], jnp.int32))
+            first = int(np.asarray(p["tok"])[0])
+        self._tok[b] = first
+        self._pos0[b] = (p["valid_n"] if req.pos0_override is None
+                         else int(req.pos0_override))
+        self._own[b] = 0
+        self._done[b] = False
+        self._pv[b] = False
+        self._pv[b, :p["valid_n"]] = True
+        self._req[b] = req
+        self._pending = None
+        self.stats["admitted"] += 1
+        self.stats["chunked_admissions"] += 1
+        self.stats["peak_active"] = max(self.stats["peak_active"],
+                                        self.n_active)
 
     def _admit_group(self, slots: list[int], reqs: list[EngineRequest]):
         """Prefill ``reqs`` as one ragged batch (right-padded to the group's

@@ -57,6 +57,9 @@ class ScoringService:
     continuous_chunk: int = 8
     continuous_max_prompt: int = 13312     # 64-frame LLaVA prompt + text
     continuous_decode_slots: int = 512
+    # >0: engine admissions arriving while rows decode prefill in pieces of
+    # this many tokens interleaved with decode chunks (bounded stalls)
+    continuous_prefill_chunk: int = 0
     # chat sessions: /v1/answer with "session_id" keeps a per-session
     # conversation (turn history + prefix-KV ConversationState) so
     # follow-up questions about the same video prefill only the new turn.
@@ -81,6 +84,7 @@ class ScoringService:
                 slots=self.continuous_slots, chunk=self.continuous_chunk,
                 max_prompt=self.continuous_max_prompt,
                 decode_slots=self.continuous_decode_slots,
+                prefill_chunk=self.continuous_prefill_chunk,
                 dtype=self.backbone.params["lm"]["embedding"].dtype,
                 device_lock=self._device_lock)
         self._batch_lock = threading.Lock()
