@@ -50,8 +50,7 @@ def build_parser():
                    help="chunked admission: solo prompts arriving while "
                         "rows decode prefill in pieces of this many tokens "
                         "between decode chunks (0 = whole-prompt prefill); "
-                        "must tile with --continuous-max-prompt's 256 "
-                        "bucket, e.g. 2048")
+                        "e.g. 2048")
     p.add_argument("--max-sessions", type=int, default=4,
                    help="LRU cap on /v1/answer chat sessions (session_id "
                         "conversations; each holds one prefix-KV cache, "

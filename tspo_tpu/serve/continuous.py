@@ -246,11 +246,8 @@ class ContinuousEngine:
         if decode_slots < chunk:
             raise ValueError(f"decode_slots ({decode_slots}) must be >= "
                              f"chunk ({chunk})")
-        if prefill_chunk and prefill_chunk % prompt_bucket and \
-                prompt_bucket % prefill_chunk:
-            raise ValueError("prefill_chunk must divide (or be a multiple "
-                             "of) prompt_bucket so chunk slices tile the "
-                             "padded prompt")
+        # (any prefill_chunk tiles: _setup_pending pads the prompt to a
+        # whole number of chunks, Wb = ceil(Sb/W)*W)
         self.params = lm_params
         self.cfg = cfg
         self.slots = int(slots)
