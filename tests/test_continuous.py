@@ -478,3 +478,81 @@ def test_shutdown_fails_waiters_and_rejects_submits(params):
         pass
     with pytest.raises(RuntimeError, match="shut down|dead"):
         eng.submit(_embeds(params, list(range(4))), max_new_tokens=2)
+
+
+def test_service_session_stream_rounds(tiny_video):
+    """Streaming chat sessions: /v1/answer(stream) with session_id yields
+    frames -> deltas -> done per round, the joined deltas match the
+    stateless multi-round answers exactly, follow-up rounds keep the
+    round-1 frame selection, and the video encodes once for the whole
+    conversation."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, max_sessions=2)
+    counts = {"n": 0}
+    orig = bb.encode_video
+    bb.encode_video = \
+        lambda f: (counts.__setitem__("n", counts["n"] + 1) or orig(f))
+    try:
+        ev1 = list(svc.answer_stream(video_path=tiny_video,
+                                     question="What?", sample_num=4,
+                                     max_new_tokens=3, session_id="s1"))
+        ev2 = list(svc.answer_stream(video_path=tiny_video,
+                                     question="And then?", sample_num=4,
+                                     max_new_tokens=3, session_id="s1"))
+        n_session_encodes = counts["n"]
+        for ev in (ev1, ev2):
+            assert ev[0]["event"] == "frames" and ev[0]["session_id"] == "s1"
+            assert ev[-1]["event"] == "done"
+        assert (ev1[-1]["round"], ev2[-1]["round"]) == (1, 2)
+        assert ev2[0]["frame_indices"] == ev1[0]["frame_indices"]
+        a1 = "".join(e["delta"] for e in ev1 if "delta" in e)
+        a2 = "".join(e["delta"] for e in ev2 if "delta" in e)
+        from tspo_tpu.video.reader import load_video
+        cands, _, _ = load_video(tiny_video, max_frames_num=128, fps=1,
+                                 min_frames_num=0)
+        frames = cands[np.asarray(ev1[0]["frame_indices"])]
+        w1 = bb.generate_multi_round(frames, [("What?", None)],
+                                     max_new_tokens=3)
+        w2 = bb.generate_multi_round(frames, [("What?", w1),
+                                              ("And then?", None)],
+                                     max_new_tokens=3)
+        assert (a1, a2) == (w1, w2)
+        assert n_session_encodes == 1      # whole session: one vision pass
+        assert svc.stats["session_rounds"] == 2
+    finally:
+        del bb.encode_video
+
+
+def test_service_session_stream_disconnect_preserves_session(tiny_video):
+    """A client disconnect mid-stream (generator closed after a delta)
+    must leave the session exactly as before the round: the turn is not
+    recorded, and re-asking completes as the SAME round with the same
+    answer the uninterrupted stream would have given."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, max_sessions=2)
+    ev1 = list(svc.answer_stream(video_path=tiny_video, question="What?",
+                                 sample_num=4, max_new_tokens=3,
+                                 session_id="d1"))
+    it = svc.answer_stream(video_path=tiny_video, question="And then?",
+                           sample_num=4, max_new_tokens=3, session_id="d1")
+    assert next(it)["event"] == "frames"
+    for e in it:
+        if "delta" in e:
+            break                      # one delta landed, then the tab dies
+    it.close()
+    sess = svc._sessions["d1"]
+    assert len(sess["turns"]) == 1     # round 2 was never committed
+    ev2 = list(svc.answer_stream(video_path=tiny_video,
+                                 question="And then?", sample_num=4,
+                                 max_new_tokens=3, session_id="d1"))
+    assert ev2[-1]["round"] == 2
+    a2 = "".join(e["delta"] for e in ev2 if "delta" in e)
+    from tspo_tpu.video.reader import load_video
+    cands, _, _ = load_video(tiny_video, max_frames_num=128, fps=1,
+                             min_frames_num=0)
+    frames = cands[np.asarray(ev1[0]["frame_indices"])]
+    w1 = "".join(e["delta"] for e in ev1 if "delta" in e)
+    w2 = bb.generate_multi_round(frames, [("What?", w1),
+                                          ("And then?", None)],
+                                 max_new_tokens=3)
+    assert a2 == w2

@@ -673,3 +673,57 @@ def test_generate_stream_multibyte_safe(jax_model):
         assert "".join(deltas) == want, (chunk, deltas, want)
         # no replacement char in any non-final delta
         assert not any("�" in d for d in deltas[:-1]), deltas
+
+
+def test_generate_multi_round_stream_matches(jax_model):
+    """Streaming multi-round == non-stream multi-round, for BOTH the
+    stateless path and the stateful prefix-KV path, across three rounds
+    and a non-divisor chunk size; the state commits after each fully
+    consumed stream (covered grows round over round)."""
+    v = CFG.vision
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    state = jax_model.new_conversation_state()
+    turns = []
+    covered_prev = 0
+    for q in ("What?", "And then?", "Why is that?"):
+        want = jax_model.generate_multi_round(frames, [*turns, (q, None)],
+                                              max_new_tokens=5)
+        stateless = "".join(jax_model.generate_multi_round_stream(
+            frames, [*turns, (q, None)], max_new_tokens=5, chunk=3))
+        stateful = "".join(jax_model.generate_multi_round_stream(
+            frames, [*turns, (q, None)], max_new_tokens=5, chunk=3,
+            state=state))
+        assert stateless == want, (q, stateless, want)
+        assert stateful == want, (q, stateful, want)
+        assert state.cache is not None and state.covered > covered_prev
+        covered_prev = state.covered
+        turns.append((q, want))
+
+
+def test_multi_round_stream_abandoned_leaves_state_clean(jax_model):
+    """A stream abandoned mid-answer (client disconnect) must NOT commit
+    the round: the state stays checked-out (cache None — clean full
+    re-prefill next round) and the next stateful round still matches the
+    stateless answer exactly."""
+    v = CFG.vision
+    rng = np.random.default_rng(22)
+    frames = rng.integers(0, 256, (2, v.image_size, v.image_size, 3),
+                          dtype=np.uint8)
+    state = jax_model.new_conversation_state()
+    a1 = jax_model.generate_multi_round(frames, [("What?", None)],
+                                        max_new_tokens=4, state=state)
+    turns = [("What?", a1), ("And then?", None)]
+    it = jax_model.generate_multi_round_stream(frames, turns,
+                                               max_new_tokens=4, chunk=1,
+                                               state=state)
+    assert next(it)                 # one delta landed, then the client dies
+    it.close()
+    assert state.cache is None      # checked out, never committed
+    assert state.video_tokens is not None   # the video encode survives
+    want = jax_model.generate_multi_round(frames, turns, max_new_tokens=4)
+    got = jax_model.generate_multi_round(frames, turns, max_new_tokens=4,
+                                         state=state)
+    assert got == want
+    assert state.cache is not None  # the retry re-prefilled and committed

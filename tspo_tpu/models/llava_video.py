@@ -346,8 +346,69 @@ class LLaVAVideoModel:
         decode KV stays covered for the next round.  Falls back to a full
         (flash) prefill on first use, prefix divergence at 0, or capacity
         overflow."""
-        from .qwen2 import (decode_prefill, greedy_decode_continue,
-                            prefill_extend)
+        from .qwen2 import greedy_decode_continue
+        ids, total_e, first_tok, cache, CH, max_new = \
+            self._multi_round_prefill(frames, prompt, max_new_tokens, state)
+        toks, cache = greedy_decode_continue(self.params["lm"], first_tok,
+                                             cache, self.cfg.lm, max_new,
+                                             chunk=CH)
+        self._commit_conversation(state, ids, total_e, toks, cache)
+        return self.decode([int(t) for t in toks])
+
+    def generate_multi_round_stream(self, frames, turns,
+                                    max_new_tokens: int | None = None,
+                                    state: "ConversationState | None" = None,
+                                    chunk: int = 8):
+        """Streaming :meth:`generate_multi_round`: yields TEXT DELTAS whose
+        concatenation equals the non-stream call token-for-token (same
+        prefix detokenization as generate_stream).  With ``state`` the
+        round rides the conversation prefix-KV exactly like
+        generate_multi_round(state=...) — and the state commits only once
+        the stream is FULLY consumed, so an abandoned stream (client
+        disconnect mid-answer) leaves it checked-out/reset for a clean
+        full re-prefill next round, never holding a half-written cache."""
+        from .conversation import build_prompt_multi
+        prompt = build_prompt_multi(turns, self.conv_template)
+        if state is None:
+            yield from self.generate_stream(frames, question="",
+                                            prompt=prompt,
+                                            max_new_tokens=max_new_tokens,
+                                            chunk=chunk)
+            return
+        from .qwen2 import greedy_decode_continue_stream, stream_detokenize
+        ids, total_e, first_tok, cache, CH, max_new = \
+            self._multi_round_prefill(frames, prompt, max_new_tokens, state,
+                                      chunk=chunk)
+        final: dict = {}
+        blocks = greedy_decode_continue_stream(
+            self.params["lm"], first_tok, cache, self.cfg.lm, max_new,
+            chunk=CH, final=final)
+        yield from stream_detokenize(blocks, self.decode,
+                                     self.cfg.lm.eos_token_id)
+        for _ in blocks:    # stream_detokenize stops AT the all-eos block;
+            pass            # drain so ``final`` fills (the decode loop is
+                            # already done — no device work runs here)
+        self._commit_conversation(state, ids, total_e, final["tokens"],
+                                  final["cache"])
+
+    def _commit_conversation(self, state: "ConversationState", ids,
+                             total_e: int, toks, cache) -> None:
+        """Write a completed round back into the state: the answer's own
+        decode KV stays covered for the next round."""
+        state.cache = KVCache(cache.k, cache.v,
+                              jnp.int32(total_e + len(toks)))
+        state.ids = list(ids) + [int(t) for t in toks]
+        state.covered = total_e + len(toks)
+
+    def _multi_round_prefill(self, frames, prompt: str, max_new_tokens,
+                             state: "ConversationState", chunk: int = 32):
+        """Shared front half of the stateful multi-round paths: prefix
+        match + incremental prefill.  Returns (ids, total_e, first_tok,
+        cache, CH, max_new) with the cache checked OUT of the state (an
+        exception or abandoned stream before the commit leaves the state
+        holding None — clean full re-prefill next round).  ``chunk`` is
+        the decode-chunk size the capacity budget is computed for."""
+        from .qwen2 import decode_prefill, prefill_extend
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         max_new = self.max_new_tokens if max_new_tokens is None \
@@ -379,7 +440,7 @@ class LLaVAVideoModel:
                 f"{self.cfg.max_context}: no cache slot left to generate "
                 "into (fewer frames/rounds, or raise max_context)")
         max_new = min(max_new, headroom)
-        CH = 32                                    # decode chunk
+        CH = chunk                                 # decode chunk
         if (-(-max_new // CH)) * CH > headroom:
             CH = max_new       # near-full context: one exact-size chunk
         # slack past total_e that device writes may touch: the decode
@@ -430,15 +491,9 @@ class LLaVAVideoModel:
                 off += n
                 # reclaim pad slots: the next append/decode overwrites them
                 cache = KVCache(cache.k, cache.v, jnp.int32(L + off))
-        # reclaim prefill pads, decode in place
+        # reclaim prefill pads; the caller decodes in place from here
         cache = KVCache(cache.k, cache.v, jnp.int32(total_e))
-        toks, cache = greedy_decode_continue(lm, first_tok, cache, cfg,
-                                             max_new, chunk=CH)
-        state.cache = KVCache(cache.k, cache.v,
-                              jnp.int32(total_e + len(toks)))
-        state.ids = list(ids) + [int(t) for t in toks]
-        state.covered = total_e + len(toks)
-        return self.decode([int(t) for t in toks])
+        return ids, total_e, first_tok, cache, CH, max_new
 
     def encode_video(self, frames: np.ndarray) -> jnp.ndarray:
         """[T, H, W, 3] uint8 -> [T*tokens_per_frame, D] spliceable tokens.

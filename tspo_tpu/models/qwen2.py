@@ -615,6 +615,53 @@ def greedy_decode_continue(params, first_tok, cache: KVCache,
     return toks, cache
 
 
+def greedy_decode_continue_stream(params, first_tok, cache: KVCache,
+                                  cfg: Qwen2Config, max_new_tokens: int,
+                                  eos_token_id: int | None = None,
+                                  chunk: int = 8, final: dict | None = None):
+    """Generator variant of :func:`greedy_decode_continue`: yields np.int32
+    [1, <=chunk] blocks of fresh tokens as they land (eos-padded past the
+    answer like :func:`greedy_decode_stream`, so :func:`stream_detokenize`
+    consumes them directly), token-exact vs the non-stream function — the
+    streaming side of conversation prefix-KV reuse.
+
+    When ``final`` (a dict) is given it is filled with
+    ``{"tokens": eos-trimmed np array, "cache": cache}`` once the generator
+    is exhausted — the conversation state-commit needs both, and a consumer
+    abandoning the stream early simply never commits (the caller's state
+    stays checked-out/reset, the contract generate_multi_round_stream
+    documents)."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    T = cache.k.shape[2]
+    L = int(cache.length)
+    n_chunks = -(-max_new_tokens // chunk)
+    if L + n_chunks * chunk > T:
+        raise ValueError(
+            f"conversation cache needs >= {L + n_chunks * chunk} slots "
+            f"(L={L} + {n_chunks}x{chunk}), got {T}")
+    tok = jnp.asarray(first_tok, jnp.int32).reshape(1)
+    pv = jnp.ones((1, 1), bool)
+    pos0 = jnp.full((1,), L, jnp.int32)
+    done = jnp.zeros((1,), bool)
+    outs = []
+    for c in range(n_chunks):
+        out, tok, cache, done = decode_chunk(
+            params, tok, cache, pos0, jnp.int32(c * chunk), pv, done,
+            cfg, chunk, jnp.int32(eos))
+        n = min(chunk, max_new_tokens - c * chunk)
+        blk = np.asarray(out)[:, :n]
+        outs.append(blk[0])
+        yield blk
+        if bool(np.asarray(done)[0]):
+            break
+    toks = np.concatenate(outs) if outs else np.zeros(0, np.int32)
+    if eos in toks:
+        toks = toks[: int(np.argmax(toks == eos))]
+    if final is not None:
+        final["tokens"] = toks
+        final["cache"] = cache
+
+
 def greedy_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
                          cfg: Qwen2Config, max_new_tokens: int,
                          eos_token_id: int | None = None, chunk: int = 8,

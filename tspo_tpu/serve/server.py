@@ -227,6 +227,33 @@ class ScoringService:
                          if m.get("role") != "system")
         return (system + "\n\n" + user).strip() if system else user
 
+    @staticmethod
+    def _chat_turns(messages: list):
+        """OpenAI messages -> multi-round turns [(q, a), ..., (q, None)],
+        or None when the history carries no assistant turn (the
+        single-turn fast path — prompt assembly stays _chat_prompt's).
+        Assistant turns close the current user group (consecutive
+        same-role contents join with newlines, like _chat_prompt); the
+        system prompt prepends to the first user turn, which is where the
+        chatml template renders leading context."""
+        if not any(m.get("role") == "assistant" for m in messages):
+            return None
+        system, turns, cur_q = [], [], []
+        for m in messages:
+            role, content = m.get("role"), str(m.get("content", ""))
+            if role == "system":
+                system.append(content)
+            elif role == "assistant":
+                turns.append(("\n".join(cur_q), content))
+                cur_q = []
+            else:
+                cur_q.append(content)
+        turns.append(("\n".join(cur_q), None))
+        if system:
+            q0, a0 = turns[0]
+            turns[0] = (("\n".join(system) + "\n\n" + q0).strip(), a0)
+        return turns
+
     def _generate_text(self, prompt: str, kwargs: dict) -> str:
         """Text-only generate — through the continuous engine when enabled
         (judge traffic batches with everything else), else device-locked
@@ -267,9 +294,18 @@ class ScoringService:
         with the local model."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
-        prompt = self._chat_prompt(messages)
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
-        text = self._generate_text(prompt, kwargs)
+        turns = self._chat_turns(messages)
+        if turns is not None and hasattr(self.backbone,
+                                         "generate_multi_round"):
+            # history with assistant turns: ride the conversation template
+            # (role structure reaches the model) instead of flattening the
+            # dialog into one user blob
+            with self._device_lock:
+                text = self.backbone.generate_multi_round(None, turns,
+                                                          **kwargs)
+        else:
+            text = self._generate_text(self._chat_prompt(messages), kwargs)
         with self._feat_lock:
             self.stats["requests"] += 1
             rid = self.stats["requests"]
@@ -311,6 +347,17 @@ class ScoringService:
 
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
+        turns = self._chat_turns(messages)
+        if turns is not None and hasattr(self.backbone,
+                                         "generate_multi_round_stream"):
+            # history with assistant turns: the conversation template
+            # streams (same role-structure routing as chat_completion)
+            for delta in self._locked_stream(
+                    self.backbone.generate_multi_round_stream(
+                        None, turns, **kwargs)):
+                yield chunk({"content": delta})
+            yield chunk({}, finish="stop")
+            return
         deltas = (self._engine_answer_stream(
                       None, prompt, kwargs.get("max_new_tokens"))
                   if self._engine is not None else None)
@@ -520,24 +567,18 @@ class ScoringService:
                                  self.default_window, method=method)
         return frames[np.asarray(idx)], np.asarray(idx), len(frames)
 
-    def _answer_session(self, *, session_id: str, video_path: str,
-                        question: str, sample_num, method, window_size,
-                        max_new_tokens, t0) -> dict:
-        """Follow-up-aware /v1/answer: a session is one conversation over
-        one video — turn history rides the chat template, the video encodes
-        once, and each follow-up round prefills only the new turn through
-        the ConversationState prefix-KV (models/llava_video.py).  Frames
-        are selected ONCE per session, conditioned on the FIRST question
-        (the conversation sees one fixed video splice, matching
-        generate_multi_round semantics)."""
+    def _session_checkout(self, session_id: str, video_path: str):
+        """Fetch-or-create the session under the LRU lock; returns
+        (sess, restarted).  A previously-known id that is gone means the
+        session was evicted (LRU) or rebound to a new video — surfaced as
+        ``restarted`` so clients know prior context was lost, never
+        silently."""
         restarted = False
         with self._feat_lock:
             sess = self._sessions.get(session_id)
             if sess is not None and sess["video_path"] != video_path:
                 sess = None                      # new video = new session
             if sess is None:
-                # a previously-known id means the session was evicted (LRU)
-                # or rebound — surface it so clients know context was lost
                 restarted = session_id in self._session_seen
                 sess = {"video_path": video_path, "turns": [],
                         "state": self.backbone.new_conversation_state(),
@@ -554,6 +595,25 @@ class ScoringService:
             self._session_order.append(session_id)
             while len(self._session_order) > self.max_sessions:
                 self._sessions.pop(self._session_order.pop(0), None)
+        return sess, restarted
+
+    def _drop_session(self, session_id: str) -> None:
+        with self._feat_lock:
+            self._sessions.pop(session_id, None)
+            if session_id in self._session_order:
+                self._session_order.remove(session_id)
+
+    def _answer_session(self, *, session_id: str, video_path: str,
+                        question: str, sample_num, method, window_size,
+                        max_new_tokens, t0) -> dict:
+        """Follow-up-aware /v1/answer: a session is one conversation over
+        one video — turn history rides the chat template, the video encodes
+        once, and each follow-up round prefills only the new turn through
+        the ConversationState prefix-KV (models/llava_video.py).  Frames
+        are selected ONCE per session, conditioned on the FIRST question
+        (the conversation sees one fixed video splice, matching
+        generate_multi_round semantics)."""
+        sess, restarted = self._session_checkout(session_id, video_path)
         with sess["lock"]:        # concurrent rounds on one session serialize
             frames = None
             if sess["frame_indices"] is None:    # first round: select once
@@ -569,10 +629,7 @@ class ScoringService:
                     # a failed FIRST round must not strand a session whose
                     # video never made it into the state (a retry would
                     # silently answer without the video) — drop it entirely
-                    with self._feat_lock:
-                        self._sessions.pop(session_id, None)
-                        if session_id in self._session_order:
-                            self._session_order.remove(session_id)
+                    self._drop_session(session_id)
                 raise
             # commit only after success
             if frames is not None:
@@ -593,6 +650,64 @@ class ScoringService:
         if restarted:
             out["restarted"] = True       # prior context was evicted/rebound
         return out
+
+    def _answer_session_stream(self, *, session_id: str, video_path: str,
+                               question: str, sample_num, method,
+                               window_size, max_new_tokens, t0):
+        """Streaming :meth:`_answer_session`: same session semantics (one
+        conversation per video, frames selected once on the first
+        question, prefix-KV round reuse) as SSE events — ``frames`` first,
+        one ``delta`` per text piece, then ``done`` with the round number.
+        Turn history and conversation state commit only after the stream
+        is fully consumed (generate_multi_round_stream's contract), so a
+        client disconnect mid-answer leaves the session exactly as it was
+        before the round.  The device lock wraps only device work
+        (_locked_stream), never the SSE socket writes."""
+        sess, restarted = self._session_checkout(session_id, video_path)
+        with sess["lock"]:    # concurrent rounds on one session serialize
+            frames = None
+            if sess["frame_indices"] is None:    # first round: select once
+                frames, idx, n_frames = self._select_frames(
+                    video_path, question, sample_num, method, window_size)
+                ev = {"event": "frames",
+                      "frame_indices": [int(i) for i in idx],
+                      "num_candidates": int(n_frames)}
+            else:
+                ev = {"event": "frames",
+                      "frame_indices": sess["frame_indices"],
+                      "num_candidates": sess["num_candidates"]}
+            ev["session_id"] = session_id
+            if restarted:
+                ev["restarted"] = True   # prior context was evicted/rebound
+            yield ev
+            pieces = []
+            try:
+                for delta in self._locked_stream(
+                        self.backbone.generate_multi_round_stream(
+                            frames, [*sess["turns"], (question, None)],
+                            max_new_tokens=max_new_tokens,
+                            state=sess["state"])):
+                    pieces.append(delta)
+                    yield {"delta": delta}
+            except Exception:
+                if not sess["turns"]:
+                    # same contract as the non-stream path: a failed FIRST
+                    # round drops the session so a retry re-selects frames
+                    self._drop_session(session_id)
+                raise
+            # commit only after the full answer streamed
+            if frames is not None:
+                sess["frame_indices"] = [int(i) for i in idx]
+                sess["num_candidates"] = int(n_frames)
+                with self._feat_lock:
+                    self.stats["frames_scored"] += n_frames
+            sess["turns"].append((question, "".join(pieces)))
+            n_round = len(sess["turns"])
+        with self._feat_lock:
+            self.stats["requests"] += 1
+            self.stats["session_rounds"] += 1
+        yield {"event": "done", "session_id": session_id, "round": n_round,
+               "latency_s": round(time.perf_counter() - t0, 4)}
 
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
@@ -638,14 +753,26 @@ class ScoringService:
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
         whole-answer fallback otherwise), then a ``done`` event with stats.
-        The device lock wraps only device work, never socket writes."""
-        if session_id is not None:
-            # loud, not silently non-conversational (codebase rule)
-            raise ValueError("session_id is not supported with stream=true "
-                             "yet — use plain /v1/answer for sessions")
+        The device lock wraps only device work, never socket writes.
+
+        With ``session_id`` the stream is a conversation round
+        (_answer_session_stream): frames ride the session's one-time
+        selection and follow-up rounds prefill only the new turn."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
+        if session_id is not None:
+            if not (hasattr(self.backbone, "new_conversation_state") and
+                    hasattr(self.backbone, "generate_multi_round_stream")):
+                # loud, not silently non-conversational (codebase rule)
+                raise ValueError("session_id needs a backbone with "
+                                 "conversation support (llava_video)")
+            yield from self._answer_session_stream(
+                session_id=str(session_id), video_path=video_path,
+                question=question, sample_num=sample_num, method=method,
+                window_size=window_size, max_new_tokens=max_new_tokens,
+                t0=t0)
+            return
         sel, idx, n_frames = self._select_frames(video_path, question,
                                                  sample_num, method,
                                                  window_size)

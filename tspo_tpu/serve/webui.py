@@ -97,54 +97,72 @@ document.getElementById('go').onclick = async () => {
     question: document.getElementById('question').value,
     sample_num: parseInt(document.getElementById('sample_num').value),
   };
+  // shared SSE pump: POST, then dispatch each `data:` json to onMsg
+  const sse = async (payload, onMsg) => {
+    const r = await fetch('/v1/answer', {
+      method: 'POST', headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({...payload, stream: true})});
+    if (!r.ok) { const j = await r.json();
+                 show([pre('error: ' + j.error)]); return false; }
+    const reader = r.body.getReader();
+    const dec = new TextDecoder();
+    let buf = '';
+    for (;;) {
+      const {value, done} = await reader.read();
+      if (done) break;
+      buf += dec.decode(value, {stream: true});
+      let i;
+      while ((i = buf.indexOf('\\n\\n')) >= 0) {
+        const line = buf.slice(0, i); buf = buf.slice(i + 2);
+        if (!line.startsWith('data: ') || line === 'data: [DONE]') continue;
+        onMsg(JSON.parse(line.slice(6)));
+      }
+    }
+    return true;
+  };
   try {
     if (mode === 'answer' && chatBox.checked) {
-      // conversation: plain /v1/answer with a session_id; turns accumulate
+      // conversation: /v1/answer SSE with a session_id — the answer
+      // streams into the transcript as it decodes; turns accumulate
       sessionId = sessionId ||
         'web-' + Math.random().toString(36).slice(2);
-      const r = await fetch('/v1/answer', {
-        method: 'POST', headers: {'Content-Type': 'application/json'},
-        body: JSON.stringify({...body, session_id: sessionId})});
-      const j = await r.json();
-      if (!r.ok) { show([pre('error: ' + j.error)]); return; }
       const t = document.getElementById('transcript');
-      const q = pre('Q' + j.round + ': ' + body.question);
+      const q = pre('Q: ' + body.question);
       const a = document.createElement('div');
       a.className = 'answer';
-      a.textContent = j.answer;
-      t.append(q, a);
-      document.getElementById('question').value = '';
-      show([pre('round ' + j.round + ' · ' + j.latency_s + 's · frames [' +
-                j.frame_indices.slice(0, 8).join(', ') +
-                (j.frame_indices.length > 8 ? ', …]' : ']'))]);
+      const meta = pre('');
+      show([meta]);
+      let appended = false;
+      const ok = await sse({...body, session_id: sessionId}, (m) => {
+        if (m.delta !== undefined) {
+          if (!appended) { t.append(q, a); appended = true; }
+          a.textContent += m.delta;
+        } else if (m.event === 'done') {
+          q.textContent = 'Q' + m.round + ': ' + body.question;
+          meta.textContent += 'round ' + m.round + ' · ' +
+            m.latency_s + 's\\n';
+        } else if (m.event === 'frames') {
+          if (m.restarted) meta.textContent +=
+            'note: previous context was evicted — conversation restarted\\n';
+          meta.textContent += 'frames [' +
+            m.frame_indices.slice(0, 8).join(', ') +
+            (m.frame_indices.length > 8 ? ', …]' : ']') + '\\n';
+        } else if (m.error !== undefined) {
+          meta.textContent += 'error: ' + m.error + '\\n';
+        }
+      });
+      if (ok) document.getElementById('question').value = '';
       return;
     }
     if (mode === 'answer') {        // stream: text appears as it decodes
-      const r = await fetch('/v1/answer', {
-        method: 'POST', headers: {'Content-Type': 'application/json'},
-        body: JSON.stringify({...body, stream: true})});
-      if (!r.ok) { const j = await r.json();
-                   show([pre('error: ' + j.error)]); return; }
       const div = document.createElement('div');
       div.className = 'answer';
       const meta = pre('');
       show([div, meta]);
-      const reader = r.body.getReader();
-      const dec = new TextDecoder();
-      let buf = '';
-      for (;;) {
-        const {value, done} = await reader.read();
-        if (done) break;
-        buf += dec.decode(value, {stream: true});
-        let i;
-        while ((i = buf.indexOf('\\n\\n')) >= 0) {
-          const line = buf.slice(0, i); buf = buf.slice(i + 2);
-          if (!line.startsWith('data: ') || line === 'data: [DONE]') continue;
-          const m = JSON.parse(line.slice(6));
-          if (m.delta !== undefined) div.textContent += m.delta;
-          else meta.textContent += JSON.stringify(m) + '\\n';
-        }
-      }
+      await sse(body, (m) => {
+        if (m.delta !== undefined) div.textContent += m.delta;
+        else meta.textContent += JSON.stringify(m) + '\\n';
+      });
       return;
     }
     const r = await fetch('/v1/' + mode, {
