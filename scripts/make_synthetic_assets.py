@@ -201,6 +201,43 @@ def build_backbone(out: str, seed: int = 0) -> str:
     return out
 
 
+def build_audio_llm(out: str, seed: int = 0, tiny: bool = False,
+                    lm_hidden: int | None = None) -> str:
+    """Audio-LLM checkpoint file in the Qwen2-Audio layout
+    (modeling_qwen2_audio.py): a transformers WhisperEncoder state dict
+    under ``audio_tower.`` plus the single-linear
+    ``multi_modal_projector.linear`` — exactly what
+    audio_llm_from_torch / attach_audio_from_torch consume.  Default
+    geometry is the FULL Whisper-large-v3 encoder (32 layers, d=1280,
+    128 mels — Qwen2-Audio's tower); ``tiny`` for fast smoke."""
+    import torch
+    import transformers
+    from transformers.models.whisper.modeling_whisper import WhisperEncoder
+
+    from tspo_tpu.models.audio import AudioConfig
+
+    cfg = AudioConfig.tiny() if tiny else AudioConfig()
+    torch.manual_seed(seed)
+    enc = WhisperEncoder(transformers.WhisperConfig(
+        d_model=cfg.d_model, encoder_layers=cfg.num_layers,
+        encoder_attention_heads=cfg.num_heads,
+        encoder_ffn_dim=cfg.ffn_dim, num_mel_bins=cfg.n_mels,
+        max_source_positions=cfg.max_positions)).eval()
+    sd = {"audio_tower." + k: v for k, v in enc.state_dict().items()}
+    lin = torch.nn.Linear(cfg.d_model, lm_hidden or cfg.d_model)
+    sd["multi_modal_projector.linear.weight"] = lin.weight
+    sd["multi_modal_projector.linear.bias"] = lin.bias
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "audio_llm.bin")
+    torch.save(sd, path)
+    with open(os.path.join(out, "audio_config.json"), "w") as f:
+        json.dump({"n_mels": cfg.n_mels, "d_model": cfg.d_model,
+                   "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+                   "ffn_dim": cfg.ffn_dim,
+                   "max_positions": cfg.max_positions}, f)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("make-synthetic-assets")
     p.add_argument("--out", required=True)
@@ -209,6 +246,14 @@ def main(argv=None):
     p.add_argument("--candidate-frames", type=int, default=24)
     p.add_argument("--questions-per-video", type=int, default=2)
     p.add_argument("--with-backbone", action="store_true")
+    p.add_argument("--with-audio-llm", action="store_true",
+                   help="also export a Qwen2-Audio-layout audio-LLM "
+                        "checkpoint (FULL Whisper-large-v3 tower geometry "
+                        "unless --tiny-audio)")
+    p.add_argument("--tiny-audio", action="store_true")
+    p.add_argument("--audio-lm-hidden", type=int, default=None,
+                   help="projector output dim (the target backbone's LM "
+                        "hidden size; default = tower d_model)")
     p.add_argument("--tiny-clip", action="store_true",
                    help="tiny CLIP geometry (fast smoke; the runbook "
                         "rehearsal uses the FULL CLIP-L/14 default)")
@@ -225,6 +270,11 @@ def main(argv=None):
     if args.with_backbone:
         bb = build_backbone(os.path.join(args.out, "backbone"), args.seed)
         print(f"backbone-> {bb}")
+    if args.with_audio_llm:
+        al = build_audio_llm(os.path.join(args.out, "audio_llm"), args.seed,
+                             tiny=args.tiny_audio,
+                             lm_hidden=args.audio_lm_hidden)
+        print(f"audio   -> {al}")
 
 
 if __name__ == "__main__":

@@ -238,3 +238,163 @@ def test_audio_tower_encode_file(tmp_path):
     # 1 s of real audio -> 100 mel frames -> 50 features (padding trimmed)
     assert feats.shape == (50, cfg.d_model)
     assert np.isfinite(feats).all()
+
+
+# ---------------------------------------------------------------------------
+# Audio-LLM checkpoint loader (audio_llm_from_torch / attach_audio_from_torch)
+# ---------------------------------------------------------------------------
+
+def _tiny_backbone_sd(cfg):
+    """Random llava_qwen-layout state dict at cfg's tiny geometry (same
+    torch route as test_audio_visual_generate_end_to_end)."""
+    import transformers
+    lm, v = cfg.lm, cfg.vision
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=lm.vocab_size, hidden_size=lm.hidden_size,
+        intermediate_size=lm.intermediate_size,
+        num_hidden_layers=lm.num_layers, num_attention_heads=lm.num_heads,
+        num_key_value_heads=lm.num_kv_heads, head_dim=lm.head_dim,
+        rope_theta=lm.rope_theta, rms_norm_eps=lm.rms_eps,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    sig_cfg = transformers.SiglipVisionConfig(
+        hidden_size=v.width, intermediate_size=v.intermediate,
+        num_hidden_layers=v.layers + 1, num_attention_heads=v.heads,
+        image_size=v.image_size, patch_size=v.patch_size,
+        layer_norm_eps=v.layer_norm_eps, hidden_act="gelu_pytorch_tanh")
+    torch.manual_seed(0)
+    sd = dict(transformers.Qwen2ForCausalLM(hf_cfg).state_dict())
+    for k, p in transformers.SiglipVisionModel(sig_cfg).state_dict().items():
+        sd["model.vision_tower.vision_tower." + k] = p
+    proj0 = torch.nn.Linear(v.width, lm.hidden_size)
+    proj2 = torch.nn.Linear(lm.hidden_size, lm.hidden_size)
+    sd["model.mm_projector.0.weight"] = proj0.weight
+    sd["model.mm_projector.0.bias"] = proj0.bias
+    sd["model.mm_projector.2.weight"] = proj2.weight
+    sd["model.mm_projector.2.bias"] = proj2.bias
+    sd["model.image_newline"] = torch.randn(lm.hidden_size) * 0.1
+    return sd
+
+
+def test_audio_llm_checkpoint_attach_and_generate(tmp_path):
+    """A synthetic Qwen2-Audio-layout checkpoint (built by the assets
+    script) flows through attach_audio_from_torch end-to-end: tower loads,
+    single-linear projector loads, generate(audio=...) runs — the rehearsal
+    for VERDICT missing #4 (no real audio-LLM checkpoint in this
+    container)."""
+    import dataclasses
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.make_synthetic_assets import build_audio_llm
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig, LLaVAVideoModel
+
+    cfg = dataclasses.replace(LLaVAVideoConfig.tiny(), max_context=2048)
+    path = build_audio_llm(str(tmp_path), seed=0, tiny=True,
+                           lm_hidden=cfg.lm.hidden_size)
+    sd = torch.load(path, weights_only=True)
+
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]  # noqa: E731
+    dec = lambda toks: " ".join(str(t) for t in toks)        # noqa: E731
+    model = LLaVAVideoModel.from_torch_checkpoint(
+        _tiny_backbone_sd(cfg), cfg, dtype=jnp.float32, encode=enc,
+        decode=dec, batch_frames=4, max_new_tokens=4)
+    assert not model.supports_audio
+    model.attach_audio_from_torch(sd, AudioConfig.tiny())
+    assert model.supports_audio
+
+    audio = _rand_audio(seconds=1.0)
+    toks = np.asarray(model.encode_audio_tokens(audio), np.float32)
+    assert toks.shape[1] == cfg.lm.hidden_size and np.isfinite(toks).all()
+
+    # projector parity: pooled tower features through torch's linear
+    feats = model.audio_tower.encode(audio)
+    s = model.audio_pool_stride
+    n = (feats.shape[0] // s) * s
+    pooled = feats[:n].reshape(n // s, s, -1).mean(axis=1)
+    w = sd["multi_modal_projector.linear.weight"].detach().numpy()
+    b = sd["multi_modal_projector.linear.bias"].detach().numpy()
+    theirs = pooled @ w.astype(np.float32).T + b.astype(np.float32)
+    # projector weights ride the LM dtype (fp32 here) — exact-ish
+    np.testing.assert_allclose(toks, theirs, atol=2e-3, rtol=1e-2)
+
+    frames = np.random.default_rng(0).integers(
+        0, 256, (4, 48, 48, 3), dtype=np.uint8)
+    out = model.generate(frames, "what do you hear?", audio=audio)
+    assert isinstance(out, str) and out
+
+
+def test_audio_llm_wrong_hidden_raises(tmp_path):
+    import dataclasses
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.make_synthetic_assets import build_audio_llm
+    from tspo_tpu.models.llava_video import LLaVAVideoConfig, LLaVAVideoModel
+
+    cfg = dataclasses.replace(LLaVAVideoConfig.tiny(), max_context=2048)
+    path = build_audio_llm(str(tmp_path), seed=0, tiny=True,
+                           lm_hidden=cfg.lm.hidden_size + 8)
+    sd = torch.load(path, weights_only=True)
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]  # noqa: E731
+    model = LLaVAVideoModel.from_torch_checkpoint(
+        _tiny_backbone_sd(cfg), cfg, dtype=jnp.float32, encode=enc,
+        decode=str, batch_frames=4, max_new_tokens=4)
+    with pytest.raises(ValueError, match="projector output dim"):
+        model.attach_audio_from_torch(sd, AudioConfig.tiny())
+    assert not model.supports_audio   # failed attach leaves model clean
+
+
+def test_audio_llm_missing_tower_raises():
+    from tspo_tpu.models.audio import audio_llm_from_torch
+    with pytest.raises(KeyError, match="audio_tower"):
+        audio_llm_from_torch({"lm.weight": np.zeros((2, 2), np.float32)})
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TSPO_RUN_SLOW"),
+    reason="full Whisper-large-v3 geometry is slow; set TSPO_RUN_SLOW=1")
+def test_audio_llm_full_geometry_parity(tmp_path):
+    """FULL Qwen2-Audio tower geometry (Whisper-large-v3: 32 layers,
+    d=1280, 128 mels) through the checkpoint loader, parity vs
+    transformers' WhisperEncoder on the same synthetic checkpoint — the
+    maximal no-download risk reduction for the audio-LLM path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.make_synthetic_assets import build_audio_llm
+    from tspo_tpu.models.audio import audio_llm_from_torch
+
+    path = build_audio_llm(str(tmp_path), seed=0, tiny=False)
+    sd = torch.load(path, weights_only=True)
+    cfg = AudioConfig()
+    tower, proj = audio_llm_from_torch(sd, cfg)
+    assert "linear" in proj
+    assert tower.params["layers"]["attn"]["q"]["kernel"].shape == (
+        cfg.num_layers, cfg.d_model, cfg.d_model)
+
+    audio = _rand_audio(seconds=3.0)
+    ours = tower.encode(audio)
+
+    from transformers import WhisperConfig
+    from transformers.models.whisper.modeling_whisper import WhisperEncoder
+    hf_cfg = WhisperConfig(d_model=cfg.d_model, encoder_layers=cfg.num_layers,
+                           encoder_attention_heads=cfg.num_heads,
+                           encoder_ffn_dim=cfg.ffn_dim,
+                           num_mel_bins=cfg.n_mels,
+                           max_source_positions=cfg.max_positions)
+    enc = WhisperEncoder(hf_cfg).eval()
+    enc.load_state_dict({k[len("audio_tower."):]: v for k, v in sd.items()
+                         if k.startswith("audio_tower.")})
+    mel = log_mel_spectrogram(audio, cfg)[None]
+    with torch.no_grad():
+        theirs = enc(torch.tensor(mel)).last_hidden_state.numpy()[0]
+    # tower.encode trims to real audio length; compare that prefix
+    t_real = ours.shape[0]
+    np.testing.assert_allclose(ours, theirs[:t_real], atol=5e-3, rtol=1e-2)

@@ -345,3 +345,60 @@ class AudioTower:
     def from_torch(cls, model_or_sd, cfg: AudioConfig, dtype=jnp.float32):
         return cls(params=audio_params_from_torch(model_or_sd, cfg, dtype),
                    cfg=cfg, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Audio-LLM checkpoint loader (tower + feature->LM projector in one dict)
+# ---------------------------------------------------------------------------
+
+def audio_llm_from_torch(model_or_sd, cfg: AudioConfig | None = None,
+                         dtype=jnp.float32, proj_dtype=jnp.bfloat16):
+    """Port the audio stack of an audio-LLM checkpoint.
+
+    Accepts the Qwen2-Audio layout (HF ``modeling_qwen2_audio.py``):
+    WhisperEncoder weights under ``audio_tower.`` and a single-linear
+    projector ``multi_modal_projector.linear.{weight,bias}``; also accepts
+    an mlp2x_gelu projector ``audio_projector.{0,2}.{weight,bias}``
+    (mm_projector-style, the layout LLaVA-family audio forks use).
+
+    Returns ``(AudioTower, projector_params)`` — attach via
+    :meth:`LLaVAVideoModel.attach_audio_from_torch`.  The tower runs in
+    ``dtype`` (fp32 by default, like the vision towers' frontends); the
+    projector weights are cast to ``proj_dtype`` to match the LM compute
+    dtype.
+    """
+    sd = state_dict_of(model_or_sd)
+    cfg = cfg or AudioConfig()
+    tower_sd = {k[len("audio_tower."):]: v for k, v in sd.items()
+                if k.startswith("audio_tower.")}
+    if not tower_sd:
+        raise KeyError(
+            "no 'audio_tower.*' keys in the checkpoint — expected a "
+            "Qwen2-Audio-style audio-LLM state dict (WhisperEncoder under "
+            "'audio_tower.', projector 'multi_modal_projector.linear' or "
+            "'audio_projector.{0,2}')")
+    tower = AudioTower(params=audio_params_from_torch(tower_sd, cfg, dtype),
+                       cfg=cfg, dtype=dtype)
+    if "multi_modal_projector.linear.weight" in sd:
+        proj = {"linear": {
+            "kernel": jnp.asarray(
+                np.asarray(sd["multi_modal_projector.linear.weight"]).T,
+                proj_dtype),
+            "bias": jnp.asarray(
+                np.asarray(sd["multi_modal_projector.linear.bias"]),
+                proj_dtype)}}
+    elif "audio_projector.0.weight" in sd:
+        def lin(i):
+            return {"kernel": jnp.asarray(
+                        np.asarray(sd[f"audio_projector.{i}.weight"]).T,
+                        proj_dtype),
+                    "bias": jnp.asarray(
+                        np.asarray(sd[f"audio_projector.{i}.bias"]),
+                        proj_dtype)}
+        proj = {"fc1": lin(0), "fc2": lin(2)}
+    else:
+        raise KeyError(
+            "audio-LLM checkpoint has an audio_tower but no recognized "
+            "projector ('multi_modal_projector.linear' or "
+            "'audio_projector.{0,2}')")
+    return tower, proj

@@ -570,7 +570,10 @@ class LLaVAVideoModel:
 
     def encode_audio_tokens(self, audio: np.ndarray) -> jnp.ndarray:
         """[T] 16 kHz waveform -> [S, hidden] LM-space audio tokens: tower
-        features through the mlp2x_gelu audio projector."""
+        features through the audio projector (single ``linear`` à la
+        Qwen2-Audio's multi_modal_projector, or mlp2x_gelu ``fc1``/``fc2``
+        like mm_projector — both layouts load via
+        :func:`models.audio.audio_llm_from_torch`)."""
         if self.audio_tower is None or "audio_projector" not in self.params:
             raise ValueError(
                 "audio input needs an AudioTower (models/audio.py) and "
@@ -581,9 +584,34 @@ class LLaVAVideoModel:
             n = (feats.shape[0] // s) * s
             feats = feats[:n].reshape(n // s, s, -1).mean(axis=1)
         pj = self.params["audio_projector"]
+        if "linear" in pj:
+            out = feats @ pj["linear"]["kernel"] + pj["linear"]["bias"]
+            return out.astype(pj["linear"]["kernel"].dtype)
         h = feats @ pj["fc1"]["kernel"] + pj["fc1"]["bias"]
         h = jax.nn.gelu(h, approximate=False)
         return h @ pj["fc2"]["kernel"] + pj["fc2"]["bias"]
+
+    def attach_audio_from_torch(self, model_or_sd, audio_cfg=None,
+                                dtype=jnp.float32) -> "LLaVAVideoModel":
+        """Attach the audio stack from an audio-LLM torch checkpoint
+        (Qwen2-Audio layout — see :func:`models.audio.audio_llm_from_torch`):
+        sets ``self.audio_tower`` and ``params['audio_projector']`` so
+        ``generate(audio=...)`` and the audio-visual benchmarks' harness
+        routing (eval/harness.py) light up.  Returns self for chaining."""
+        from .audio import audio_llm_from_torch
+        proj_dtype = jax.tree_util.tree_leaves(self.params["lm"])[0].dtype
+        tower, proj = audio_llm_from_torch(
+            model_or_sd, audio_cfg, dtype=dtype, proj_dtype=proj_dtype)
+        hidden = self.cfg.lm.hidden_size
+        out_dim = (proj["linear"]["kernel"] if "linear" in proj
+                   else proj["fc2"]["kernel"]).shape[-1]
+        if out_dim != hidden:
+            raise ValueError(
+                f"audio projector output dim {out_dim} != LM hidden "
+                f"{hidden} — wrong checkpoint for this backbone")
+        self.audio_tower = tower
+        self.params["audio_projector"] = proj
+        return self
 
     def _prepare_generate(self, frames, question, max_new_tokens, prompt,
                           audio):
