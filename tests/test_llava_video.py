@@ -727,3 +727,19 @@ def test_multi_round_stream_abandoned_leaves_state_clean(jax_model):
                                          state=state)
     assert got == want
     assert state.cache is not None  # the retry re-prefilled and committed
+
+
+def test_generate_sampled_top1_matches_greedy(jax_model):
+    """temperature>0 routes to sample_decode; a vanishing nucleus makes it
+    reproduce the greedy answer exactly, and a fixed seed is deterministic."""
+    frames = np.random.default_rng(15).integers(
+        0, 256, (3, 40, 56, 3), dtype=np.uint8)
+    greedy = jax_model.generate(frames, "Describe.", max_new_tokens=4)
+    top1 = jax_model.generate(frames, "Describe.", max_new_tokens=4,
+                              temperature=5.0, top_p=1e-9)
+    assert top1 == greedy
+    a = jax_model.generate(frames, "Describe.", max_new_tokens=4,
+                           temperature=2.0, seed=9)
+    b = jax_model.generate(frames, "Describe.", max_new_tokens=4,
+                           temperature=2.0, seed=9)
+    assert a == b

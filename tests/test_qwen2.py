@@ -465,3 +465,78 @@ def test_stream_rejects_small_cache(params):
     with pytest.raises(ValueError, match="stream cache"):
         next(iter(greedy_decode_stream(params, embeds, valid, small, CFG,
                                        max_new, chunk=4)))
+
+
+# ---------------------------------------------------------------------------
+# Sampled decode (temperature / top-p)
+# ---------------------------------------------------------------------------
+
+def _sample(params, ids, max_new, key, temperature, top_p):
+    from tspo_tpu.models.qwen2 import sample_decode
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, ids.shape[1]), bool)
+    toks, n = sample_decode(params, embeds, valid, cache, CFG, max_new,
+                            key, temperature, top_p, eos_token_id=-7)
+    return np.asarray(toks)[: int(n)]
+
+
+def test_sample_top_p_one_token_equals_greedy(params):
+    """A vanishing nucleus keeps only the argmax token -> sampling at any
+    temperature reproduces greedy exactly."""
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, 7))
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, 7), bool)
+    want, n = greedy_decode(params, embeds, valid, cache, CFG, 8,
+                            eos_token_id=-7)
+    got = _sample(params, ids, 8, jax.random.PRNGKey(42),
+                  temperature=5.0, top_p=1e-9)
+    np.testing.assert_array_equal(got, np.asarray(want)[: int(n)])
+
+
+def test_sample_low_temperature_equals_greedy(params):
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, 6))
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, 6), bool)
+    want, n = greedy_decode(params, embeds, valid, cache, CFG, 8,
+                            eos_token_id=-7)
+    got = _sample(params, ids, 8, jax.random.PRNGKey(0),
+                  temperature=1e-5, top_p=1.0)
+    np.testing.assert_array_equal(got, np.asarray(want)[: int(n)])
+
+
+def test_sample_seed_reproducible_and_varies(params):
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, 6))
+    a1 = _sample(params, ids, 12, jax.random.PRNGKey(7), 3.0, 1.0)
+    a2 = _sample(params, ids, 12, jax.random.PRNGKey(7), 3.0, 1.0)
+    np.testing.assert_array_equal(a1, a2)        # same seed -> same tokens
+    # at high temperature some of several seeds must diverge (vocab 256,
+    # 12 draws: collision probability is negligible)
+    others = [_sample(params, ids, 12, jax.random.PRNGKey(s), 3.0, 1.0)
+              for s in (8, 9, 10)]
+    assert any(len(o) != len(a1) or not np.array_equal(o, a1)
+               for o in others)
+
+
+def test_sample_tokens_in_vocab_and_eos_pads(params):
+    """Sampled ids stay in-vocab; a reachable EOS stops the decode and the
+    returned length excludes the pads."""
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, CFG.vocab_size - 2, size=(1, 5))
+    from tspo_tpu.models.qwen2 import sample_decode
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    embeds = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((1, 5), bool)
+    toks, n = sample_decode(params, embeds, valid, cache, CFG, 16,
+                            jax.random.PRNGKey(1), 4.0, 1.0)
+    toks = np.asarray(toks)
+    assert ((toks >= 0) & (toks < CFG.vocab_size)).all()
+    eos = CFG.eos_token_id
+    if eos in toks[: int(n)]:
+        pytest.fail("returned n should exclude post-eos pads")
+    assert (toks[int(n):] == eos).all() or int(n) == 16

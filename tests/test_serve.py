@@ -495,3 +495,54 @@ def test_explicit_stream_false_is_not_an_error(server):
         "messages": [{"role": "user", "content": "Q?"}]})
     assert status == 200
     assert out["object"] == "chat.completion"
+
+
+def test_sampling_params_reach_backbone():
+    """temperature/top_p/seed pass through chat_completion and answer() to
+    the backbone's sampled generate path, bypassing engine/batcher."""
+    from tspo_tpu.serve.server import ScoringService
+
+    class SamplingRecorder:
+        def __init__(self):
+            self.calls = []
+
+        def generate(self, frames, question, max_new_tokens=None,
+                     temperature=0.0, top_p=1.0, seed=None):
+            self.calls.append({"temperature": temperature, "top_p": top_p,
+                               "seed": seed, "max_new": max_new_tokens})
+            return f"sampled@{temperature}"
+
+    rec = SamplingRecorder()
+    svc = ScoringService(scorer=None, backbone=rec)
+    out = svc.chat_completion(
+        messages=[{"role": "user", "content": "hi"}],
+        temperature=0.7, top_p=0.9, seed=3)
+    assert out["choices"][0]["message"]["content"] == "sampled@0.7"
+    assert rec.calls[-1] == {"temperature": 0.7, "top_p": 0.9, "seed": 3,
+                             "max_new": None}
+
+    # /v1/answer passthrough (selection stubbed out: sampling is decode-side)
+    svc._select_frames = lambda *a, **k: (np.zeros((2, 8, 8, 3), np.uint8),
+                                          [0, 1], 2)
+    out = svc.answer(video_path="v.mp4", question="q?", temperature=1.2,
+                     top_p=0.5, seed=11, max_new_tokens=7)
+    assert out["answer"] == "sampled@1.2"
+    assert rec.calls[-1] == {"temperature": 1.2, "top_p": 0.5, "seed": 11,
+                             "max_new": 7}
+    # sampled chat sessions are refused loudly, not silently greedy
+    with pytest.raises(ValueError, match="temperature"):
+        svc.answer(video_path="v.mp4", question="q?", temperature=0.5,
+                   session_id="s1")
+
+
+def test_sampling_never_silently_greedy(server):
+    """A temperature>0 request against a backbone WITHOUT sampling support
+    errors out instead of answering greedily (silent-degradation guard)."""
+    base, _ = server
+    try:
+        _post(base + "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "temperature": 0.7})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code in (400, 500)

@@ -698,15 +698,31 @@ class LLaVAVideoModel:
 
     def generate(self, frames: np.ndarray, question: str,
                  max_new_tokens: int | None = None, prompt: str | None = None,
-                 audio: np.ndarray | None = None) -> str:
+                 audio: np.ndarray | None = None, temperature: float = 0.0,
+                 top_p: float = 1.0, seed: int | None = None) -> str:
         """Full reference generate path (llava_qwen.py:178-197 +
-        tspo_trainer.py:527-534): greedy, temperature 0.  ``audio`` (16 kHz
-        waveform) splices AudioTower tokens at the <audio> sentinel —
-        inserted after the <image> line when the default prompt is used."""
+        tspo_trainer.py:527-534): greedy at the default temperature 0;
+        ``temperature > 0`` routes to nucleus sampling (qwen2.sample_decode)
+        the way the reference adapter maps temperature to do_sample
+        (llava_vid.py:515-516) — every video benchmark pins 0, so greedy
+        stays the production path.  ``audio`` (16 kHz waveform) splices
+        AudioTower tokens at the <audio> sentinel — inserted after the
+        <image> line when the default prompt is used."""
         embeds, input_ids, max_new = self._prepare_generate(
             frames, question, max_new_tokens, prompt, audio)
         S = embeds.shape[1]
         valid = jnp.ones((1, S), bool)
+        if temperature and temperature > 0:
+            from .qwen2 import sample_decode
+            max_len = min(self.cfg.max_context, S + max_new + 8)
+            cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
+            toks, n = sample_decode(
+                self.params["lm"], embeds, valid, cache, self.cfg.lm,
+                max_new, jax.random.PRNGKey(0 if seed is None else seed),
+                float(temperature), float(top_p))
+            toks = np.asarray(toks)[: int(n)]
+            eos = self.cfg.lm.eos_token_id
+            return self.decode(toks[toks != eos].tolist())
         # clamp the draft to the remaining cache headroom: the speculative
         # verify block needs S + max_new + d slots; at zero residual
         # headroom fall back to plain greedy

@@ -486,6 +486,92 @@ def greedy_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
 
 
 # ---------------------------------------------------------------------------
+# Sampled decode (temperature / nucleus top-p)
+# ---------------------------------------------------------------------------
+
+def sample_token(logits, key, temperature, top_p):
+    """Nucleus sampling over [B, V] fp32 logits: temperature-scale, keep the
+    smallest prefix of descending-probability tokens whose mass reaches
+    ``top_p`` (the top-1 token always survives), sample from the renorm.
+
+    temperature/top_p are traced scalars — one compiled program serves every
+    setting.  temperature -> 0 converges to argmax (greedy); callers wanting
+    exact do_sample=False semantics should use the greedy functions instead
+    (HF GenerationConfig routes the same way)."""
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    order = jnp.argsort(scaled, axis=-1)[..., ::-1]           # desc
+    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+    sorted_p = jax.nn.softmax(sorted_logits, axis=-1)
+    prefix_mass = jnp.cumsum(sorted_p, axis=-1) - sorted_p    # exclusive
+    keep = prefix_mass < top_p                                # top-1 always
+    masked = jnp.where(keep, sorted_logits, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)     # [B]
+    return jnp.take_along_axis(order, choice[..., None],
+                               axis=-1)[..., 0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens"),
+         donate_argnames=("cache",))
+def sample_decode(params, prompt_embeds, prompt_valid, cache: KVCache,
+                  cfg: Qwen2Config, max_new_tokens: int, key,
+                  temperature, top_p, eos_token_id: int | None = None,
+                  prompt_rope_cos_sin: tuple | None = None,
+                  decode_pos_start=None):
+    """Sampled generation — :func:`greedy_decode`'s loop with the argmax
+    replaced by :func:`sample_token` and a PRNG key threaded through the
+    carry (one split per step; same stream for every row of a batch step,
+    distinct draws per row via the [B, V] categorical).  Mirrors the
+    reference backbone's ``do_sample=True, temperature=...`` generate
+    surface (llava_vid.py:515-516 routes temperature > 0 here); the video
+    benchmarks all pin temperature 0, so the greedy paths stay the
+    production default."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    B, S, D = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)
+    pos0 = n_prompt if decode_pos_start is None else \
+        jnp.broadcast_to(jnp.asarray(decode_pos_start), (B,))
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    positions = jnp.arange(S)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache, positions,
+                                  attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    key, sub = jax.random.split(key)
+    first_tok = sample_token(lm_logits(params, last_h, cfg), sub,
+                             temperature, top_p)
+
+    def cond(state):
+        i, tok, cache, out, done, key = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, tok, cache, out, done, key = state
+        out = out.at[:, i].set(jnp.where(done, eos, tok))
+        done = done | (tok == eos)
+        emb = embed_tokens(params, tok)[:, None, :].astype(prompt_embeds.dtype)
+        pos = (pos0 + i)[:, None]
+        av = (jnp.arange(T)[None, :] < cache.length + 1) & \
+             jnp.concatenate([prompt_valid,
+                              jnp.ones((B, T - S), bool)], axis=1)
+        h, cache = qwen2_forward(params, emb, cache, pos, av, cfg)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(lm_logits(params, h[:, -1], cfg), sub,
+                           temperature, top_p)
+        return i + 1, nxt, cache, out, done, key
+
+    out = jnp.full((B, max_new_tokens), eos, jnp.int32)
+    state = (jnp.int32(0), first_tok, cache, out, jnp.zeros((B,), bool), key)
+    i, tok, cache, out, done, key = jax.lax.while_loop(cond, body, state)
+    if B == 1:
+        return out[0], i
+    return out, i
+
+
+# ---------------------------------------------------------------------------
 # Chunked streaming decode (token-exact vs greedy_decode)
 # ---------------------------------------------------------------------------
 

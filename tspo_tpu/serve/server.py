@@ -285,7 +285,9 @@ class ScoringService:
             yield delta
 
     def chat_completion(self, *, messages: list, model: str = "local",
-                        max_tokens: int | None = None, **_ignored) -> dict:
+                        max_tokens: int | None = None,
+                        temperature: float = 0.0, top_p: float = 1.0,
+                        seed: int | None = None, **_ignored) -> dict:
         """OpenAI-compatible chat completion on the loaded backbone's
         text-only generate path — the zero-egress replacement for the
         reference's sglang judge launcher
@@ -295,6 +297,17 @@ class ScoringService:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
+        if temperature and float(temperature) > 0:
+            # OpenAI sampling params -> the backbone's sample_decode path;
+            # sampled requests bypass the (greedy, batched) engine.
+            # Conversation-history requests stay greedy: multi_round's
+            # prefix-KV decode has no sampling variant yet.
+            kwargs.update(temperature=float(temperature),
+                          top_p=float(top_p),
+                          seed=None if seed is None else int(seed))
+            return self._chat_completion_finish(
+                self._generate_text_sampled(
+                    self._chat_prompt(messages), kwargs), model)
         turns = self._chat_turns(messages)
         if turns is not None and hasattr(self.backbone,
                                          "generate_multi_round"):
@@ -306,6 +319,18 @@ class ScoringService:
                                                           **kwargs)
         else:
             text = self._generate_text(self._chat_prompt(messages), kwargs)
+        return self._chat_completion_finish(text, model)
+
+    def _generate_text_sampled(self, prompt: str, kwargs: dict) -> str:
+        """Text generate with sampling kwargs: solo device-locked (the
+        engine decodes greedy batches).  No TypeError fallback — silently
+        answering a temperature>0 request greedily is the
+        silent-degradation class this codebase rejects; backbones without
+        sampling raise and the client gets a named 4xx/5xx."""
+        with self._device_lock:
+            return self.backbone.generate(None, prompt, **kwargs)
+
+    def _chat_completion_finish(self, text: str, model: str) -> dict:
         with self._feat_lock:
             self.stats["requests"] += 1
             rid = self.stats["requests"]
@@ -712,10 +737,37 @@ class ScoringService:
     def answer(self, *, video_path: str, question: str, sample_num=None,
                method: str = "topk", window_size=None,
                max_new_tokens: int | None = None,
-               session_id: str | None = None) -> dict:
+               session_id: str | None = None,
+               temperature: float = 0.0, top_p: float = 1.0,
+               seed: int | None = None) -> dict:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
+        if temperature and float(temperature) > 0:
+            if session_id is not None:
+                raise ValueError("sampling (temperature > 0) is not "
+                                 "supported on chat sessions yet — drop "
+                                 "session_id or temperature")
+            sel, idx, n_frames = self._select_frames(video_path, question,
+                                                     sample_num, method,
+                                                     window_size)
+            # sampled requests run solo (the engine/batcher decode greedy);
+            # no fallback — a greedy answer to a sampled request would be
+            # the silent-degradation class this codebase rejects
+            kwargs = {"temperature": float(temperature),
+                      "top_p": float(top_p),
+                      "seed": None if seed is None else int(seed)}
+            if max_new_tokens:
+                kwargs["max_new_tokens"] = max_new_tokens
+            with self._device_lock:
+                answer = self.backbone.generate(sel, question, **kwargs)
+            with self._feat_lock:
+                self.stats["requests"] += 1
+                self.stats["frames_scored"] += n_frames
+            return {"answer": answer,
+                    "frame_indices": [int(i) for i in idx],
+                    "num_candidates": int(n_frames),
+                    "latency_s": round(time.perf_counter() - t0, 4)}
         if session_id is not None:
             if not hasattr(self.backbone, "new_conversation_state"):
                 raise ValueError("session_id needs a backbone with "
