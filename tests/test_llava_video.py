@@ -743,3 +743,25 @@ def test_generate_sampled_top1_matches_greedy(jax_model):
     b = jax_model.generate(frames, "Describe.", max_new_tokens=4,
                            temperature=2.0, seed=9)
     assert a == b
+
+
+def test_unseeded_sampling_draws_fresh_key(jax_model, monkeypatch):
+    """seed=None must mean a fresh draw per call (OpenAI/HF do_sample
+    semantics), not PRNGKey(0) — else every unseeded sampled request with
+    the same prompt returns the identical completion (advisor round-4
+    finding).  Explicit seeds stay deterministic."""
+    from tspo_tpu.models import qwen2
+    keys = []
+
+    def fake_sample_decode(params, embeds, valid, cache, cfg, max_new,
+                           key, temperature, top_p):
+        keys.append(np.asarray(key))
+        return jnp.array([5], jnp.int32), 1
+
+    monkeypatch.setattr(qwen2, "sample_decode", fake_sample_decode)
+    frames = np.zeros((2, 40, 56, 3), np.uint8)
+    for seed in (None, None, 9, 9):
+        jax_model.generate(frames, "Describe.", max_new_tokens=2,
+                           temperature=1.0, seed=seed)
+    assert not np.array_equal(keys[0], keys[1])   # fresh draw per call
+    assert np.array_equal(keys[2], keys[3])       # explicit seed pinned

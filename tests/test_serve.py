@@ -546,3 +546,53 @@ def test_sampling_never_silently_greedy(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code in (400, 500)
+
+
+def test_streaming_rejects_sampling(server):
+    """"stream": true + temperature>0 must 400 loudly on BOTH endpoints —
+    streaming decode has no sampling variant, and silently streaming a
+    greedy answer for a sampled request is the silent-degradation class
+    the non-streaming paths reject (advisor round-4 finding)."""
+    base, video = server
+    for url, payload in [
+        (base + "/v1/answer",
+         {"video_path": video, "question": "q", "sample_num": 8,
+          "stream": True, "temperature": 0.7}),
+        (base + "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "hi"}],
+          "stream": True, "temperature": 0.7, "top_p": 0.9}),
+    ]:
+        try:
+            _post(url, payload)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "temperature" in json.loads(e.read())["error"]
+
+
+def test_sampled_chat_history_keeps_roles():
+    """temperature>0 with assistant turns in the history must NOT flatten
+    the dialog role-less: past rounds render as User:/Assistant: blocks
+    (the sampled path bypasses generate_multi_round)."""
+    from tspo_tpu.serve.server import ScoringService
+
+    class PromptRecorder:
+        prompts: list = []
+
+        def generate(self, frames, question, max_new_tokens=None,
+                     temperature=0.0, top_p=1.0, seed=None):
+            self.prompts.append(question)
+            return "ok"
+
+    rec = PromptRecorder()
+    svc = ScoringService(scorer=None, backbone=rec)
+    out = svc.chat_completion(
+        messages=[{"role": "user", "content": "first q"},
+                  {"role": "assistant", "content": "first a"},
+                  {"role": "user", "content": "second q"}],
+        temperature=0.8)
+    assert out["choices"][0]["message"]["content"] == "ok"
+    prompt = rec.prompts[-1]
+    assert "User: first q" in prompt
+    assert "Assistant: first a" in prompt
+    assert prompt.rstrip().endswith("second q")

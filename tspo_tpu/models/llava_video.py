@@ -599,7 +599,10 @@ class LLaVAVideoModel:
         ``generate(audio=...)`` and the audio-visual benchmarks' harness
         routing (eval/harness.py) light up.  Returns self for chaining."""
         from .audio import audio_llm_from_torch
-        proj_dtype = jax.tree_util.tree_leaves(self.params["lm"])[0].dtype
+        # the embedding table stays in the compute dtype under int8
+        # weight-only quantization, so it names the projector dtype
+        # directly (the first tree leaf only happens to today)
+        proj_dtype = self.params["lm"]["embedding"].dtype
         tower, proj = audio_llm_from_torch(
             model_or_sd, audio_cfg, dtype=dtype, proj_dtype=proj_dtype)
         hidden = self.cfg.lm.hidden_size
@@ -716,9 +719,15 @@ class LLaVAVideoModel:
             from .qwen2 import sample_decode
             max_len = min(self.cfg.max_context, S + max_new + 8)
             cache = KVCache.create(self.cfg.lm, 1, max_len, embeds.dtype)
+            if seed is None:
+                # OpenAI/HF do_sample semantics: no seed means a fresh
+                # draw per call (repeat-sampling must differ); explicit
+                # seeds stay deterministic
+                import os as _os
+                seed = int.from_bytes(_os.urandom(4), "little")
             toks, n = sample_decode(
                 self.params["lm"], embeds, valid, cache, self.cfg.lm,
-                max_new, jax.random.PRNGKey(0 if seed is None else seed),
+                max_new, jax.random.PRNGKey(int(seed)),
                 float(temperature), float(top_p))
             toks = np.asarray(toks)[: int(n)]
             eos = self.cfg.lm.eos_token_id

@@ -228,6 +228,21 @@ class ScoringService:
         return (system + "\n\n" + user).strip() if system else user
 
     @staticmethod
+    def _render_turns(turns: list) -> str:
+        """Role-labeled flatten of _chat_turns output for paths that must
+        go through the single-prompt generate (e.g. sampled decode, which
+        has no multi-round variant): past rounds render as
+        ``User:/Assistant:`` blocks so the model sees the dialog
+        structure, ending with the open user turn."""
+        parts = []
+        for q, a in turns:
+            if a is None:
+                parts.append(q)
+            else:
+                parts.append(f"User: {q}\nAssistant: {a}")
+        return "\n\n".join(parts)
+
+    @staticmethod
     def _chat_turns(messages: list):
         """OpenAI messages -> multi-round turns [(q, a), ..., (q, None)],
         or None when the history carries no assistant turn (the
@@ -305,9 +320,15 @@ class ScoringService:
             kwargs.update(temperature=float(temperature),
                           top_p=float(top_p),
                           seed=None if seed is None else int(seed))
+            # conversation histories keep their role structure even on the
+            # sampled path (which bypasses generate_multi_round): render
+            # role-labeled turns instead of flattening assistant turns
+            # into the user blob
+            turns = self._chat_turns(messages)
+            prompt = (self._render_turns(turns) if turns is not None
+                      else self._chat_prompt(messages))
             return self._chat_completion_finish(
-                self._generate_text_sampled(
-                    self._chat_prompt(messages), kwargs), model)
+                self._generate_text_sampled(prompt, kwargs), model)
         turns = self._chat_turns(messages)
         if turns is not None and hasattr(self.backbone,
                                          "generate_multi_round"):
@@ -349,6 +370,8 @@ class ScoringService:
     def chat_completion_stream(self, *, messages: list,
                                model: str = "local",
                                max_tokens: int | None = None,
+                               temperature: float = 0.0,
+                               top_p: float = 1.0,
                                **_ignored):
         """SSE variant of chat_completion ("stream": true): yields
         OpenAI-format chat.completion.chunk dicts, one per decoded text
@@ -358,6 +381,12 @@ class ScoringService:
         is still valid SSE to any OpenAI client."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
+        if temperature and float(temperature) > 0:
+            # loud, not silently greedy: the chunked streaming decode has
+            # no sampling variant (mirrors the non-streaming guards)
+            raise ValueError("sampled streaming unsupported: "
+                             "set temperature=0 or stream=false")
+        del top_p                      # meaningful only with temperature>0
         prompt = self._chat_prompt(messages)
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         with self._feat_lock:
@@ -800,7 +829,9 @@ class ScoringService:
     def answer_stream(self, *, video_path: str, question: str,
                       sample_num=None, method: str = "topk",
                       window_size=None, max_new_tokens: int | None = None,
-                      session_id: str | None = None, **_ignored):
+                      session_id: str | None = None,
+                      temperature: float = 0.0, top_p: float = 1.0,
+                      **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
@@ -812,6 +843,12 @@ class ScoringService:
         selection and follow-up rounds prefill only the new turn."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
+        if temperature and float(temperature) > 0:
+            # loud, not silently greedy: the chunked streaming decode has
+            # no sampling variant (mirrors the non-streaming guards)
+            raise ValueError("sampled streaming unsupported: "
+                             "set temperature=0 or stream=false")
+        del top_p                      # meaningful only with temperature>0
         t0 = time.perf_counter()
         if session_id is not None:
             if not (hasattr(self.backbone, "new_conversation_state") and
