@@ -33,14 +33,24 @@ def test_measure_attribution_smoke():
     ids = jnp.asarray(rng.integers(1, clip_cfg.text.vocab_size - 1, (1, 16)),
                       jnp.int32).at[0, -1].set(clip_cfg.text.eos_token_id)
     valid = jnp.ones(BUCKET, bool)
-    out = bench.measure_attribution(cp, sp, clip_cfg, sel_cfg, frames, ids,
-                                    valid, CHUNK, BUCKET, n_iters=1)
-    for key in ("preprocess_ms", "text_tower_ms", "vision_tower_ms",
-                "attention_only_ms", "selector_topk_ms", "unfused_sum_ms",
-                "vision_matmul_ms"):
-        assert key in out and np.isfinite(out[key]) and out[key] >= 0, key
-    # consistency, not timing precision: under full-suite CPU load the
-    # per-stage wall clocks jitter by milliseconds (flaked at abs=0.2)
-    assert out["unfused_sum_ms"] == pytest.approx(
-        out["preprocess_ms"] + out["text_tower_ms"] + out["vision_tower_ms"]
-        + out["selector_topk_ms"], rel=0.5, abs=5.0)
+    # consistency, not timing precision: under full-suite CPU load a stage's
+    # wall clock can be starved for tens of ms on this 1-core host (flaked
+    # at abs=0.2, then at abs=5.0 with concurrent heavy jobs) — retry the
+    # measurement a few times; any contention-free pass pins the property
+    last_err = None
+    for _ in range(3):
+        out = bench.measure_attribution(cp, sp, clip_cfg, sel_cfg, frames,
+                                        ids, valid, CHUNK, BUCKET, n_iters=1)
+        for key in ("preprocess_ms", "text_tower_ms", "vision_tower_ms",
+                    "attention_only_ms", "selector_topk_ms", "unfused_sum_ms",
+                    "vision_matmul_ms"):
+            assert key in out and np.isfinite(out[key]) and out[key] >= 0, key
+        try:
+            assert out["unfused_sum_ms"] == pytest.approx(
+                out["preprocess_ms"] + out["text_tower_ms"]
+                + out["vision_tower_ms"] + out["selector_topk_ms"],
+                rel=0.5, abs=5.0)
+            return
+        except AssertionError as e:
+            last_err = e
+    raise last_err

@@ -765,3 +765,17 @@ def test_unseeded_sampling_draws_fresh_key(jax_model, monkeypatch):
                            temperature=1.0, seed=seed)
     assert not np.array_equal(keys[0], keys[1])   # fresh draw per call
     assert np.array_equal(keys[2], keys[3])       # explicit seed pinned
+
+
+def test_generate_stream_sampled_joins_to_generate(jax_model):
+    """temperature>0 on generate_stream routes to sample_decode_stream;
+    at a fixed seed the joined deltas equal the fused sampled generate's
+    answer (token-exact stream + prefix detokenization)."""
+    frames = np.random.default_rng(21).integers(
+        0, 256, (3, 40, 56, 3), dtype=np.uint8)
+    want = jax_model.generate(frames, "Describe.", max_new_tokens=6,
+                              temperature=2.0, seed=4)
+    got = "".join(jax_model.generate_stream(
+        frames, "Describe.", max_new_tokens=6, chunk=2,
+        temperature=2.0, seed=4))
+    assert got == want

@@ -540,3 +540,54 @@ def test_sample_tokens_in_vocab_and_eos_pads(params):
     if eos in toks[: int(n)]:
         pytest.fail("returned n should exclude post-eos pads")
     assert (toks[int(n):] == eos).all() or int(n) == 16
+
+
+@pytest.mark.parametrize("seed,chunk", [(3, 1), (4, 4), (5, 5)])
+def test_sample_stream_matches_fused(params, seed, chunk):
+    """Concatenated sample-stream chunks are token-exact vs the fused
+    sample_decode at equal key/temperature/top_p — the key-split order per
+    emitted token is identical across both paths, across chunk sizes incl.
+    non-divisors of max_new_tokens."""
+    from tspo_tpu.models.qwen2 import sample_decode, sample_decode_stream
+    ids, embeds, valid, mk, max_new = _stream_setup(params, seed,
+                                                    chunk=chunk)
+    want, n_want = sample_decode(params, embeds, valid, mk(8), CFG,
+                                 max_new, jax.random.PRNGKey(seed),
+                                 2.0, 0.9, eos_token_id=-7)
+    got = np.concatenate(list(sample_decode_stream(
+        params, embeds, valid, mk(), CFG, max_new, jax.random.PRNGKey(seed),
+        2.0, 0.9, eos_token_id=-7, chunk=chunk)), axis=1)
+    assert got.shape == (1, max_new)
+    np.testing.assert_array_equal(got[0], np.asarray(want))
+
+
+def test_sample_stream_eos_early_stop(params):
+    """EOS mid-sample-stream: eos-padding parity with the fused loop and an
+    early generator stop once the row is done."""
+    from tspo_tpu.models.qwen2 import sample_decode, sample_decode_stream
+    ids, embeds, valid, mk, max_new = _stream_setup(params, 7, chunk=2)
+    key = jax.random.PRNGKey(11)
+    free, _ = sample_decode(params, embeds, valid, mk(8), CFG, max_new,
+                            key, 2.0, 1.0, eos_token_id=-7)
+    eos = int(np.asarray(free)[3])            # a token it does emit
+    want, n_want = sample_decode(params, embeds, valid, mk(8), CFG,
+                                 max_new, key, 2.0, 1.0, eos_token_id=eos)
+    chunks = list(sample_decode_stream(params, embeds, valid, mk(), CFG,
+                                       max_new, key, 2.0, 1.0,
+                                       eos_token_id=eos, chunk=2))
+    got = np.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(got[0, : got.shape[1]],
+                                  np.asarray(want)[: got.shape[1]])
+    assert (got[0, int(n_want):] == eos).all()
+    assert len(chunks) <= -(-int(n_want) // 2) + 1
+
+
+def test_sample_stream_rejects_small_cache(params):
+    from tspo_tpu.models.qwen2 import sample_decode_stream
+    ids, embeds, valid, _, max_new = _stream_setup(params, 8, chunk=4)
+    small = KVCache.create(CFG, 1, embeds.shape[1] + max_new - 1,
+                           jnp.float32)
+    with pytest.raises(ValueError, match="stream cache"):
+        next(iter(sample_decode_stream(params, embeds, valid, small, CFG,
+                                       max_new, jax.random.PRNGKey(0),
+                                       1.0, 1.0, chunk=4)))

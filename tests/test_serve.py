@@ -548,11 +548,14 @@ def test_sampling_never_silently_greedy(server):
         assert e.code in (400, 500)
 
 
-def test_streaming_rejects_sampling(server):
-    """"stream": true + temperature>0 must 400 loudly on BOTH endpoints —
-    streaming decode has no sampling variant, and silently streaming a
-    greedy answer for a sampled request is the silent-degradation class
-    the non-streaming paths reject (advisor round-4 finding)."""
+def test_streaming_rejects_sampling_without_support(server):
+    """"stream": true + temperature>0 against a backbone whose
+    generate_stream can't sample (the stub has none at all) must 400
+    loudly on BOTH endpoints — silently streaming a greedy answer for a
+    sampled request is the silent-degradation class the non-streaming
+    paths reject (advisor round-4 finding).  Backbones WITH sampled
+    streaming ride sample_decode_stream instead
+    (test_sampled_streaming_end_to_end)."""
     base, video = server
     for url, payload in [
         (base + "/v1/answer",
@@ -596,3 +599,70 @@ def test_sampled_chat_history_keeps_roles():
     assert "User: first q" in prompt
     assert "Assistant: first a" in prompt
     assert prompt.rstrip().endswith("second q")
+
+
+def test_sampled_streaming_end_to_end(tmp_path_factory):
+    """temperature>0 + stream:true rides the backbone's sampled
+    generate_stream (solo, engine bypassed) on BOTH endpoints; a **kwargs
+    sink does NOT count as support (signature probe).  Chat histories keep
+    role labels on the sampled stream path."""
+    root = tmp_path_factory.mktemp("sampled_stream")
+    path = str(root / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 48))
+    for i in range(60):
+        w.write(np.full((48, 48, 3), (i * 4) % 255, np.uint8))
+    w.release()
+
+    class SampledStreamBackbone(StubBackbone):
+        prompts: list = []
+
+        def generate_stream(self, frames, question, max_new_tokens=None,
+                            temperature=0.0, top_p=1.0, seed=None):
+            self.prompts.append(question)
+            yield f"t={temperature}"
+            yield f" p={top_p}"
+            yield f" s={seed}"
+
+    scorer = build_random_scorer(seed=0, clip_cfg=CLIP_CFG,
+                                 selector_cfg=SEL_CFG, dtype=jnp.float32,
+                                 tokenize=_tokenize, batch_frames=32,
+                                 frame_buckets=(64,))
+    svc = ScoringService(scorer=scorer, backbone=SampledStreamBackbone())
+    srv = create_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, events = _post_sse(base + "/v1/answer",
+                              {"video_path": path, "question": "q?",
+                               "sample_num": 8, "stream": True,
+                               "temperature": 0.8, "top_p": 0.9, "seed": 5})
+        msgs = [json.loads(e) for e in events[:-1]]
+        assert msgs[0].get("event") == "frames"
+        text = "".join(m.get("delta", "") for m in msgs)
+        assert text == "t=0.8 p=0.9 s=5"
+        assert msgs[-1].get("event") == "done"
+
+        _, events = _post_sse(base + "/v1/chat/completions", {
+            "stream": True, "temperature": 0.6,
+            "messages": [{"role": "user", "content": "q1"},
+                         {"role": "assistant", "content": "a1"},
+                         {"role": "user", "content": "q2"}]})
+        chunks = [json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert text.startswith("t=0.6")
+        assert "User: q1" in svc.backbone.prompts[-1]     # roles rendered
+        assert "Assistant: a1" in svc.backbone.prompts[-1]
+    finally:
+        srv.shutdown()
+
+    # a **kwargs-sink generate_stream is NOT sampled-streaming support
+    class KwargsSink(StubBackbone):
+        def generate_stream(self, frames, question, max_new_tokens=None,
+                            **kw):
+            yield "greedy"
+
+    svc2 = ScoringService(scorer=None, backbone=KwargsSink())
+    with pytest.raises(ValueError, match="temperature"):
+        next(svc2.chat_completion_stream(
+            messages=[{"role": "user", "content": "hi"}], temperature=0.5))

@@ -785,6 +785,105 @@ def greedy_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
         yield np.asarray(out)[:, :n]
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def sample_prefill(params, prompt_embeds, prompt_valid, cache: KVCache,
+                   cfg: Qwen2Config, key, temperature, top_p,
+                   prompt_rope_cos_sin: tuple | None = None,
+                   decode_pos_start=None):
+    """The prefill half of :func:`sample_decode`, split out for streaming:
+    identical forward pass to :func:`decode_prefill` but the first token is
+    drawn with :func:`sample_token`.  One key split per emitted token, same
+    order as the fused loop, so a streamed decode from the same seed is
+    token-exact vs :func:`sample_decode`.  Returns
+    (first_tok [B], cache, pos0 [B], key)."""
+    B, S, _ = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)
+    pos0 = n_prompt if decode_pos_start is None else \
+        jnp.broadcast_to(jnp.asarray(decode_pos_start), (B,))
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache,
+                                  jnp.arange(S), attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    key, sub = jax.random.split(key)
+    first_tok = sample_token(lm_logits(params, last_h, cfg), sub,
+                             temperature, top_p)
+    return first_tok, cache, pos0, key
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"),
+         donate_argnames=("cache",))
+def sample_chunk(params, tok, cache: KVCache, pos0, i0, prompt_valid, done,
+                 key, cfg: Qwen2Config, chunk: int, eos, temperature, top_p):
+    """``chunk`` sampled decode steps — :func:`decode_chunk` with the argmax
+    replaced by :func:`sample_token` and the PRNG key in the carry (one
+    split per step, matching :func:`sample_decode`'s body so concatenated
+    chunks reproduce the fused loop token-for-token at equal seed)."""
+    B = tok.shape[0]
+    T = cache.k.shape[2]
+    S = prompt_valid.shape[1]
+    dtype = cache.k.dtype
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+
+    def body(j, state):
+        tok, cache, out, done, key = state
+        out = out.at[:, j].set(jnp.where(done, eos, tok))
+        done = done | (tok == eos)
+        emb = embed_tokens(params, tok)[:, None, :].astype(dtype)
+        pos = (pos0 + i0 + j)[:, None]
+        av = (jnp.arange(T)[None, :] < cache.length + 1) & \
+            jnp.concatenate([prompt_valid,
+                             jnp.ones((B, T - S), bool)], axis=1)
+        h, cache = qwen2_forward(params, emb, cache, pos, av, cfg)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(lm_logits(params, h[:, -1], cfg), sub,
+                           temperature, top_p)
+        return nxt, cache, out, done, key
+
+    out = jnp.full((B, chunk), eos, jnp.int32)
+    tok, cache, out, done, key = jax.lax.fori_loop(
+        0, chunk, body, (tok, cache, out, done, key))
+    return out, tok, cache, done, key
+
+
+def sample_decode_stream(params, prompt_embeds, prompt_valid, cache: KVCache,
+                         cfg: Qwen2Config, max_new_tokens: int, key,
+                         temperature, top_p, eos_token_id: int | None = None,
+                         chunk: int = 8,
+                         prompt_rope_cos_sin: tuple | None = None,
+                         decode_pos_start=None):
+    """Generator over sampled decode: yields np.int32 [B, <=chunk] blocks,
+    token-exact vs :func:`sample_decode` at the same key/temperature/top_p
+    (pinned by tests/test_qwen2.py::test_sample_stream_matches_fused) —
+    the streaming side of the OpenAI ``stream: true, temperature > 0``
+    surface.  Same cache-capacity contract as :func:`greedy_decode_stream`."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    S = prompt_embeds.shape[1]
+    n_chunks = -(-max_new_tokens // chunk)
+    if cache.k.shape[2] < S + n_chunks * chunk:
+        raise ValueError(
+            f"stream cache needs >= {S + n_chunks * chunk} slots "
+            f"(S={S} + {n_chunks}x{chunk}), got {cache.k.shape[2]}")
+    tok, cache, pos0, key = sample_prefill(
+        params, prompt_embeds, prompt_valid, cache, cfg, key,
+        temperature, top_p, prompt_rope_cos_sin=prompt_rope_cos_sin,
+        decode_pos_start=decode_pos_start)
+    B = tok.shape[0]
+    done = jnp.zeros((B,), bool)
+    for c in range(n_chunks):
+        if bool(jnp.all(done)):
+            return
+        out, tok, cache, done, key = sample_chunk(
+            params, tok, cache, pos0, jnp.int32(c * chunk), prompt_valid,
+            done, key, cfg, chunk, jnp.int32(eos), temperature, top_p)
+        n = min(chunk, max_new_tokens - c * chunk)
+        yield np.asarray(out)[:, :n]
+
+
 def stream_detokenize(blocks, decode, eos_id: int):
     """Turn a :func:`greedy_decode_stream` block iterator into TEXT DELTAS
     whose concatenation equals decoding the full token sequence at once —

@@ -227,6 +227,18 @@ class ScoringService:
                          if m.get("role") != "system")
         return (system + "\n\n" + user).strip() if system else user
 
+    def _require_sampled_stream(self):
+        """Raise unless the backbone's generate_stream explicitly takes
+        ``temperature`` — a **kwargs sink would swallow the sampling params
+        and stream greedy, the silent-degradation class this codebase
+        rejects (advisor round-4 finding)."""
+        import inspect
+        fn = getattr(self.backbone, "generate_stream", None)
+        if fn is None or \
+                "temperature" not in inspect.signature(fn).parameters:
+            raise ValueError("sampled streaming unsupported on this "
+                             "backbone: set temperature=0 or stream=false")
+
     @staticmethod
     def _render_turns(turns: list) -> str:
         """Role-labeled flatten of _chat_turns output for paths that must
@@ -372,6 +384,7 @@ class ScoringService:
                                max_tokens: int | None = None,
                                temperature: float = 0.0,
                                top_p: float = 1.0,
+                               seed: int | None = None,
                                **_ignored):
         """SSE variant of chat_completion ("stream": true): yields
         OpenAI-format chat.completion.chunk dicts, one per decoded text
@@ -381,14 +394,22 @@ class ScoringService:
         is still valid SSE to any OpenAI client."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
-        if temperature and float(temperature) > 0:
-            # loud, not silently greedy: the chunked streaming decode has
-            # no sampling variant (mirrors the non-streaming guards)
-            raise ValueError("sampled streaming unsupported: "
-                             "set temperature=0 or stream=false")
-        del top_p                      # meaningful only with temperature>0
-        prompt = self._chat_prompt(messages)
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
+        sampled = bool(temperature and float(temperature) > 0)
+        if sampled:
+            # sampled streaming rides sample_decode_stream via the
+            # backbone's generate_stream; backbones without an explicit
+            # temperature parameter fail loud BEFORE headers go out,
+            # never silently greedy (advisor round-4 finding)
+            self._require_sampled_stream()
+            kwargs.update(temperature=float(temperature),
+                          top_p=float(top_p),
+                          seed=None if seed is None else int(seed))
+            turns = self._chat_turns(messages)
+            prompt = (self._render_turns(turns) if turns is not None
+                      else self._chat_prompt(messages))
+        else:
+            prompt = self._chat_prompt(messages)
         with self._feat_lock:
             self.stats["requests"] += 1
             cid = f"chatcmpl-{self.stats['requests']}"
@@ -401,6 +422,14 @@ class ScoringService:
 
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
+        if sampled:
+            # solo device-locked: the engine and multi-round paths decode
+            # greedy batches; the role-rendered prompt (built above) keeps
+            # dialog structure without generate_multi_round
+            for delta in self._locked_stream(stream(None, prompt, **kwargs)):
+                yield chunk({"content": delta})
+            yield chunk({}, finish="stop")
+            return
         turns = self._chat_turns(messages)
         if turns is not None and hasattr(self.backbone,
                                          "generate_multi_round_stream"):
@@ -831,7 +860,7 @@ class ScoringService:
                       window_size=None, max_new_tokens: int | None = None,
                       session_id: str | None = None,
                       temperature: float = 0.0, top_p: float = 1.0,
-                      **_ignored):
+                      seed: int | None = None, **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
@@ -843,12 +872,14 @@ class ScoringService:
         selection and follow-up rounds prefill only the new turn."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
-        if temperature and float(temperature) > 0:
-            # loud, not silently greedy: the chunked streaming decode has
-            # no sampling variant (mirrors the non-streaming guards)
-            raise ValueError("sampled streaming unsupported: "
-                             "set temperature=0 or stream=false")
-        del top_p                      # meaningful only with temperature>0
+        sampled = bool(temperature and float(temperature) > 0)
+        if sampled:
+            if session_id is not None:
+                # multi_round's prefix-KV decode has no sampling variant
+                raise ValueError("sampled streaming has no conversation "
+                                 "mode: drop session_id or set "
+                                 "temperature=0")
+            self._require_sampled_stream()   # loud, never silently greedy
         t0 = time.perf_counter()
         if session_id is not None:
             if not (hasattr(self.backbone, "new_conversation_state") and
@@ -870,6 +901,19 @@ class ScoringService:
                "num_candidates": int(n_frames)}
         kwargs = {"max_new_tokens": max_new_tokens} if max_new_tokens else {}
         stream = getattr(self.backbone, "generate_stream", None)
+        if sampled:
+            kwargs.update(temperature=float(temperature),
+                          top_p=float(top_p),
+                          seed=None if seed is None else int(seed))
+            # solo device-locked: the engine decodes greedy batches
+            for delta in self._locked_stream(stream(sel, question, **kwargs)):
+                yield {"delta": delta}
+            with self._feat_lock:
+                self.stats["requests"] += 1
+                self.stats["frames_scored"] += n_frames
+            yield {"event": "done",
+                   "latency_s": round(time.perf_counter() - t0, 4)}
+            return
         deltas = (self._engine_answer_stream(sel, question, max_new_tokens)
                   if self._engine is not None else None)
         if deltas is not None:
