@@ -779,3 +779,27 @@ def test_generate_stream_sampled_joins_to_generate(jax_model):
         frames, "Describe.", max_new_tokens=6, chunk=2,
         temperature=2.0, seed=4))
     assert got == want
+
+
+def test_multi_round_sampled(jax_model):
+    """temperature>0 on generate_multi_round: stateless rounds ride the
+    conversation template through the sampled generate (seed-deterministic,
+    stream joins equal), prefix-KV state is refused loudly."""
+    frames = np.random.default_rng(31).integers(
+        0, 256, (3, 40, 56, 3), dtype=np.uint8)
+    turns = [("What is shown?", "A scene."), ("And then?", None)]
+    a = jax_model.generate_multi_round(frames, turns, max_new_tokens=5,
+                                       temperature=2.0, seed=6)
+    b = jax_model.generate_multi_round(frames, turns, max_new_tokens=5,
+                                       temperature=2.0, seed=6)
+    assert a == b
+    got = "".join(jax_model.generate_multi_round_stream(
+        frames, turns, max_new_tokens=5, chunk=2, temperature=2.0, seed=6))
+    assert got == a
+    state = jax_model.new_conversation_state()
+    with pytest.raises(ValueError, match="prefix-KV"):
+        jax_model.generate_multi_round(frames, turns, max_new_tokens=5,
+                                       temperature=2.0, seed=6, state=state)
+    with pytest.raises(ValueError, match="prefix-KV"):
+        next(jax_model.generate_multi_round_stream(
+            frames, turns, max_new_tokens=5, temperature=2.0, state=state))

@@ -286,9 +286,33 @@ def test_speculative_capacity_clamp_and_fallback(jax_model, video_inputs):
 def test_generate_stream_matches_generate(jax_model, video_inputs):
     """''.join(generate_stream deltas) == generate output (m-rope prompt
     tables threaded through the chunked decode)."""
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
     want = jax_model.generate(video_inputs, "What?", max_new_tokens=6)
     for chunk in (2, 8):
         got = "".join(jax_model.generate_stream(video_inputs, "What?",
                                                 max_new_tokens=6,
                                                 chunk=chunk))
         assert got == want, (chunk, got, want)
+
+
+def test_generate_sampled_and_stream_parity(jax_model, video_inputs):
+    """temperature>0 routes generate to sample_decode (m-rope threaded):
+    a vanishing nucleus reproduces greedy; a fixed seed is deterministic;
+    and the sampled stream's joined deltas equal the fused sampled
+    generate at equal seed."""
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    greedy = jax_model.generate(video_inputs, "What?", max_new_tokens=5)
+    top1 = jax_model.generate(video_inputs, "What?", max_new_tokens=5,
+                              temperature=5.0, top_p=1e-9)
+    assert top1 == greedy
+    a = jax_model.generate(video_inputs, "What?", max_new_tokens=5,
+                           temperature=2.0, seed=3)
+    b = jax_model.generate(video_inputs, "What?", max_new_tokens=5,
+                           temperature=2.0, seed=3)
+    assert a == b
+    got = "".join(jax_model.generate_stream(video_inputs, "What?",
+                                            max_new_tokens=5, chunk=2,
+                                            temperature=2.0, seed=3))
+    assert got == a

@@ -666,3 +666,51 @@ def test_sampled_streaming_end_to_end(tmp_path_factory):
     with pytest.raises(ValueError, match="temperature"):
         next(svc2.chat_completion_stream(
             messages=[{"role": "user", "content": "hi"}], temperature=0.5))
+
+
+def test_sampled_chat_rides_multi_round_template():
+    """A backbone whose generate_multi_round(_stream) accepts temperature
+    gets sampled conversation histories as TURNS (the real template), not
+    a flattened prompt — plain and streaming."""
+    from tspo_tpu.serve.server import ScoringService
+
+    class MRBackbone(StubBackbone):
+        def __init__(self):
+            self.mr_calls = []
+
+        def generate(self, frames, question, max_new_tokens=None,
+                     temperature=0.0, top_p=1.0, seed=None):
+            return "flat"
+
+        def generate_stream(self, frames, question, max_new_tokens=None,
+                            temperature=0.0, top_p=1.0, seed=None):
+            yield "flat-stream"
+
+        def generate_multi_round(self, frames, turns, max_new_tokens=None,
+                                 temperature=0.0, top_p=1.0, seed=None,
+                                 state=None):
+            self.mr_calls.append(("plain", turns, temperature))
+            return "mr"
+
+        def generate_multi_round_stream(self, frames, turns,
+                                        max_new_tokens=None,
+                                        temperature=0.0, top_p=1.0,
+                                        seed=None, state=None, chunk=8):
+            self.mr_calls.append(("stream", turns, temperature))
+            yield "mr-stream"
+
+    svc = ScoringService(scorer=None, backbone=MRBackbone())
+    msgs = [{"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "a1"},
+            {"role": "user", "content": "q2"}]
+    out = svc.chat_completion(messages=msgs, temperature=0.7, seed=2)
+    assert out["choices"][0]["message"]["content"] == "mr"
+    kind, turns, temp = svc.backbone.mr_calls[-1]
+    assert kind == "plain" and temp == 0.7
+    assert turns == [("q1", "a1"), ("q2", None)]
+
+    chunks = list(svc.chat_completion_stream(messages=msgs, temperature=0.7))
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == "mr-stream"
+    assert svc.backbone.mr_calls[-1][0] == "stream"

@@ -317,7 +317,9 @@ class LLaVAVideoModel:
 
     def generate_multi_round(self, frames: np.ndarray, turns,
                              max_new_tokens: int | None = None,
-                             state: "ConversationState | None" = None) -> str:
+                             state: "ConversationState | None" = None,
+                             temperature: float = 0.0, top_p: float = 1.0,
+                             seed: int | None = None) -> str:
         """Multi-round chat over one video: ``turns`` is
         [(question, answer), ..., (question, None)] — earlier QA pairs ride
         the conversation template as context, the video splices once at the
@@ -334,6 +336,17 @@ class LLaVAVideoModel:
         (tests/test_llava_video.py)."""
         from .conversation import build_prompt_multi
         prompt = build_prompt_multi(turns, self.conv_template)
+        if temperature and temperature > 0:
+            if state is not None:
+                # the prefix-KV continue decode has no sampling variant;
+                # loud, never silently greedy (codebase rule)
+                raise ValueError("sampled conversation rounds don't ride "
+                                 "prefix-KV state: pass state=None (full "
+                                 "re-prefill) or temperature=0")
+            return self.generate(frames, question="", prompt=prompt,
+                                 max_new_tokens=max_new_tokens,
+                                 temperature=temperature, top_p=top_p,
+                                 seed=seed)
         if state is None:
             return self.generate(frames, question="", prompt=prompt,
                                  max_new_tokens=max_new_tokens)
@@ -369,7 +382,10 @@ class LLaVAVideoModel:
     def generate_multi_round_stream(self, frames, turns,
                                     max_new_tokens: int | None = None,
                                     state: "ConversationState | None" = None,
-                                    chunk: int = 8):
+                                    chunk: int = 8,
+                                    temperature: float = 0.0,
+                                    top_p: float = 1.0,
+                                    seed: int | None = None):
         """Streaming :meth:`generate_multi_round`: yields TEXT DELTAS whose
         concatenation equals the non-stream call token-for-token (same
         prefix detokenization as generate_stream).  With ``state`` the
@@ -380,6 +396,18 @@ class LLaVAVideoModel:
         full re-prefill next round, never holding a half-written cache."""
         from .conversation import build_prompt_multi
         prompt = build_prompt_multi(turns, self.conv_template)
+        if temperature and temperature > 0:
+            if state is not None:
+                raise ValueError("sampled conversation rounds don't ride "
+                                 "prefix-KV state: pass state=None (full "
+                                 "re-prefill) or temperature=0")
+            yield from self.generate_stream(frames, question="",
+                                            prompt=prompt,
+                                            max_new_tokens=max_new_tokens,
+                                            chunk=chunk,
+                                            temperature=temperature,
+                                            top_p=top_p, seed=seed)
+            return
         if state is None:
             yield from self.generate_stream(frames, question="",
                                             prompt=prompt,

@@ -450,14 +450,31 @@ class Qwen25VLModel:
         return emb, ids, rope_kwargs, min(max_new, headroom)
 
     def generate(self, frames: np.ndarray, question: str,
-                 max_new_tokens: int | None = None) -> str:
+                 max_new_tokens: int | None = None,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 seed: int | None = None) -> str:
         """TSPO transfer path (demo/qwen25vl_tspo.py:53-95): frames are the
-        TSPO-selected subset; greedy decode."""
+        TSPO-selected subset; greedy decode by default, ``temperature > 0``
+        routes to nucleus sampling (same surface as llava_video.generate —
+        the m-rope prompt tables thread through sample_decode)."""
         c = self.cfg
         lm = self.params["lm"]
         emb, ids, rope_kwargs, max_new = self._prepare_generate(
             frames, question, max_new_tokens)
         S = emb.shape[0]
+        if temperature and temperature > 0:
+            from .llava_video import _sampling_seed
+            from .qwen2 import sample_decode
+            cache = KVCache.create(c.lm, 1,
+                                   min(c.max_context, S + max_new + 8),
+                                   emb.dtype)
+            toks, n = sample_decode(
+                lm, emb[None], jnp.ones((1, S), bool), cache, c.lm,
+                max_new, jax.random.PRNGKey(_sampling_seed(seed)),
+                float(temperature), float(top_p), **rope_kwargs)
+            toks = np.asarray(toks)[: int(n)]
+            toks = toks[toks != c.lm.eos_token_id]
+            return self.decode(toks.tolist())
         d = min(self.draft_len, c.max_context - S - max_new)
         if self.speculative and d >= 1:
             from .qwen2 import build_spec_lookup, greedy_decode_speculative
@@ -493,22 +510,34 @@ class Qwen25VLModel:
         return out
 
     def generate_stream(self, frames: np.ndarray, question: str,
-                        max_new_tokens: int | None = None, chunk: int = 8):
+                        max_new_tokens: int | None = None, chunk: int = 8,
+                        temperature: float = 0.0, top_p: float = 1.0,
+                        seed: int | None = None):
         """Streaming generate (text deltas; join == generate()'s output) —
         same chunked-decode + prefix-detokenization contract as
         llava_video.generate_stream, with the m-rope prompt tables threaded
-        through decode_prefill.  Trailing U+FFFD is held back until the
-        straddling character completes."""
-        from .qwen2 import greedy_decode_stream, stream_detokenize
+        through decode_prefill.  ``temperature > 0`` routes to
+        sample_decode_stream (token-exact vs the fused sampled decode at
+        equal seed).  Trailing U+FFFD is held back until the straddling
+        character completes."""
+        from .qwen2 import (greedy_decode_stream, sample_decode_stream,
+                            stream_detokenize)
         c = self.cfg
         emb, _, rope_kwargs, max_new = self._prepare_generate(
             frames, question, max_new_tokens)
         S = emb.shape[0]
         n_chunks = -(-max_new // chunk)
         cache = KVCache.create(c.lm, 1, S + n_chunks * chunk, emb.dtype)
-        blocks = greedy_decode_stream(
-            self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
-            c.lm, max_new, chunk=chunk, **rope_kwargs)
+        if temperature and temperature > 0:
+            from .llava_video import _sampling_seed
+            blocks = sample_decode_stream(
+                self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
+                c.lm, max_new, jax.random.PRNGKey(_sampling_seed(seed)),
+                float(temperature), float(top_p), chunk=chunk, **rope_kwargs)
+        else:
+            blocks = greedy_decode_stream(
+                self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
+                c.lm, max_new, chunk=chunk, **rope_kwargs)
         yield from stream_detokenize(blocks, self.decode, c.lm.eos_token_id)
 
     def loglikelihood(self, frames: np.ndarray, question: str,

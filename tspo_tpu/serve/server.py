@@ -232,12 +232,18 @@ class ScoringService:
         ``temperature`` — a **kwargs sink would swallow the sampling params
         and stream greedy, the silent-degradation class this codebase
         rejects (advisor round-4 finding)."""
-        import inspect
-        fn = getattr(self.backbone, "generate_stream", None)
-        if fn is None or \
-                "temperature" not in inspect.signature(fn).parameters:
+        if not self._accepts_temperature("generate_stream"):
             raise ValueError("sampled streaming unsupported on this "
                              "backbone: set temperature=0 or stream=false")
+
+    def _accepts_temperature(self, method: str) -> bool:
+        """True when the backbone's ``method`` explicitly accepts
+        ``temperature`` (signature probe — a **kwargs sink doesn't count:
+        it would swallow the sampling params and run greedy)."""
+        import inspect
+        fn = getattr(self.backbone, method, None)
+        return fn is not None and \
+            "temperature" in inspect.signature(fn).parameters
 
     @staticmethod
     def _render_turns(turns: list) -> str:
@@ -327,16 +333,20 @@ class ScoringService:
         if temperature and float(temperature) > 0:
             # OpenAI sampling params -> the backbone's sample_decode path;
             # sampled requests bypass the (greedy, batched) engine.
-            # Conversation-history requests stay greedy: multi_round's
-            # prefix-KV decode has no sampling variant yet.
             kwargs.update(temperature=float(temperature),
                           top_p=float(top_p),
                           seed=None if seed is None else int(seed))
-            # conversation histories keep their role structure even on the
-            # sampled path (which bypasses generate_multi_round): render
-            # role-labeled turns instead of flattening assistant turns
-            # into the user blob
             turns = self._chat_turns(messages)
+            if turns is not None and self._accepts_temperature(
+                    "generate_multi_round"):
+                # history rides the REAL conversation template (stateless:
+                # sampled rounds do a full prefill, no prefix-KV)
+                with self._device_lock:
+                    text = self.backbone.generate_multi_round(None, turns,
+                                                              **kwargs)
+                return self._chat_completion_finish(text, model)
+            # fallback for backbones with sampled generate but no sampled
+            # multi_round: role-labeled flatten keeps the dialog structure
             prompt = (self._render_turns(turns) if turns is not None
                       else self._chat_prompt(messages))
             return self._chat_completion_finish(
@@ -396,16 +406,22 @@ class ScoringService:
             raise ValueError("no backbone loaded")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         sampled = bool(temperature and float(temperature) > 0)
+        sampled_mr = False
         if sampled:
             # sampled streaming rides sample_decode_stream via the
-            # backbone's generate_stream; backbones without an explicit
-            # temperature parameter fail loud BEFORE headers go out,
-            # never silently greedy (advisor round-4 finding)
-            self._require_sampled_stream()
+            # backbone's generate_multi_round_stream (histories — the real
+            # conversation template, stateless full prefill) or
+            # generate_stream; backbones without an explicit temperature
+            # parameter fail loud BEFORE headers go out, never silently
+            # greedy (advisor round-4 finding)
+            turns = self._chat_turns(messages)
+            sampled_mr = turns is not None and self._accepts_temperature(
+                "generate_multi_round_stream")
+            if not sampled_mr:
+                self._require_sampled_stream()
             kwargs.update(temperature=float(temperature),
                           top_p=float(top_p),
                           seed=None if seed is None else int(seed))
-            turns = self._chat_turns(messages)
             prompt = (self._render_turns(turns) if turns is not None
                       else self._chat_prompt(messages))
         else:
@@ -423,10 +439,14 @@ class ScoringService:
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
         if sampled:
-            # solo device-locked: the engine and multi-round paths decode
-            # greedy batches; the role-rendered prompt (built above) keeps
-            # dialog structure without generate_multi_round
-            for delta in self._locked_stream(stream(None, prompt, **kwargs)):
+            # solo device-locked (the engine decodes greedy batches):
+            # histories stream through the sampled multi-round template
+            # when the backbone has one, else the role-rendered prompt
+            # (built above) keeps dialog structure
+            it = (self.backbone.generate_multi_round_stream(None, turns,
+                                                            **kwargs)
+                  if sampled_mr else stream(None, prompt, **kwargs))
+            for delta in self._locked_stream(it):
                 yield chunk({"content": delta})
             yield chunk({}, finish="stop")
             return
