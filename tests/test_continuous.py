@@ -556,3 +556,137 @@ def test_service_session_stream_disconnect_preserves_session(tiny_video):
                                           ("And then?", None)],
                                  max_new_tokens=3)
     assert a2 == w2
+
+
+def _solo_sampled(params, ids, max_new, seed, temperature, top_p):
+    """Reference sampled decode with engine-matched cache geometry."""
+    from tspo_tpu.models.qwen2 import sample_decode
+    S = len(ids)
+    emb = jnp.pad(_embeds(params, ids), ((0, 0), (0, S_MAX - S), (0, 0)))
+    valid = jnp.zeros((1, S_MAX), bool).at[:, :S].set(True)
+    cache = KVCache.create(CFG, 1, S_MAX + D_SLOTS, jnp.float32)
+    toks, n = sample_decode(params, emb, valid, cache, CFG, max_new,
+                            jax.random.PRNGKey(seed), float(temperature),
+                            float(top_p))
+    toks = np.asarray(toks).tolist()
+    return toks[: toks.index(EOS)] if EOS in toks else toks
+
+
+def test_mixed_sampled_batch_matches_solo(params):
+    """Per-request sampling inside one continuous batch: a sampled tenant's
+    tokens are bit-exact vs a solo sample_decode at the same seed, the
+    co-resident GREEDY tenant stays bit-exact vs solo greedy_decode, an
+    equal-seed rerun reproduces, and unseeded sampled requests differ."""
+    rng = np.random.default_rng(3)
+    ids_g = rng.integers(0, CFG.vocab_size - 1, size=9).tolist()
+    ids_s = rng.integers(0, CFG.vocab_size - 1, size=7).tolist()
+    want_g = _solo(params, ids_g, 10)
+    want_s = _solo_sampled(params, ids_s, 10, seed=5, temperature=2.0,
+                           top_p=0.9)
+    lock = threading.Lock()
+    eng = _engine(params, device_lock=lock)
+    try:
+        with lock:              # both admit as ONE mixed prefill group
+            hg = eng.submit(_embeds(params, ids_g), max_new_tokens=10)
+            hs = eng.submit(_embeds(params, ids_s), max_new_tokens=10,
+                            temperature=2.0, top_p=0.9, seed=5)
+        assert hg.result(timeout=120) == want_g
+        assert hs.result(timeout=120) == want_s
+        # equal-seed rerun reproduces; unseeded draws differ (vocab 512,
+        # 10 draws at temp 2: collision probability negligible)
+        h2 = eng.submit(_embeds(params, ids_s), max_new_tokens=10,
+                        temperature=2.0, top_p=0.9, seed=5)
+        assert h2.result(timeout=120) == want_s
+        u1 = eng.submit(_embeds(params, ids_s), max_new_tokens=10,
+                        temperature=2.0).result(timeout=120)
+        u2 = eng.submit(_embeds(params, ids_s), max_new_tokens=10,
+                        temperature=2.0).result(timeout=120)
+        assert u1 != u2
+    finally:
+        eng.shutdown()
+
+
+def test_sampled_tenant_joins_running_decode(params):
+    """A sampled request admitted mid-flight (slot recycling, unchunked
+    admission) still reproduces its solo sample_decode chain, and the
+    already-running greedy tenant is unperturbed."""
+    rng = np.random.default_rng(4)
+    ids_g = rng.integers(0, CFG.vocab_size - 1, size=12).tolist()
+    ids_s = rng.integers(0, CFG.vocab_size - 1, size=6).tolist()
+    want_g = _solo(params, ids_g, D_SLOTS - 1)
+    want_s = _solo_sampled(params, ids_s, 8, seed=11, temperature=3.0,
+                           top_p=0.8)
+    eng = _engine(params)
+    try:
+        hg = eng.submit(_embeds(params, ids_g),
+                        max_new_tokens=D_SLOTS - 1)
+        time.sleep(0.3)         # let greedy decode get going
+        hs = eng.submit(_embeds(params, ids_s), max_new_tokens=8,
+                        temperature=3.0, top_p=0.8, seed=11)
+        assert hs.result(timeout=120) == want_s
+        assert hg.result(timeout=120) == want_g
+    finally:
+        eng.shutdown()
+
+
+def test_service_sampled_rides_engine(tiny_video):
+    """temperature>0 on /v1/answer with the engine on: the request rides
+    the engine's per-row sampling (stats prove it), equal seeds reproduce,
+    and the sampled SSE stream joins to the same answer."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=2, continuous_chunk=4,
+                        continuous_max_prompt=256,
+                        continuous_decode_slots=16)
+    try:
+        a = svc.answer(video_path=tiny_video, question="what?",
+                       sample_num=4, max_new_tokens=6,
+                       temperature=2.0, seed=9)
+        b = svc.answer(video_path=tiny_video, question="what?",
+                       sample_num=4, max_new_tokens=6,
+                       temperature=2.0, seed=9)
+        assert a["answer"] == b["answer"]
+        assert svc.stats["engine"] == 2         # both rode the engine
+        events = list(svc.answer_stream(video_path=tiny_video,
+                                        question="what?", sample_num=4,
+                                        max_new_tokens=6,
+                                        temperature=2.0, seed=9))
+        text = "".join(e["delta"] for e in events if "delta" in e)
+        assert text == a["answer"]
+        assert svc.stats["engine"] == 3
+        # sampled chat completions batch through the engine too
+        out = svc.chat_completion(
+            messages=[{"role": "user", "content": "hi"}],
+            temperature=2.0, seed=9, max_tokens=6)
+        assert out["choices"][0]["message"]["content"]
+        assert svc.stats["engine"] == 4
+    finally:
+        svc._engine.shutdown()
+
+
+def test_prefill_mixed_matches_solo_prefills(params):
+    """The mixed admission prefill (one greedy + one sampled row in ONE
+    batch) reproduces decode_prefill's greedy first token and
+    sample_prefill's sampled first token + advanced key, row for row."""
+    from tspo_tpu.serve.continuous import prefill_mixed
+    from tspo_tpu.models.qwen2 import decode_prefill, sample_prefill
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, CFG.vocab_size - 1, size=(2, 10))
+    emb = embed_tokens(params, jnp.asarray(ids)).astype(jnp.float32)
+    valid = jnp.ones((2, 10), bool)
+    key_s = jax.random.PRNGKey(13)
+    keys = jnp.stack([jnp.zeros(2, jnp.uint32), key_s])
+    temp = jnp.asarray([0.0, 2.0], jnp.float32)
+    topp = jnp.asarray([1.0, 0.9], jnp.float32)
+    first, _, pos0, new_keys = prefill_mixed(
+        params, emb, valid, KVCache.create(CFG, 2, 16, jnp.float32), CFG,
+        keys, temp, topp)
+    want_g, _, _ = decode_prefill(
+        params, emb[:1], valid[:1], KVCache.create(CFG, 1, 16, jnp.float32),
+        CFG)
+    want_s, _, _, want_key = sample_prefill(
+        params, emb[1:], valid[1:], KVCache.create(CFG, 1, 16, jnp.float32),
+        CFG, key_s, 2.0, 0.9)
+    assert int(first[0]) == int(np.asarray(want_g)[0])
+    assert int(first[1]) == int(np.asarray(want_s)[0])
+    np.testing.assert_array_equal(np.asarray(new_keys[1]),
+                                  np.asarray(want_key))

@@ -37,6 +37,15 @@ the same dense-attention decode body, masked positions contribute exact
 zeros (the -1e30 bias underflows to 0.0 through exp), and the nonzero
 K/V slots land at the same indices.  Pinned by tests/test_continuous.py.
 
+Per-request sampling: ``submit(temperature=..., top_p=..., seed=...)``
+samples THAT row with its own PRNG-key chain while co-resident rows keep
+their own params (greedy rows stay bit-exact) — the same property vLLM's
+per-request SamplingParams provide.  A sampled tenant reproduces a solo
+``sample_decode`` at the same seed bit-for-bit (one key split per emitted
+token, same order).  The whole sampling computation sits behind a
+``lax.cond`` on "any live row sampled", so greedy-only traffic pays only
+a predicate.
+
 Scope: decoder-only continuous batching (prefill runs unchunked at
 admission, briefly pausing decode — the standard non-chunked-prefill
 engine design).  Requires ``cfg.sliding_window is None`` (Qwen2/Llama3;
@@ -54,7 +63,8 @@ import numpy as np
 
 from ..models.qwen2 import (KVCache, Qwen2Config, _apply_rope, _attention,
                             _linear, _rms_norm, _rope, decode_prefill,
-                            embed_tokens, lm_logits, prefill_extend)
+                            embed_tokens, lm_logits, prefill_extend,
+                            qwen2_forward, sample_token)
 
 __all__ = ["ContinuousEngine", "EngineRequest"]
 
@@ -111,21 +121,43 @@ def _slotted_forward(params, emb, k, v, write_pos, attn_valid, cos, sin, cfg):
     return h, k, v
 
 
+def _row_sample(logits, keys, temp, top_p):
+    """Per-row sampled next tokens + advanced keys: each row splits ITS OWN
+    key once and draws via :func:`sample_token` on its [1, V] logits —
+    vmapped, this reproduces the solo B=1 ``sample_decode`` arithmetic
+    row-for-row, so an engine tenant's sampled tokens are bit-identical to
+    a solo sampled decode with the same seed (pinned by
+    tests/test_continuous.py)."""
+    pairs = jax.vmap(jax.random.split)(keys)                  # [B, 2, 2]
+    new_keys, subs = pairs[:, 0], pairs[:, 1]
+    sampled = jax.vmap(
+        lambda lg, sub, t, p: sample_token(lg[None], sub, t, p)[0]
+    )(logits, subs, temp, top_p)
+    return sampled, new_keys
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(2, 3))
 def decode_chunk_slots(params, tok, k, v, own_step, pos0, prompt_valid,
-                       done, cfg: Qwen2Config, chunk: int, eos):
-    """``chunk`` greedy decode steps over the slot cache.
+                       done, keys, temp, top_p, cfg: Qwen2Config,
+                       chunk: int, eos):
+    """``chunk`` decode steps over the slot cache — greedy per row, except
+    rows with ``temp > 0`` which sample (nucleus top-p) with their own PRNG
+    key chain: per-request sampling params inside one continuous batch.
 
     tok [B] int32 (pending token per row — emitted first, as in
     greedy_decode); own_step [B] (decode steps already taken by the row's
     current tenant); pos0 [B] (tenant's decode rope start — its valid prompt
-    length, or the mrope delta); prompt_valid [B, S_max]; done [B].
-    Returns (out [B, chunk], next_tok, k, v, own_step+chunk, done).
+    length, or the mrope delta); prompt_valid [B, S_max]; done [B];
+    keys [B, 2] uint32 per-row PRNG keys; temp / top_p [B] f32.
+    Returns (out [B, chunk], next_tok, k, v, own_step+chunk, done, keys).
 
     Step-for-step the greedy_decode body: rows already ``done`` keep
     emitting ``eos``; their garbage steps write at the clamped last decode
     slot and are never surfaced (the host frees the slot and the next
-    tenant's mask excludes every slot past its own progress).
+    tenant's mask excludes every slot past its own progress).  The whole
+    sampling computation (vocab argsort + categorical) sits behind a
+    ``lax.cond`` on "any row sampled", so greedy-only traffic — the
+    benchmark path — pays only a predicate.
     """
     B = tok.shape[0]
     T = k.shape[2]
@@ -133,9 +165,10 @@ def decode_chunk_slots(params, tok, k, v, own_step, pos0, prompt_valid,
     D = T - S_max
     dec_idx = jnp.arange(D)[None, :]                          # [1, D]
     scale = cfg.rope_scaling_factor
+    any_sampled = jnp.any(temp > 0)
 
     def body(j, state):
-        tok, k, v, own, out, done = state
+        tok, k, v, own, out, done, keys = state
         out = out.at[:, j].set(jnp.where(done, eos, tok))
         done = done | (tok == eos)
         emb = embed_tokens(params, tok)[:, None, :].astype(k.dtype)
@@ -146,14 +179,50 @@ def decode_chunk_slots(params, tok, k, v, own_step, pos0, prompt_valid,
         av = jnp.concatenate([prompt_valid, dec_idx <= own[:, None]], axis=1)
         h, k, v = _slotted_forward(params, emb, k, v, write_pos, av,
                                    cos, sin, cfg)
-        nxt = jnp.argmax(lm_logits(params, h[:, -1], cfg),
-                         axis=-1).astype(jnp.int32)
-        return nxt, k, v, own + 1, out, done
+        logits = lm_logits(params, h[:, -1], cfg)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def with_sampling(args):
+            logits, keys = args
+            sampled, new_keys = _row_sample(logits, keys, temp, top_p)
+            return jnp.where(temp > 0, sampled, greedy), new_keys
+
+        nxt, keys = jax.lax.cond(any_sampled, with_sampling,
+                                 lambda args: (greedy, args[1]),
+                                 (logits, keys))
+        return nxt, k, v, own + 1, out, done, keys
 
     out = jnp.full((B, chunk), eos, jnp.int32)
-    tok, k, v, own_step, out, done = jax.lax.fori_loop(
-        0, chunk, body, (tok, k, v, own_step, out, done))
-    return out, tok, k, v, own_step, done
+    tok, k, v, own_step, out, done, keys = jax.lax.fori_loop(
+        0, chunk, body, (tok, k, v, own_step, out, done, keys))
+    return out, tok, k, v, own_step, done, keys
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill_mixed(params, prompt_embeds, prompt_valid, cache: KVCache,
+                  cfg: Qwen2Config, keys, temp, top_p,
+                  prompt_rope_cos_sin: tuple | None = None,
+                  decode_pos_start=None):
+    """qwen2.decode_prefill with a per-row sampled-or-greedy first token —
+    the engine admission prefill for batches mixing greedy and sampled
+    tenants.  Same key-split order as sample_prefill (one split before the
+    first token), so a sampled tenant's whole chain matches solo
+    ``sample_decode``.  Returns (first_tok [B], cache, pos0 [B], keys)."""
+    B, S, _ = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)
+    pos0 = n_prompt if decode_pos_start is None else \
+        jnp.broadcast_to(jnp.asarray(decode_pos_start), (B,))
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache,
+                                  jnp.arange(S), attn_valid, cfg,
+                                  rope_cos_sin=prompt_rope_cos_sin)
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    logits = lm_logits(params, last_h, cfg)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    sampled, new_keys = _row_sample(logits, keys, temp, top_p)
+    first = jnp.where(temp > 0, sampled, greedy)
+    return first, cache, pos0, new_keys
 
 
 @jax.jit
@@ -183,13 +252,21 @@ class EngineRequest:
     """
 
     def __init__(self, embeds, valid, max_new, rope_cos_sin, pos0_override,
-                 stream_cb):
+                 stream_cb, temperature=0.0, top_p=1.0, seed=None):
         self.embeds = embeds            # [1, S, D] (unpadded)
         self.valid = valid              # [S] bool
         self.max_new = int(max_new)
         self.rope_cos_sin = rope_cos_sin
         self.pos0_override = pos0_override
         self.stream_cb = stream_cb
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        if self.temperature > 0 and seed is None:
+            # fresh draw per unseeded sampled request (do_sample semantics)
+            import os
+            seed = int.from_bytes(os.urandom(4), "little")
+        self.key = (np.asarray(jax.random.PRNGKey(int(seed)), np.uint32)
+                    if self.temperature > 0 else np.zeros(2, np.uint32))
         self.tokens: list[int] = []
         self.error: Exception | None = None
         self.finished_at: float | None = None   # time.perf_counter() stamp
@@ -277,6 +354,11 @@ class ContinuousEngine:
         self._own = np.zeros(self.slots, np.int32)
         self._done = np.ones(self.slots, bool)
         self._pv = np.zeros((self.slots, self.S_max), bool)
+        # per-row sampling state: temp 0 = greedy; keys advance one split
+        # per decode step on the device (returned by decode_chunk_slots)
+        self._temp = np.zeros(self.slots, np.float32)
+        self._topp = np.ones(self.slots, np.float32)
+        self._keys = np.zeros((self.slots, 2), np.uint32)
         self._req: list[EngineRequest | None] = [None] * self.slots
 
         self._queue: deque[EngineRequest] = deque()
@@ -295,11 +377,15 @@ class ContinuousEngine:
 
     def submit(self, embeds, valid=None, *, max_new_tokens: int,
                rope_cos_sin=None, decode_pos_start=None,
-               stream_cb=None) -> EngineRequest:
+               stream_cb=None, temperature: float = 0.0,
+               top_p: float = 1.0, seed: int | None = None) -> EngineRequest:
         """Queue one request.  ``embeds`` [1, S, D] (or [S, D]); ``valid``
         [S] bool (default all-valid); ``rope_cos_sin``/``decode_pos_start``
         thread the Qwen2.5-VL mrope prompt tables through the admission
-        prefill.  Returns immediately with an :class:`EngineRequest`."""
+        prefill.  ``temperature > 0`` samples THIS row (nucleus ``top_p``,
+        per-request ``seed`` chain — bit-exact vs a solo sample_decode at
+        the same seed) while co-resident rows keep their own params.
+        Returns immediately with an :class:`EngineRequest`."""
         e = jnp.asarray(embeds)
         if e.ndim == 2:
             e = e[None]
@@ -311,7 +397,8 @@ class ContinuousEngine:
             raise ValueError("max_new_tokens must be >= 1")
         v = np.ones(S, bool) if valid is None else np.asarray(valid, bool)
         req = EngineRequest(e, v, min(int(max_new_tokens), self.D),
-                            rope_cos_sin, decode_pos_start, stream_cb)
+                            rope_cos_sin, decode_pos_start, stream_cb,
+                            temperature=temperature, top_p=top_p, seed=seed)
         with self._lock:
             if self._dead is not None:
                 raise RuntimeError("engine is dead") from self._dead
@@ -421,6 +508,10 @@ class ContinuousEngine:
         so active rows stall at most one piece.  Returns False when the
         request can't chunk (non-contiguous validity) — the caller admits
         it unchunked instead."""
+        if req.temperature > 0:
+            # prefill_extend's last-chunk token is greedy; sampled requests
+            # admit unchunked (prefill_mixed draws their first token)
+            return False
         S = int(req.embeds.shape[1])
         nv = int(np.asarray(req.valid).sum())
         if not bool(np.asarray(req.valid)[:nv].all()):
@@ -478,6 +569,9 @@ class ContinuousEngine:
         self._done[b] = False
         self._pv[b] = False
         self._pv[b, :p["valid_n"]] = True
+        self._temp[b] = 0.0         # chunked admissions are always greedy
+        self._topp[b] = 1.0
+        self._keys[b] = 0
         self._req[b] = req
         self._pending = None
         self.stats["admitted"] += 1
@@ -510,11 +604,22 @@ class ContinuousEngine:
                     jnp.pad(sin, ((0, Sb - S), (0, 0))))
         pos_override = reqs[0].pos0_override if k == 1 else None
         self.stats["admit_batches"] += 1
+        g_keys = np.stack([r.key for r in reqs])
+        g_temp = np.asarray([r.temperature for r in reqs], np.float32)
+        g_topp = np.asarray([r.top_p for r in reqs], np.float32)
         with self._device_lock:
             row = KVCache.create(self.cfg, k, Sb, self.dtype)
-            first_tok, row, pos0 = decode_prefill(
-                self.params, emb, jnp.asarray(valids), row, self.cfg,
-                prompt_rope_cos_sin=rope, decode_pos_start=pos_override)
+            if (g_temp > 0).any():
+                first_tok, row, pos0, keys = prefill_mixed(
+                    self.params, emb, jnp.asarray(valids), row, self.cfg,
+                    jnp.asarray(g_keys), jnp.asarray(g_temp),
+                    jnp.asarray(g_topp), prompt_rope_cos_sin=rope,
+                    decode_pos_start=pos_override)
+                g_keys = np.array(keys)
+            else:               # greedy-only group: the plain prefill
+                first_tok, row, pos0 = decode_prefill(
+                    self.params, emb, jnp.asarray(valids), row, self.cfg,
+                    prompt_rope_cos_sin=rope, decode_pos_start=pos_override)
             self._k, self._v = _insert_rows(
                 self._k, self._v, row.k, row.v,
                 jnp.asarray(slots, jnp.int32))
@@ -527,20 +632,26 @@ class ContinuousEngine:
             self._done[b] = False
             self._pv[b] = False
             self._pv[b, :Sb] = valids[i]
+            self._temp[b] = g_temp[i]
+            self._topp[b] = g_topp[i]
+            self._keys[b] = g_keys[i]
             self._req[b] = req
 
     def _step_chunk(self):
         with self._device_lock:
-            out, tok, self._k, self._v, own, done = decode_chunk_slots(
+            out, tok, self._k, self._v, own, done, keys = decode_chunk_slots(
                 self.params, jnp.asarray(self._tok), self._k, self._v,
                 jnp.asarray(self._own), jnp.asarray(self._pos0),
                 jnp.asarray(self._pv), jnp.asarray(self._done),
-                self.cfg, self.chunk, jnp.int32(self.eos))
+                jnp.asarray(self._keys), jnp.asarray(self._temp),
+                jnp.asarray(self._topp), self.cfg, self.chunk,
+                jnp.int32(self.eos))
             out = np.asarray(out)                              # [B, chunk]
             # np.array (copy): asarray views of jax buffers are read-only,
             # and _admit_one/_step_chunk write into these host mirrors
             self._tok = np.array(tok)
             self._done = np.array(done)
+            self._keys = np.array(keys)
         self._own = self._own + self.chunk
         self.stats["chunks"] += 1
         for b, req in enumerate(self._req):
@@ -560,5 +671,8 @@ class ContinuousEngine:
             if finished or len(req.tokens) >= req.max_new:
                 self._req[b] = None
                 self._done[b] = True
+                # freed rows go greedy so a retired sampled tenant doesn't
+                # keep the whole batch on the (pricier) sampling branch
+                self._temp[b] = 0.0
                 self.stats["completed"] += 1
                 req._finish()

@@ -365,11 +365,20 @@ class ScoringService:
         return self._chat_completion_finish(text, model)
 
     def _generate_text_sampled(self, prompt: str, kwargs: dict) -> str:
-        """Text generate with sampling kwargs: solo device-locked (the
-        engine decodes greedy batches).  No TypeError fallback — silently
+        """Text generate with sampling kwargs: the engine's per-row
+        sampling when on (sampled judge traffic batches with everything
+        else), else solo device-locked.  No TypeError fallback — silently
         answering a temperature>0 request greedily is the
         silent-degradation class this codebase rejects; backbones without
         sampling raise and the client gets a named 4xx/5xx."""
+        if self._engine is not None:
+            sampling = {k: kwargs[k] for k in
+                        ("temperature", "top_p", "seed") if k in kwargs}
+            text = self._engine_answer(None, prompt,
+                                       kwargs.get("max_new_tokens"),
+                                       sampling=sampling)
+            if text is not None:
+                return text
         with self._device_lock:
             return self.backbone.generate(None, prompt, **kwargs)
 
@@ -417,7 +426,7 @@ class ScoringService:
             turns = self._chat_turns(messages)
             sampled_mr = turns is not None and self._accepts_temperature(
                 "generate_multi_round_stream")
-            if not sampled_mr:
+            if not sampled_mr and self._engine is None:
                 self._require_sampled_stream()
             kwargs.update(temperature=float(temperature),
                           top_p=float(top_p),
@@ -439,14 +448,28 @@ class ScoringService:
         stream = getattr(self.backbone, "generate_stream", None)
         yield chunk({"role": "assistant"})
         if sampled:
-            # solo device-locked (the engine decodes greedy batches):
             # histories stream through the sampled multi-round template
-            # when the backbone has one, else the role-rendered prompt
-            # (built above) keeps dialog structure
-            it = (self.backbone.generate_multi_round_stream(None, turns,
-                                                            **kwargs)
-                  if sampled_mr else stream(None, prompt, **kwargs))
-            for delta in self._locked_stream(it):
+            # when the backbone has one; otherwise the role-rendered
+            # prompt rides the engine's per-row sampling (batches with
+            # greedy traffic) or the solo sampled generate_stream
+            if sampled_mr:
+                it = self._locked_stream(
+                    self.backbone.generate_multi_round_stream(None, turns,
+                                                              **kwargs))
+            else:
+                sampling = {k: kwargs[k] for k in
+                            ("temperature", "top_p", "seed") if k in kwargs}
+                it = (self._engine_answer_stream(None, prompt,
+                                                 kwargs.get("max_new_tokens"),
+                                                 sampling=sampling)
+                      if self._engine is not None else None)
+                if it is None:
+                    # engine off/overflow/dead: loud if the backbone can't
+                    # stream sampled (mid-stream error event on the
+                    # overflow edge), never silently greedy
+                    self._require_sampled_stream()
+                    it = self._locked_stream(stream(None, prompt, **kwargs))
+            for delta in it:
                 yield chunk({"content": delta})
             yield chunk({}, finish="stop")
             return
@@ -549,12 +572,15 @@ class ScoringService:
         return (self._engine is not None and self._engine._dead is None
                 and not self._engine._stop)
 
-    def _engine_submit(self, frames, question, max_new, stream_cb=None):
+    def _engine_submit(self, frames, question, max_new, stream_cb=None,
+                       sampling: dict | None = None):
         """Submit one request to the continuous engine.  Returns the
         EngineRequest, or None when the request can't ride the engine
         (prompt too long, engine dead) — the caller then falls back to the
-        solo decode path.  Prompt assembly (vision encode + splice) is
-        device work — locked."""
+        solo decode path.  ``sampling`` ({temperature, top_p, seed}) rides
+        the engine's per-row sampling (continuous.py) so sampled requests
+        batch with greedy traffic.  Prompt assembly (vision encode +
+        splice) is device work — locked."""
         if not self._engine_usable():
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
@@ -580,14 +606,17 @@ class ScoringService:
             return None
         embeds = kw.pop("embeds")
         try:
-            return self._engine.submit(embeds, stream_cb=stream_cb, **kw)
+            return self._engine.submit(embeds, stream_cb=stream_cb,
+                                       **(sampling or {}), **kw)
         except RuntimeError:         # engine died between check and submit
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
             return None
 
-    def _engine_answer(self, frames, question, max_new) -> str | None:
-        req = self._engine_submit(frames, question, max_new)
+    def _engine_answer(self, frames, question, max_new,
+                       sampling: dict | None = None) -> str | None:
+        req = self._engine_submit(frames, question, max_new,
+                                  sampling=sampling)
         if req is None:
             return None
         try:
@@ -604,7 +633,8 @@ class ScoringService:
             self.stats["engine"] += 1
         return self.backbone.decode(toks)
 
-    def _engine_answer_stream(self, frames, question, max_new):
+    def _engine_answer_stream(self, frames, question, max_new,
+                              sampling: dict | None = None):
         """Text-delta generator through the engine, or None on prompt
         overflow.  Chunk-boundary token pieces bridge through a queue into
         the shared prefix-detokenizer (same U+FFFD holdback as
@@ -613,7 +643,7 @@ class ScoringService:
         import queue as _queue
         q: _queue.Queue = _queue.Queue()
         req = self._engine_submit(frames, question, max_new,
-                                  stream_cb=q.put)
+                                  stream_cb=q.put, sampling=sampling)
         if req is None:
             return None
         from ..models.qwen2 import stream_detokenize
@@ -829,16 +859,22 @@ class ScoringService:
             sel, idx, n_frames = self._select_frames(video_path, question,
                                                      sample_num, method,
                                                      window_size)
-            # sampled requests run solo (the engine/batcher decode greedy);
-            # no fallback — a greedy answer to a sampled request would be
+            # sampled requests ride the engine's per-row sampling when it's
+            # on (they batch with greedy traffic, continuous.py), else the
+            # backbone's solo sample_decode — never the greedy batcher, and
+            # no greedy fallback: a greedy answer to a sampled request is
             # the silent-degradation class this codebase rejects
             kwargs = {"temperature": float(temperature),
                       "top_p": float(top_p),
                       "seed": None if seed is None else int(seed)}
+            answer = (self._engine_answer(sel, question, max_new_tokens,
+                                          sampling=kwargs)
+                      if self._engine is not None else None)
             if max_new_tokens:
                 kwargs["max_new_tokens"] = max_new_tokens
-            with self._device_lock:
-                answer = self.backbone.generate(sel, question, **kwargs)
+            if answer is None:
+                with self._device_lock:
+                    answer = self.backbone.generate(sel, question, **kwargs)
             with self._feat_lock:
                 self.stats["requests"] += 1
                 self.stats["frames_scored"] += n_frames
@@ -899,7 +935,10 @@ class ScoringService:
                 raise ValueError("sampled streaming has no conversation "
                                  "mode: drop session_id or set "
                                  "temperature=0")
-            self._require_sampled_stream()   # loud, never silently greedy
+            if self._engine is None:
+                # without the engine's per-row sampling, the backbone must
+                # stream sampled itself — loud, never silently greedy
+                self._require_sampled_stream()
         t0 = time.perf_counter()
         if session_id is not None:
             if not (hasattr(self.backbone, "new_conversation_state") and
@@ -922,11 +961,24 @@ class ScoringService:
         kwargs = {"max_new_tokens": max_new_tokens} if max_new_tokens else {}
         stream = getattr(self.backbone, "generate_stream", None)
         if sampled:
-            kwargs.update(temperature=float(temperature),
-                          top_p=float(top_p),
-                          seed=None if seed is None else int(seed))
-            # solo device-locked: the engine decodes greedy batches
-            for delta in self._locked_stream(stream(sel, question, **kwargs)):
+            sampling = {"temperature": float(temperature),
+                        "top_p": float(top_p),
+                        "seed": None if seed is None else int(seed)}
+            # engine per-row sampling when on (batches with greedy
+            # traffic); solo sampled generate_stream otherwise
+            deltas = (self._engine_answer_stream(sel, question,
+                                                 max_new_tokens,
+                                                 sampling=sampling)
+                      if self._engine is not None else None)
+            if deltas is None:
+                # engine off/overflow/dead: the solo path must stream
+                # sampled itself (raises mid-stream as an error event on
+                # the overflow edge — loud, never silently greedy)
+                self._require_sampled_stream()
+                kwargs.update(sampling)
+                deltas = self._locked_stream(stream(sel, question,
+                                                    **kwargs))
+            for delta in deltas:
                 yield {"delta": delta}
             with self._feat_lock:
                 self.stats["requests"] += 1

@@ -48,6 +48,8 @@ agent, then answers from the selected keyframes.</p>
 </select>
 <label>Frame budget</label>
 <input id="sample_num" type="number" value="64" min="1" max="512">
+<label>Temperature (0 = greedy; sampled answers draw fresh each run)</label>
+<input id="temperature" type="number" value="0" min="0" max="2" step="0.1">
 <label style="font-weight:400">
   <input id="chat" type="checkbox" style="width:auto"> keep conversation
   (follow-up questions reuse the video + context via a server session)
@@ -97,6 +99,12 @@ document.getElementById('go').onclick = async () => {
     question: document.getElementById('question').value,
     sample_num: parseInt(document.getElementById('sample_num').value),
   };
+  // sampling rides /v1/answer (engine per-row sampling or solo sampled
+  // stream); conversation rounds are prefix-KV greedy — the server
+  // rejects that combination, so the UI just omits temperature there
+  const temp = parseFloat(document.getElementById('temperature').value);
+  if (mode === 'answer' && !chatBox.checked && temp > 0)
+    body.temperature = temp;
   // shared SSE pump: POST, then dispatch each `data:` json to onMsg
   const sse = async (payload, onMsg) => {
     const r = await fetch('/v1/answer', {
