@@ -690,3 +690,103 @@ def test_prefill_mixed_matches_solo_prefills(params):
     assert int(first[1]) == int(np.asarray(want_s)[0])
     np.testing.assert_array_equal(np.asarray(new_keys[1]),
                                   np.asarray(want_key))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel engine (mesh=)
+# ---------------------------------------------------------------------------
+
+
+def test_tp_engine_matches_unsharded(params):
+    """The engine on a model-axis mesh (Megatron-TP params + kv-head-sharded
+    slot cache) emits bit-identical tokens: staggered greedy tenants AND a
+    sampled tenant each reproduce their solo UNSHARDED chains — the
+    multi-chip serving path (XLA inserts the TP collectives inside the same
+    jitted prefill/decode programs)."""
+    from tspo_tpu.parallel import create_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(data=4, model=2)
+    rng = np.random.default_rng(9)
+    ids1 = rng.integers(0, CFG.vocab_size - 1, size=10).tolist()
+    ids2 = rng.integers(0, CFG.vocab_size - 1, size=5).tolist()
+    ids3 = rng.integers(0, CFG.vocab_size - 1, size=7).tolist()
+    want1 = _solo(params, ids1, 12)
+    want2 = _solo(params, ids2, 8)
+    want3 = _solo_sampled(params, ids3, 8, seed=2, temperature=2.0,
+                          top_p=0.9)
+    eng = _engine(params, mesh=mesh)
+    try:
+        assert eng._kv_sharding is not None   # kv_heads=2 % model=2 == 0
+        h1 = eng.submit(_embeds(params, ids1), max_new_tokens=12)
+        time.sleep(0.3)        # h2/h3 join/queue against a running decode
+        h2 = eng.submit(_embeds(params, ids2), max_new_tokens=8)
+        h3 = eng.submit(_embeds(params, ids3), max_new_tokens=8,
+                        temperature=2.0, top_p=0.9, seed=2)
+        assert h1.result(timeout=300) == want1
+        assert h2.result(timeout=300) == want2
+        assert h3.result(timeout=300) == want3
+    finally:
+        eng.shutdown()
+
+
+def test_tp_engine_chunked_admission(params):
+    """Chunked admission prefill (prefill_extend pieces between decode
+    chunks) stays exact on the mesh too — same 6-request construction as
+    test_chunked_admission_matches_solo (slots free mid-flight, so solo
+    admissions with active rows deterministically take the chunked path)."""
+    from tspo_tpu.parallel import create_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(data=4, model=2)
+    rng = np.random.default_rng(5)
+    reqs = []
+    lock = threading.Lock()
+    eng = _engine(params, slots=2, chunk=3, device_lock=lock,
+                  prefill_chunk=16, mesh=mesh)
+    try:
+        with lock:
+            for i in range(6):
+                ids = rng.integers(0, CFG.vocab_size - 1,
+                                   size=rng.integers(18, S_MAX)).tolist()
+                max_new = int(rng.integers(6, 16))
+                want = _solo(params, ids, max_new)
+                h = eng.submit(_embeds(params, ids), max_new_tokens=max_new)
+                reqs.append((want, h))
+        for i, (want, h) in enumerate(reqs):
+            assert h.result(timeout=300) == want, f"request {i} diverged"
+        assert eng.stats["admitted"] == 6
+        assert eng.stats["chunked_admissions"] >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_service_tp_engine_matches_unsharded(tiny_video):
+    """ScoringService(mesh=...): /v1/answer through the TP engine (backbone
+    params sharded with the full-model specs, engine KV on the mesh) returns
+    exactly the unsharded service's answer."""
+    from tspo_tpu.models.llava_video import llava_video_param_shardings
+    from tspo_tpu.parallel import create_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    kw = dict(continuous_slots=2, continuous_chunk=4,
+              continuous_max_prompt=256, continuous_decode_slots=16)
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, **kw)
+    try:
+        want = svc.answer(video_path=tiny_video, question="what?",
+                          sample_num=4, max_new_tokens=6)["answer"]
+    finally:
+        svc._engine.shutdown()
+    mesh = create_mesh(data=4, model=2)
+    bb_tp = _tiny_llava()
+    bb_tp.params = jax.device_put(
+        bb_tp.params, llava_video_param_shardings(bb_tp.params, mesh))
+    svc_tp = _tiny_service(bb_tp, mesh=mesh, **kw)
+    try:
+        got = svc_tp.answer(video_path=tiny_video, question="what?",
+                            sample_num=4, max_new_tokens=6)["answer"]
+        assert svc_tp.stats["engine"] == 1     # rode the TP engine
+    finally:
+        svc_tp._engine.shutdown()
+    assert got == want

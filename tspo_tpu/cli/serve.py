@@ -51,6 +51,12 @@ def build_parser():
                         "rows decode prefill in pieces of this many tokens "
                         "between decode chunks (0 = whole-prompt prefill); "
                         "e.g. 2048")
+    p.add_argument("--tp", type=int, default=0, metavar="N",
+                   help="tensor-parallel serving over N devices: shards the "
+                        "backbone (Megatron specs) and the continuous "
+                        "engine's KV cache over a 'model' mesh axis; "
+                        "token-identical to single-device "
+                        "(remaining devices form the 'data' axis)")
     p.add_argument("--max-sessions", type=int, default=4,
                    help="LRU cap on /v1/answer chat sessions (session_id "
                         "conversations; each holds one prefix-KV cache, "
@@ -78,6 +84,29 @@ def main(argv=None):
     backbone = (load_backbone(args.backbone, args.backbone_path,
                                speculative=args.speculative)
                 if args.backbone else None)
+    mesh = None
+    if args.tp > 1:
+        import jax
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide the "
+                             f"{n} visible devices")
+        from ..parallel import create_mesh
+        mesh = create_mesh(data=n // args.tp, model=args.tp)
+        if backbone is not None and hasattr(backbone, "params"):
+            from ..models.llava_video import llava_video_param_shardings
+            from ..models.qwen25vl import qwen25vl_param_shardings
+            shard_fn = (qwen25vl_param_shardings
+                        if "visual" in backbone.params
+                        else llava_video_param_shardings)
+            backbone.params = jax.device_put(
+                backbone.params, shard_fn(backbone.params, mesh))
+        if hasattr(scorer, "clip_params"):
+            from ..parallel.mesh import clip_param_shardings
+            scorer.clip_params = jax.device_put(
+                scorer.clip_params,
+                clip_param_shardings(scorer.clip_params, mesh))
+        print(f"tensor-parallel: model={args.tp}, data={n // args.tp}")
     if args.continuous and args.speculative:
         print("note: --continuous routes answers through the batched "
               "engine, which does not speculate; --speculative still "
@@ -93,7 +122,8 @@ def main(argv=None):
                              continuous_chunk=args.continuous_chunk,
                              continuous_max_prompt=args.continuous_max_prompt,
                              continuous_decode_slots=args.continuous_decode_slots,
-                             continuous_prefill_chunk=args.continuous_prefill_chunk)
+                             continuous_prefill_chunk=args.continuous_prefill_chunk,
+                             mesh=mesh)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")
         service.warmup()

@@ -691,6 +691,22 @@ def qwen25vl_visual_shardings(visual_params, mesh):
         lambda path, leaf: NamedSharding(mesh, spec_for(path)), visual_params)
 
 
+def qwen25vl_param_shardings(params, mesh):
+    """Full-model TP specs: Megatron rules for the Qwen2 LM
+    (:func:`~tspo_tpu.models.qwen2.qwen2_param_shardings`), row-sharded
+    contraction dims for the windowed ViT
+    (:func:`qwen25vl_visual_shardings`); anything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .qwen2 import qwen2_param_shardings
+    repl = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()),
+        {k: v for k, v in params.items() if k not in ("lm", "visual")})
+    return {"lm": qwen2_param_shardings(params["lm"], mesh),
+            "visual": qwen25vl_visual_shardings(params["visual"], mesh),
+            **repl}
+
+
 def load_qwen25vl_adapter(model_path: str, dtype=jnp.bfloat16, **kw):
     """CLI factory: HF checkpoint dir -> Qwen25VLModel with HF tokenizer."""
     import glob

@@ -309,6 +309,14 @@ class ContinuousEngine:
         handful of prefill programs serve every length.
     device_lock : optional lock shared with other device users (the serve
         scorer) — held across each device call, released between chunks.
+    mesh : optional ``jax.sharding.Mesh`` with a ``'model'`` axis — the
+        engine then runs tensor-parallel: params get the Megatron specs
+        (:func:`~tspo_tpu.models.qwen2.qwen2_param_shardings`) and the slot
+        KV cache shards on the kv-head axis (replicated when the axis size
+        doesn't divide ``num_kv_heads``); XLA inserts the TP collectives
+        inside the same jitted prefill/decode programs.  Token outputs are
+        bit-identical to the unsharded engine (pinned by
+        tests/test_continuous.py).
     """
 
     def __init__(self, lm_params, cfg: Qwen2Config, *, slots: int = 4,
@@ -316,7 +324,7 @@ class ContinuousEngine:
                  decode_slots: int = 128, prompt_bucket: int = 256,
                  dtype=jnp.bfloat16, eos_token_id: int | None = None,
                  device_lock: threading.Lock | None = None,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, mesh=None):
         if cfg.sliding_window is not None:
             raise ValueError("ContinuousEngine supports sliding_window=None "
                              "configs (Qwen2/Llama3); got a windowed config")
@@ -344,11 +352,27 @@ class ContinuousEngine:
                        else eos_token_id)
         self._device_lock = device_lock or threading.Lock()
 
+        self.mesh = mesh
+        self._kv_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..models.qwen2 import qwen2_param_shardings
+            # no-op for params already placed with these specs (a backbone
+            # sharded up-front shares the buffers)
+            self.params = jax.device_put(
+                self.params, qwen2_param_shardings(self.params, mesh))
+            model_n = int(mesh.shape.get("model", 1))
+            kv_spec = (P(None, None, None, "model", None)
+                       if model_n > 1 and cfg.num_kv_heads % model_n == 0
+                       else P())
+            self._kv_sharding = NamedSharding(mesh, kv_spec)
+
         T = self.S_max + self.D
         shape = (cfg.num_layers, self.slots, T, cfg.num_kv_heads,
                  cfg.head_dim)
-        self._k = jnp.zeros(shape, dtype)
-        self._v = jnp.zeros(shape, dtype)
+        self._k = self._place_kv(jnp.zeros(shape, dtype))
+        self._v = self._place_kv(jnp.zeros(shape, dtype))
         self._tok = np.full(self.slots, self.eos, np.int32)
         self._pos0 = np.zeros(self.slots, np.int32)
         self._own = np.zeros(self.slots, np.int32)
@@ -372,6 +396,20 @@ class ContinuousEngine:
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tspo-continuous-engine")
         self._thread.start()
+
+    def _place_kv(self, arr):
+        """Pin a KV buffer's sharding (kv-head axis on 'model') when the
+        engine runs on a mesh; identity otherwise."""
+        return (arr if self._kv_sharding is None
+                else jax.device_put(arr, self._kv_sharding))
+
+    def _row_cache(self, batch: int, length: int) -> KVCache:
+        """Admission-prefill row cache, on the engine's mesh when TP."""
+        row = KVCache.create(self.cfg, batch, length, self.dtype)
+        if self._kv_sharding is None:
+            return row
+        return KVCache(k=self._place_kv(row.k), v=self._place_kv(row.v),
+                       length=row.length)
 
     # -- public API ---------------------------------------------------------
 
@@ -529,7 +567,7 @@ class ContinuousEngine:
         self._pending = {
             "req": req, "slot": b, "emb": emb, "rope": rope,
             "valid_n": nv, "off": 0, "W": W, "Sb": Sb,
-            "cache": KVCache.create(self.cfg, 1, Wb, self.dtype),
+            "cache": self._row_cache(1, Wb),
             "tok": None,
         }
         return True
@@ -608,7 +646,7 @@ class ContinuousEngine:
         g_temp = np.asarray([r.temperature for r in reqs], np.float32)
         g_topp = np.asarray([r.top_p for r in reqs], np.float32)
         with self._device_lock:
-            row = KVCache.create(self.cfg, k, Sb, self.dtype)
+            row = self._row_cache(k, Sb)
             if (g_temp > 0).any():
                 first_tok, row, pos0, keys = prefill_mixed(
                     self.params, emb, jnp.asarray(valids), row, self.cfg,

@@ -60,6 +60,12 @@ class ScoringService:
     # >0: engine admissions arriving while rows decode prefill in pieces of
     # this many tokens interleaved with decode chunks (bounded stalls)
     continuous_prefill_chunk: int = 0
+    # optional jax.sharding.Mesh with a 'model' axis: the engine decodes
+    # tensor-parallel over it (token-identical to unsharded; see
+    # continuous.py).  Shard the backbone's own params up-front too
+    # (llava_video_param_shardings / qwen25vl_param_shardings) so the solo
+    # and vision paths run on the same mesh — cli/serve.py --tp does both.
+    mesh: object | None = None
     # chat sessions: /v1/answer with "session_id" keeps a per-session
     # conversation (turn history + prefix-KV ConversationState) so
     # follow-up questions about the same video prefill only the new turn.
@@ -86,7 +92,7 @@ class ScoringService:
                 decode_slots=self.continuous_decode_slots,
                 prefill_chunk=self.continuous_prefill_chunk,
                 dtype=self.backbone.params["lm"]["embedding"].dtype,
-                device_lock=self._device_lock)
+                device_lock=self._device_lock, mesh=self.mesh)
         self._batch_lock = threading.Lock()
         self._pending = []          # [(event, payload dict, result dict)]
         self._feat_cache = {}       # (path, mtime) -> img_feat float32 [T, P]
