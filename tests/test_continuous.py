@@ -790,3 +790,75 @@ def test_service_tp_engine_matches_unsharded(tiny_video):
     finally:
         svc_tp._engine.shutdown()
     assert got == want
+
+
+def test_answer_n_choices_engine_exact(tiny_video):
+    """/v1/answer with n>1: all n choices ride the engine off ONE prompt
+    assembly; with an explicit seed, choice i is bit-exact vs a solo
+    sampled generate at seed+i (the documented derivation), and an equal
+    request reproduces.  n>1 at temperature 0 is rejected loudly."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=4, continuous_chunk=4,
+                        continuous_max_prompt=512,
+                        continuous_decode_slots=16)
+    try:
+        r = svc.answer(video_path=tiny_video, question="what?",
+                       sample_num=4, max_new_tokens=6, temperature=2.0,
+                       top_p=0.9, seed=40, n=3)
+        assert r["answer"] == r["answers"][0] and len(r["answers"]) == 3
+        assert svc.stats["engine"] == 3
+        # per-choice determinism: solo sampled generate at seed+i matches
+        sel, _, _ = svc._select_frames(tiny_video, "what?", 4, "topk", None)
+        for i, ans in enumerate(r["answers"]):
+            with svc._device_lock:
+                want = bb.generate(sel, "what?", max_new_tokens=6,
+                                   temperature=2.0, top_p=0.9, seed=40 + i)
+            assert ans == want, f"choice {i} diverged from solo seed+{i}"
+        # n>1 needs sampling
+        with pytest.raises(ValueError):
+            svc.answer(video_path=tiny_video, question="what?",
+                       sample_num=4, n=2)
+    finally:
+        svc._engine.shutdown()
+
+
+def test_answer_n_choices_solo_fallback(tiny_video):
+    """n>1 without the engine: n solo sampled decodes, same per-choice
+    seed derivation."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    r = svc.answer(video_path=tiny_video, question="what?", sample_num=4,
+                   max_new_tokens=6, temperature=2.0, top_p=0.9, seed=7,
+                   n=2)
+    assert len(r["answers"]) == 2
+    sel, _, _ = svc._select_frames(tiny_video, "what?", 4, "topk", None)
+    for i, ans in enumerate(r["answers"]):
+        want = bb.generate(sel, "what?", max_new_tokens=6, temperature=2.0,
+                           top_p=0.9, seed=7 + i)
+        assert ans == want
+
+
+def test_chat_completion_n_choices(tiny_video):
+    """OpenAI n>1 on /v1/chat/completions: n indexed sampled choices;
+    unseeded choices draw fresh (distinct at temp 3); streaming with n>1
+    is rejected before headers."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=4, continuous_chunk=4,
+                        continuous_max_prompt=512,
+                        continuous_decode_slots=16)
+    try:
+        out = svc.chat_completion(
+            messages=[{"role": "user", "content": "hello"}],
+            temperature=3.0, max_tokens=8, n=3)
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        texts = [c["message"]["content"] for c in out["choices"]]
+        assert len(set(texts)) > 1          # fresh unseeded draws
+        with pytest.raises(ValueError):
+            list(svc.chat_completion_stream(
+                messages=[{"role": "user", "content": "hi"}],
+                temperature=1.0, n=2))
+        with pytest.raises(ValueError):
+            svc.chat_completion(
+                messages=[{"role": "user", "content": "hi"}], n=2)
+    finally:
+        svc._engine.shutdown()

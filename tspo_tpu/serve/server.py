@@ -326,35 +326,57 @@ class ScoringService:
     def chat_completion(self, *, messages: list, model: str = "local",
                         max_tokens: int | None = None,
                         temperature: float = 0.0, top_p: float = 1.0,
-                        seed: int | None = None, **_ignored) -> dict:
+                        seed: int | None = None, n: int = 1,
+                        **_ignored) -> dict:
         """OpenAI-compatible chat completion on the loaded backbone's
         text-only generate path — the zero-egress replacement for the
         reference's sglang judge launcher
         (lmms-eval/lmms_eval/llm_judge/launcher/): third-party harnesses
         point API_TYPE=openai / OPENAI_API_URL at this server and judge
-        with the local model."""
+        with the local model.  ``n > 1`` returns n sampled choices (judge
+        self-consistency / best-of-n); with the engine on, all n decode as
+        co-resident batch rows off ONE prefill-prompt assembly."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
+        n = int(n)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if n > 1 and not (temperature and float(temperature) > 0):
+            raise ValueError("n > 1 needs temperature > 0 (greedy choices "
+                             "would be identical)")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         if temperature and float(temperature) > 0:
             # OpenAI sampling params -> the backbone's sample_decode path;
             # sampled requests bypass the (greedy, batched) engine.
-            kwargs.update(temperature=float(temperature),
-                          top_p=float(top_p),
-                          seed=None if seed is None else int(seed))
+            seeds = self._choice_seeds(None if seed is None else int(seed),
+                                       n)
             turns = self._chat_turns(messages)
             if turns is not None and self._accepts_temperature(
                     "generate_multi_round"):
                 # history rides the REAL conversation template (stateless:
                 # sampled rounds do a full prefill, no prefix-KV)
-                with self._device_lock:
-                    text = self.backbone.generate_multi_round(None, turns,
-                                                              **kwargs)
-                return self._chat_completion_finish(text, model)
+                texts = []
+                for s in seeds:
+                    kw = {**kwargs, "temperature": float(temperature),
+                          "top_p": float(top_p), "seed": s}
+                    with self._device_lock:
+                        texts.append(self.backbone.generate_multi_round(
+                            None, turns, **kw))
+                return self._chat_completion_finish(
+                    texts if n > 1 else texts[0], model)
             # fallback for backbones with sampled generate but no sampled
             # multi_round: role-labeled flatten keeps the dialog structure
             prompt = (self._render_turns(turns) if turns is not None
                       else self._chat_prompt(messages))
+            if n > 1:
+                return self._chat_completion_finish(
+                    self._sampled_answers_n(None, prompt, max_tokens,
+                                            temperature, top_p,
+                                            None if seed is None
+                                            else int(seed), n), model)
+            kwargs.update(temperature=float(temperature),
+                          top_p=float(top_p),
+                          seed=None if seed is None else int(seed))
             return self._chat_completion_finish(
                 self._generate_text_sampled(prompt, kwargs), model)
         turns = self._chat_turns(messages)
@@ -388,7 +410,8 @@ class ScoringService:
         with self._device_lock:
             return self.backbone.generate(None, prompt, **kwargs)
 
-    def _chat_completion_finish(self, text: str, model: str) -> dict:
+    def _chat_completion_finish(self, text: str | list, model: str) -> dict:
+        texts = text if isinstance(text, list) else [text]
         with self._feat_lock:
             self.stats["requests"] += 1
             rid = self.stats["requests"]
@@ -397,9 +420,10 @@ class ScoringService:
             "object": "chat.completion",
             "created": int(time.time()),
             "model": model,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "finish_reason": "stop"}],
+            "choices": [{"index": i,
+                         "message": {"role": "assistant", "content": t},
+                         "finish_reason": "stop"}
+                        for i, t in enumerate(texts)],
             "usage": {"prompt_tokens": 0, "completion_tokens": 0,
                       "total_tokens": 0},
         }
@@ -410,6 +434,7 @@ class ScoringService:
                                temperature: float = 0.0,
                                top_p: float = 1.0,
                                seed: int | None = None,
+                               n: int = 1,
                                **_ignored):
         """SSE variant of chat_completion ("stream": true): yields
         OpenAI-format chat.completion.chunk dicts, one per decoded text
@@ -419,6 +444,10 @@ class ScoringService:
         is still valid SSE to any OpenAI client."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
+        if int(n) > 1:
+            raise ValueError("streaming does not support n > 1 — drop "
+                             "stream or n (non-streaming requests return "
+                             "n choices)")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         sampled = bool(temperature and float(temperature) > 0)
         sampled_mr = False
@@ -578,15 +607,11 @@ class ScoringService:
         return (self._engine is not None and self._engine._dead is None
                 and not self._engine._stop)
 
-    def _engine_submit(self, frames, question, max_new, stream_cb=None,
-                       sampling: dict | None = None):
-        """Submit one request to the continuous engine.  Returns the
-        EngineRequest, or None when the request can't ride the engine
-        (prompt too long, engine dead) — the caller then falls back to the
-        solo decode path.  ``sampling`` ({temperature, top_p, seed}) rides
-        the engine's per-row sampling (continuous.py) so sampled requests
-        batch with greedy traffic.  Prompt assembly (vision encode +
-        splice) is device work — locked."""
+    def _engine_prepare(self, frames, question, max_new):
+        """Prompt assembly for an engine submit (vision encode + splice —
+        device work, locked).  Returns the submit kwargs (with 'embeds'),
+        or None when the request can't ride the engine (prompt too long,
+        engine dead) — counted as an engine_fallback."""
         if not self._engine_usable():
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
@@ -610,6 +635,19 @@ class ScoringService:
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
             return None
+        return kw
+
+    def _engine_submit(self, frames, question, max_new, stream_cb=None,
+                       sampling: dict | None = None):
+        """Submit one request to the continuous engine.  Returns the
+        EngineRequest, or None when the request can't ride the engine
+        (prompt too long, engine dead) — the caller then falls back to the
+        solo decode path.  ``sampling`` ({temperature, top_p, seed}) rides
+        the engine's per-row sampling (continuous.py) so sampled requests
+        batch with greedy traffic."""
+        kw = self._engine_prepare(frames, question, max_new)
+        if kw is None:
+            return None
         embeds = kw.pop("embeds")
         try:
             return self._engine.submit(embeds, stream_cb=stream_cb,
@@ -618,6 +656,74 @@ class ScoringService:
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
             return None
+
+    def _engine_submit_n(self, frames, question, max_new, sampling_list):
+        """Submit ``len(sampling_list)`` sampled choices of ONE prompt to
+        the engine — the vision encode / prompt splice runs once and every
+        choice reuses the same embeds (they co-reside in the batch and
+        decode together).  Returns a list of EngineRequests, or None when
+        the prompt can't ride the engine at all."""
+        kw = self._engine_prepare(frames, question, max_new)
+        if kw is None:
+            return None
+        embeds = kw.pop("embeds")
+        reqs = []
+        try:
+            for sampling in sampling_list:
+                reqs.append(self._engine.submit(embeds, **sampling, **kw))
+        except RuntimeError:         # engine died between check and submit
+            with self._feat_lock:
+                self.stats["engine_fallback"] += 1
+            for r in reqs:           # already-queued choices still finish
+                try:
+                    r.result(timeout=60)
+                except Exception:
+                    pass
+            return None
+        return reqs
+
+    @staticmethod
+    def _choice_seeds(seed, n: int) -> list:
+        """Per-choice seeds for n>1 sampling: an explicit request seed
+        derives choice i's seed as seed+i (deterministic reruns, distinct
+        draws per choice); no seed means every choice draws fresh."""
+        return [None] * n if seed is None else [int(seed) + i
+                                                for i in range(n)]
+
+    def _sampled_answers_n(self, frames, question, max_new, temperature,
+                           top_p, seed, n: int) -> list[str]:
+        """n independent sampled completions of ONE prompt.  Engine on:
+        all n choices submit together (one vision encode, co-resident
+        decode rows — continuous.py per-row sampling).  Engine off or
+        prompt overflow: n solo sample_decode passes."""
+        samplings = [{"temperature": float(temperature),
+                      "top_p": float(top_p), "seed": s}
+                     for s in self._choice_seeds(seed, n)]
+        if self._engine is not None:
+            reqs = self._engine_submit_n(frames, question, max_new,
+                                         samplings)
+            if reqs is not None:
+                try:
+                    toks = [r.result() for r in reqs]
+                except Exception:
+                    if not self._engine_usable():
+                        with self._feat_lock:
+                            self.stats["engine_fallback"] += 1
+                        toks = None      # engine died mid-flight: solo
+                    else:
+                        raise
+                if toks is not None:
+                    with self._feat_lock:
+                        self.stats["engine"] += len(toks)
+                    return [self.backbone.decode(t) for t in toks]
+        out = []
+        for s in samplings:
+            kw = dict(s)
+            if max_new:
+                kw["max_new_tokens"] = max_new
+            with self._device_lock:
+                out.append(self.backbone.generate(frames, question, **kw))
+        return out
 
     def _engine_answer(self, frames, question, max_new,
                        sampling: dict | None = None) -> str | None:
@@ -853,10 +959,16 @@ class ScoringService:
                max_new_tokens: int | None = None,
                session_id: str | None = None,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int | None = None) -> dict:
+               seed: int | None = None, n: int = 1) -> dict:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
+        n = int(n)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if n > 1 and not (temperature and float(temperature) > 0):
+            raise ValueError("n > 1 needs temperature > 0 (greedy choices "
+                             "would be identical)")
         if temperature and float(temperature) > 0:
             if session_id is not None:
                 raise ValueError("sampling (temperature > 0) is not "
@@ -866,28 +978,26 @@ class ScoringService:
                                                      sample_num, method,
                                                      window_size)
             # sampled requests ride the engine's per-row sampling when it's
-            # on (they batch with greedy traffic, continuous.py), else the
-            # backbone's solo sample_decode — never the greedy batcher, and
-            # no greedy fallback: a greedy answer to a sampled request is
-            # the silent-degradation class this codebase rejects
-            kwargs = {"temperature": float(temperature),
-                      "top_p": float(top_p),
-                      "seed": None if seed is None else int(seed)}
-            answer = (self._engine_answer(sel, question, max_new_tokens,
-                                          sampling=kwargs)
-                      if self._engine is not None else None)
-            if max_new_tokens:
-                kwargs["max_new_tokens"] = max_new_tokens
-            if answer is None:
-                with self._device_lock:
-                    answer = self.backbone.generate(sel, question, **kwargs)
+            # on (all n choices batch together with one vision encode,
+            # continuous.py), else the backbone's solo sample_decode —
+            # never the greedy batcher, and no greedy fallback: a greedy
+            # answer to a sampled request is the silent-degradation class
+            # this codebase rejects
+            answers = self._sampled_answers_n(
+                sel, question, max_new_tokens, temperature, top_p,
+                None if seed is None else int(seed), n)
             with self._feat_lock:
                 self.stats["requests"] += 1
                 self.stats["frames_scored"] += n_frames
-            return {"answer": answer,
+            resp = {"answer": answers[0],
                     "frame_indices": [int(i) for i in idx],
                     "num_candidates": int(n_frames),
                     "latency_s": round(time.perf_counter() - t0, 4)}
+            if n > 1:
+                # self-consistency / best-of-n: all choices, same order as
+                # the derived per-choice seeds (seed+i)
+                resp["answers"] = answers
+            return resp
         if session_id is not None:
             if not hasattr(self.backbone, "new_conversation_state"):
                 raise ValueError("session_id needs a backbone with "
@@ -922,7 +1032,7 @@ class ScoringService:
                       window_size=None, max_new_tokens: int | None = None,
                       session_id: str | None = None,
                       temperature: float = 0.0, top_p: float = 1.0,
-                      seed: int | None = None, **_ignored):
+                      seed: int | None = None, n: int = 1, **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
@@ -934,6 +1044,10 @@ class ScoringService:
         selection and follow-up rounds prefill only the new turn."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
+        if int(n) > 1:
+            raise ValueError("streaming does not support n > 1 — drop "
+                             "stream or n (non-streaming requests return "
+                             "n choices)")
         sampled = bool(temperature and float(temperature) > 0)
         if sampled:
             if session_id is not None:
