@@ -862,3 +862,64 @@ def test_chat_completion_n_choices(tiny_video):
                 messages=[{"role": "user", "content": "hi"}], n=2)
     finally:
         svc._engine.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Cross-request video prefix-KV cache (vLLM APC analog)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_cache_matches_stateless_and_hits(tiny_video):
+    """Independent questions on one video through the prefix cache: every
+    answer is token-exact vs the stateless generate path, the second
+    same-selection request is a prefix HIT, and history from request 1
+    never leaks into request 2 (the divergence path truncates it)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2)
+    r1 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=5)
+    r2 = svc.answer(video_path=tiny_video, question="And then what?",
+                    sample_num=4, max_new_tokens=5)
+    assert svc.stats["prefix_hits"] == (1 if r1["frame_indices"] ==
+                                        r2["frame_indices"] else 0)
+    # token-exact vs stateless: same question through a no-cache service
+    bb2 = _tiny_llava()
+    svc2 = _tiny_service(bb2)
+    w1 = svc2.answer(video_path=tiny_video, question="What?", sample_num=4,
+                     max_new_tokens=5)
+    w2 = svc2.answer(video_path=tiny_video, question="And then what?",
+                     sample_num=4, max_new_tokens=5)
+    assert r1["answer"] == w1["answer"]
+    assert r2["answer"] == w2["answer"]
+
+
+def test_prefix_cache_key_and_eviction(tiny_video):
+    """Different frame selections are different keys (no false sharing);
+    the LRU evicts beyond capacity."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=1)
+    svc.answer(video_path=tiny_video, question="q", sample_num=4,
+               max_new_tokens=3)
+    # different sample_num -> different selection -> different key, and
+    # capacity 1 evicts the first entry
+    svc.answer(video_path=tiny_video, question="q", sample_num=2,
+               max_new_tokens=3)
+    assert svc.stats["prefix_hits"] == 0
+    assert len(svc._prefix_states) == 1
+    # the original selection was evicted: asking again is a miss
+    svc.answer(video_path=tiny_video, question="q", sample_num=4,
+               max_new_tokens=3)
+    assert svc.stats["prefix_hits"] == 0
+
+
+def test_prefix_cache_sampled_and_sessions_bypass(tiny_video):
+    """temperature>0 and session requests never touch the prefix cache
+    (sampling has no prefix-KV variant; sessions keep their own states)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2)
+    svc.answer(video_path=tiny_video, question="q", sample_num=4,
+               max_new_tokens=3, temperature=1.5, seed=1)
+    assert len(svc._prefix_states) == 0
+    svc.answer(video_path=tiny_video, question="q", sample_num=4,
+               max_new_tokens=3, session_id="s1")
+    assert len(svc._prefix_states) == 0

@@ -57,6 +57,13 @@ def build_parser():
                         "engine's KV cache over a 'model' mesh axis; "
                         "token-identical to single-device "
                         "(remaining devices form the 'data' axis)")
+    p.add_argument("--prefix-cache", type=int, default=0, metavar="VIDEOS",
+                   help="cross-request video prefix-KV cache (vLLM APC "
+                        "analog): keep the system+video prompt KV for the "
+                        "last N (video, frames) keys so independent warm "
+                        "same-video questions prefill only their own text "
+                        "(~0.9 GB KV per video at 7B/64-frame; "
+                        "chip-measured 1.84 -> 0.66 s/question mechanics)")
     p.add_argument("--max-sessions", type=int, default=4,
                    help="LRU cap on /v1/answer chat sessions (session_id "
                         "conversations; each holds one prefix-KV cache, "
@@ -123,6 +130,7 @@ def main(argv=None):
                              continuous_max_prompt=args.continuous_max_prompt,
                              continuous_decode_slots=args.continuous_decode_slots,
                              continuous_prefill_chunk=args.continuous_prefill_chunk,
+                             prefix_cache=args.prefix_cache,
                              mesh=mesh)
     if not args.no_warmup:
         print("warming up (compiling scoring programs)...")

@@ -72,6 +72,21 @@ class ScoringService:
     # LRU-capped in sessions; each holds one conversation KV cache
     # (~0.9 GB at the 7B/64-frame geometry).
     max_sessions: int = 4
+    # >0: cross-request video prefix-KV cache (vLLM automatic-prefix-caching
+    # analog) for INDEPENDENT greedy /v1/answer requests: the shared
+    # system+video prompt prefix's KV is kept per (video, mtime, selected
+    # frames) and each request extension-prefills only its question text —
+    # the ConversationState divergence path drops the previous question/
+    # answer tokens, so requests stay history-free.  Warm same-video
+    # questions skip the ~12.2k-token video prefill (chip-measured 1.84 ->
+    # 0.66 s/round for the same mechanics, docs/KERNELS.md).  Hits require
+    # an identical frame selection (selection is question-conditioned, so
+    # only questions that pick the same frames share a prefix — the frame
+    # indices are part of the key, never a false share).  Counted in videos
+    # (~0.9 GB KV
+    # each at 7B/64-frame); takes precedence over the continuous engine
+    # for greedy video answers.
+    prefix_cache: int = 0
 
     def __post_init__(self):
         self._device_lock = threading.Lock()
@@ -103,9 +118,12 @@ class ScoringService:
         self._sessions = {}          # session_id -> dict (LRU, _feat_lock)
         self._session_order = []
         self._session_seen = set()   # ids ever created (eviction signal)
+        self._prefix_states = {}     # (path, mtime, frames) -> entry (LRU)
+        self._prefix_order = []
         self.stats = {"requests": 0, "frames_scored": 0, "batched": 0,
                       "feature_cache_hits": 0, "engine": 0,
-                      "engine_fallback": 0, "session_rounds": 0}
+                      "engine_fallback": 0, "session_rounds": 0,
+                      "prefix_hits": 0}
 
     def warmup(self, hw=(480, 640)):
         """Compile the scoring programs before serving traffic (first-call
@@ -848,6 +866,55 @@ class ScoringService:
             if session_id in self._session_order:
                 self._session_order.remove(session_id)
 
+    # -- cross-request video prefix-KV cache (vLLM APC analog) --------------
+
+    def _prefix_usable(self) -> bool:
+        return (self.prefix_cache > 0
+                and hasattr(self.backbone, "new_conversation_state")
+                and hasattr(self.backbone, "generate_multi_round"))
+
+    def _prefix_checkout(self, video_path: str, idx):
+        """Get-or-create the prefix entry for (video, mtime, selected
+        frames), LRU-capped at ``prefix_cache`` videos.  The frame indices
+        are part of the key: a different selection is a different video
+        splice, so its prefix KV cannot be shared."""
+        try:
+            mtime = os.path.getmtime(video_path)
+        except OSError:
+            mtime = 0.0
+        key = (video_path, mtime, tuple(int(i) for i in idx))
+        with self._feat_lock:
+            entry = self._prefix_states.get(key)
+            hit = entry is not None
+            if hit:
+                self._prefix_order.remove(key)
+                self.stats["prefix_hits"] += 1
+            else:
+                entry = {"state": self.backbone.new_conversation_state(),
+                         "lock": threading.Lock()}
+                self._prefix_states[key] = entry
+                while len(self._prefix_states) > self.prefix_cache:
+                    old = self._prefix_order.pop(0)
+                    del self._prefix_states[old]
+            self._prefix_order.append(key)
+        return entry
+
+    def _prefix_answer(self, video_path: str, sel, idx, question: str,
+                       max_new) -> str:
+        """One INDEPENDENT greedy answer through the video's shared
+        prefix-KV: a single-turn conversation against the cached state.
+        The ConversationState divergence path reuses the common
+        system+video prompt prefix (the expensive ~12.2k-token prefill)
+        and truncates away the previous request's question/answer tokens,
+        so history never leaks between requests — warm questions prefill
+        only their own text (models/llava_video.py::_multi_round_prefill)."""
+        entry = self._prefix_checkout(video_path, idx)
+        with entry["lock"]:           # same-video requests serialize
+            with self._device_lock:
+                return self.backbone.generate_multi_round(
+                    sel, [(question, None)], max_new_tokens=max_new,
+                    state=entry["state"])
+
     def _answer_session(self, *, session_id: str, video_path: str,
                         question: str, sample_num, method, window_size,
                         max_new_tokens, t0) -> dict:
@@ -1011,7 +1078,12 @@ class ScoringService:
                                                  sample_num, method,
                                                  window_size)
         answer = None
-        if self._engine is not None:
+        if self._prefix_usable():
+            # latency discipline: warm same-video questions skip the video
+            # prefill entirely; takes precedence over the engine
+            answer = self._prefix_answer(video_path, sel, idx, question,
+                                         max_new_tokens)
+        if answer is None and self._engine is not None:
             answer = self._engine_answer(sel, question, max_new_tokens)
         if answer is None and self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
