@@ -103,10 +103,33 @@ def main():
                       "random-bf16 tie artifact; see script comment"}),
           flush=True)
 
-    for name, stateful in (("stateless_full_reprefill", False),
-                           ("stateful_prefix_reuse", True)):
+    def run_independent(timed: dict | None):
+        """The serve-layer prefix-cache discipline (server.py
+        --prefix-cache): INDEPENDENT questions, each a fresh single-turn
+        conversation against ONE persistent per-video state.  Warm
+        questions diverge right after the shared system+video prefix, so
+        only their own text prefills; the previous question/answer tokens
+        are truncated away (history-free)."""
+        state = model.new_conversation_state()
+        state.video_tokens = video_tokens
+        answers = []
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            answers.append(model.generate_multi_round(
+                None, [(questions[r], None)], max_new_tokens=max_new,
+                state=state))
+            if timed is not None:
+                timed.setdefault("rounds", []).append(
+                    round(time.perf_counter() - t0, 3))
+        return answers
+
+    run_independent(None)        # warm the extension-prefill programs
+
+    for name, fn in (("stateless_full_reprefill", lambda t: run(False, t)),
+                     ("stateful_prefix_reuse", lambda t: run(True, t)),
+                     ("independent_prefix_cache", run_independent)):
         timed: dict = {}
-        run(stateful, timed)
+        fn(timed)
         r = timed["rounds"]
         print(json.dumps({name: {"round_s": r,
                                  "followup_mean_s": round(
