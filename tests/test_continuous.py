@@ -923,3 +923,27 @@ def test_prefix_cache_sampled_and_sessions_bypass(tiny_video):
     svc.answer(video_path=tiny_video, question="q", sample_num=4,
                max_new_tokens=3, session_id="s1")
     assert len(svc._prefix_states) == 0
+
+
+def test_prefix_cache_stream_matches_plain(tiny_video):
+    """Streaming /v1/answer through the prefix cache: deltas concatenate to
+    the non-stream prefix-cached answer, warm streams are prefix HITS, and
+    an abandoned stream leaves the state clean (next request full-prefills
+    and still answers exactly)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2)
+    want = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                      max_new_tokens=5)["answer"]
+    events = list(svc.answer_stream(video_path=tiny_video, question="What?",
+                                    sample_num=4, max_new_tokens=5))
+    text = "".join(e["delta"] for e in events if "delta" in e)
+    assert text == want
+    assert svc.stats["prefix_hits"] == 1
+    # abandon a stream mid-answer: state must recover cleanly
+    g = svc.answer_stream(video_path=tiny_video, question="Other question?",
+                          sample_num=4, max_new_tokens=5)
+    next(g)                       # frames event
+    g.close()
+    r = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                   max_new_tokens=5)
+    assert r["answer"] == want

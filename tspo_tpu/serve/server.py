@@ -915,6 +915,23 @@ class ScoringService:
                     sel, [(question, None)], max_new_tokens=max_new,
                     state=entry["state"])
 
+    def _prefix_answer_stream(self, video_path: str, sel, idx,
+                              question: str, max_new):
+        """Streaming :meth:`_prefix_answer`: text deltas through the
+        video's shared prefix-KV.  The state commits only once the stream
+        is fully consumed (generate_multi_round_stream's contract), so a
+        client disconnect mid-answer leaves it checked-out/reset for a
+        clean full re-prefill — never a half-written cache."""
+        entry = self._prefix_checkout(video_path, idx)
+
+        def gen():
+            with entry["lock"]:       # same-video requests serialize
+                it = self.backbone.generate_multi_round_stream(
+                    sel, [(question, None)], max_new_tokens=max_new,
+                    state=entry["state"])
+                yield from self._locked_stream(it)
+        return gen()
+
     def _answer_session(self, *, session_id: str, video_path: str,
                         question: str, sample_num, method, window_size,
                         max_new_tokens, t0) -> dict:
@@ -1178,10 +1195,19 @@ class ScoringService:
             yield {"event": "done",
                    "latency_s": round(time.perf_counter() - t0, 4)}
             return
-        deltas = (self._engine_answer_stream(sel, question, max_new_tokens)
-                  if self._engine is not None else None)
+        deltas = None
+        if self._prefix_usable() and hasattr(self.backbone,
+                                             "generate_multi_round_stream"):
+            # latency discipline: warm same-video questions stream off the
+            # shared prefix-KV (takes precedence over the engine, as in
+            # the non-stream path)
+            deltas = self._prefix_answer_stream(video_path, sel, idx,
+                                                question, max_new_tokens)
+        if deltas is None and self._engine is not None:
+            deltas = self._engine_answer_stream(sel, question,
+                                                max_new_tokens)
         if deltas is not None:
-            for delta in deltas:          # engine locks device work itself
+            for delta in deltas:          # paths lock device work internally
                 yield {"delta": delta}
         elif stream is None:
             with self._device_lock:
