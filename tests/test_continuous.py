@@ -947,3 +947,138 @@ def test_prefix_cache_stream_matches_plain(tiny_video):
     r = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
                    max_new_tokens=5)
     assert r["answer"] == want
+
+
+# ---------------------------------------------------------------------------
+# Engine-level prefix caching (vLLM APC)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_prefix_miss_and_hit_exact(params):
+    """Prefix pool: a miss prefills fully and stores the first-P KV; a hit
+    imports it and prefills only the suffix.  Both are token-exact vs solo
+    greedy_decode."""
+    rng = np.random.default_rng(11)
+    pre = rng.integers(0, CFG.vocab_size - 1, size=14).tolist()
+    ids_a = pre + rng.integers(0, CFG.vocab_size - 1, size=6).tolist()
+    ids_b = pre + rng.integers(0, CFG.vocab_size - 1, size=9).tolist()
+    want_a = _solo(params, ids_a, 8)
+    want_b = _solo(params, ids_b, 8)
+    eng = _engine(params, prefix_slots=2)
+    try:
+        ha = eng.submit(_embeds(params, ids_a), max_new_tokens=8,
+                        prefix_key="vid1", prefix_len=14)
+        assert ha.result(timeout=120) == want_a
+        assert eng.stats["prefix_stores"] == 1
+        hb = eng.submit(_embeds(params, ids_b), max_new_tokens=8,
+                        prefix_key="vid1", prefix_len=14)
+        assert hb.result(timeout=120) == want_b
+        assert eng.stats["prefix_hits"] == 1
+    finally:
+        eng.shutdown()
+
+
+def test_engine_prefix_hit_joins_running_decode(params):
+    """A prefix hit admitted while another tenant decodes: the suffix
+    prefills between decode chunks, both rows stay exact, and the running
+    tenant is unperturbed."""
+    rng = np.random.default_rng(12)
+    pre = rng.integers(0, CFG.vocab_size - 1, size=12).tolist()
+    ids_long = rng.integers(0, CFG.vocab_size - 1, size=10).tolist()
+    ids_hit = pre + rng.integers(0, CFG.vocab_size - 1, size=7).tolist()
+    want_long = _solo(params, ids_long, D_SLOTS - 1)
+    want_pre = _solo(params, pre + [5], 6)
+    want_hit = _solo(params, ids_hit, 6)
+    eng = _engine(params, prefix_slots=1)
+    try:
+        # warm the pool while idle
+        h0 = eng.submit(_embeds(params, pre + [5]), max_new_tokens=6,
+                        prefix_key="v", prefix_len=12)
+        assert h0.result(timeout=120) == want_pre
+        hl = eng.submit(_embeds(params, ids_long),
+                        max_new_tokens=D_SLOTS - 1)
+        time.sleep(0.3)             # hit arrives mid-decode
+        hh = eng.submit(_embeds(params, ids_hit), max_new_tokens=6,
+                        prefix_key="v", prefix_len=12)
+        assert hh.result(timeout=120) == want_hit
+        assert hl.result(timeout=120) == want_long
+        assert eng.stats["prefix_hits"] == 1
+    finally:
+        eng.shutdown()
+
+
+def test_engine_prefix_len_mismatch_and_eviction(params):
+    """A prefix_len differing from the stored entry is a miss (re-stored);
+    the LRU evicts beyond prefix_slots; invalid submits are rejected."""
+    rng = np.random.default_rng(13)
+    ids = rng.integers(0, CFG.vocab_size - 1, size=20).tolist()
+    want = _solo(params, ids, 6)
+    eng = _engine(params, prefix_slots=1)
+    try:
+        eng.submit(_embeds(params, ids), max_new_tokens=6,
+                   prefix_key="a", prefix_len=10).result(timeout=120)
+        # same key, different len: miss + overwrite
+        h = eng.submit(_embeds(params, ids), max_new_tokens=6,
+                       prefix_key="a", prefix_len=12)
+        assert h.result(timeout=120) == want
+        assert eng.stats["prefix_hits"] == 0
+        assert eng.stats["prefix_stores"] == 2
+        assert eng._prefix_pool["a"]["len"] == 12
+        # capacity 1: a second key evicts the first
+        eng.submit(_embeds(params, ids), max_new_tokens=6,
+                   prefix_key="b", prefix_len=10).result(timeout=120)
+        assert list(eng._prefix_pool) == ["b"]
+        # invalid: sampled, mrope, bad len, disabled engine
+        with pytest.raises(ValueError, match="greedy-only"):
+            eng.submit(_embeds(params, ids), max_new_tokens=4,
+                       prefix_key="x", prefix_len=5, temperature=1.0)
+        with pytest.raises(ValueError, match="prefix_len"):
+            eng.submit(_embeds(params, ids), max_new_tokens=4,
+                       prefix_key="x", prefix_len=len(ids))
+    finally:
+        eng.shutdown()
+    eng2 = _engine(params)
+    try:
+        with pytest.raises(ValueError, match="prefix_slots"):
+            eng2.submit(_embeds(params, ids), max_new_tokens=4,
+                        prefix_key="x", prefix_len=5)
+    finally:
+        eng2.shutdown()
+
+
+def test_service_engine_prefix_cache(tiny_video):
+    """--prefix-cache + --continuous: the pool lives inside the engine —
+    the second same-selection question is an engine prefix HIT, answers
+    are exact vs the engine-only service, and streaming rides it too."""
+    kw = dict(continuous_slots=2, continuous_chunk=4,
+              continuous_max_prompt=512, continuous_decode_slots=16)
+    bb_ref = _tiny_llava()
+    svc_ref = _tiny_service(bb_ref, **kw)
+    try:
+        w1 = svc_ref.answer(video_path=tiny_video, question="What?",
+                            sample_num=4, max_new_tokens=5)["answer"]
+        w2 = svc_ref.answer(video_path=tiny_video, question="And then?",
+                            sample_num=4, max_new_tokens=5)["answer"]
+    finally:
+        svc_ref._engine.shutdown()
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2, **kw)
+    try:
+        r1 = svc.answer(video_path=tiny_video, question="What?",
+                        sample_num=4, max_new_tokens=5)
+        r2 = svc.answer(video_path=tiny_video, question="And then?",
+                        sample_num=4, max_new_tokens=5)
+        assert r1["answer"] == w1 and r2["answer"] == w2
+        assert svc._engine.stats["prefix_stores"] >= 1
+        same_sel = r1["frame_indices"] == r2["frame_indices"]
+        assert svc._engine.stats["prefix_hits"] == (1 if same_sel else 0)
+        assert len(svc._prefix_states) == 0      # solo pool untouched
+        # streaming hit
+        events = list(svc.answer_stream(video_path=tiny_video,
+                                        question="What?", sample_num=4,
+                                        max_new_tokens=5))
+        text = "".join(e["delta"] for e in events if "delta" in e)
+        assert text == w1
+        assert svc._engine.stats["prefix_hits"] >= 1
+    finally:
+        svc._engine.shutdown()

@@ -706,10 +706,23 @@ class LLaVAVideoModel:
         """Submit-kwargs for the continuous batching engine
         (serve/continuous.py): the prompt-assembly half of generate() with
         the decode half handed to the engine.  Standard 1-D rope — no rope
-        tables needed."""
-        embeds, _ids, max_new = self._prepare_generate(
+        tables needed.  ``prefix_len`` marks the question-independent
+        shareable prefix (bos + system + spliced video block, i.e.
+        everything through the <image> splice) for the engine's prefix
+        cache — identical for every question on the same video + frame
+        selection, so the serve layer can key it by (video, mtime,
+        frames)."""
+        embeds, ids, max_new = self._prepare_generate(
             frames, question, max_new_tokens, None, None)
-        return {"embeds": embeds, "max_new_tokens": max_new}
+        out = {"embeds": embeds, "max_new_tokens": max_new}
+        ids = list(ids)
+        if IMAGE_TOKEN_INDEX in ids:
+            sent = ids.index(IMAGE_TOKEN_INDEX)
+            n_vid = int(embeds.shape[1]) - (len(ids) - 1)
+            plen = sent + n_vid          # expand(sent + 1) == sent + n_vid
+            if 0 < plen < int(embeds.shape[1]):
+                out["prefix_len"] = plen
+        return out
 
     def generate_stream(self, frames: np.ndarray, question: str,
                         max_new_tokens: int | None = None,

@@ -226,6 +226,18 @@ def prefill_mixed(params, prompt_embeds, prompt_valid, cache: KVCache,
 
 
 @jax.jit
+def _import_prefix(k, v, pk, pv):
+    """Write a stored prefix's KV ([L, 1, Pb, KV, hd], Pb = 256-padded
+    stored length) into the front of a fresh admission row cache.  Garbage
+    in [P, Pb) is invisible downstream: suffix prefill masks keys past
+    ``cache.length + valid_len`` and the inserted row's prompt mask
+    excludes everything past the prompt's real length."""
+    Pb = pk.shape[2]
+    return (k.at[:, :, :Pb].set(pk.astype(k.dtype)),
+            v.at[:, :, :Pb].set(pv.astype(v.dtype)))
+
+
+@jax.jit
 def _insert_rows(k, v, row_k, row_v, slots):
     """Copy a batched admission prefill's KV ([L, kB, Sb, KV, hd]) into the
     engine-cache rows given by ``slots`` [kB] — ONE scatter per admission
@@ -252,7 +264,10 @@ class EngineRequest:
     """
 
     def __init__(self, embeds, valid, max_new, rope_cos_sin, pos0_override,
-                 stream_cb, temperature=0.0, top_p=1.0, seed=None):
+                 stream_cb, temperature=0.0, top_p=1.0, seed=None,
+                 prefix_key=None, prefix_len=0):
+        self.prefix_key = prefix_key
+        self.prefix_len = int(prefix_len)
         self.embeds = embeds            # [1, S, D] (unpadded)
         self.valid = valid              # [S] bool
         self.max_new = int(max_new)
@@ -317,6 +332,19 @@ class ContinuousEngine:
         inside the same jitted prefill/decode programs.  Token outputs are
         bit-identical to the unsharded engine (pinned by
         tests/test_continuous.py).
+    prefix_slots : >0 enables ENGINE-LEVEL prefix caching (vLLM automatic
+        prefix caching): ``submit(prefix_key=..., prefix_len=P)`` marks the
+        prompt's first P embeds as a shareable prefix.  A miss prefills
+        normally and stores the row's first-P KV under the key (LRU of
+        ``prefix_slots`` entries); a hit imports that KV into a fresh row
+        and prefills ONLY the suffix (the question text) in
+        ``prefill_extend`` pieces between decode chunks — a warm admission
+        skips the ~12k-token video prefill even while other tenants are
+        decoding.  Greedy, standard-rope, contiguous-validity prompts only
+        (loudly rejected otherwise); the caller owns key semantics: one key
+        MUST always denote one exact embeds prefix (the serve layer keys by
+        video + mtime + frame selection).  Token-exact vs an uncached
+        admission (pinned by tests/test_continuous.py).
     """
 
     def __init__(self, lm_params, cfg: Qwen2Config, *, slots: int = 4,
@@ -324,7 +352,7 @@ class ContinuousEngine:
                  decode_slots: int = 128, prompt_bucket: int = 256,
                  dtype=jnp.bfloat16, eos_token_id: int | None = None,
                  device_lock: threading.Lock | None = None,
-                 prefill_chunk: int = 0, mesh=None):
+                 prefill_chunk: int = 0, mesh=None, prefix_slots: int = 0):
         if cfg.sliding_window is not None:
             raise ValueError("ContinuousEngine supports sliding_window=None "
                              "configs (Qwen2/Llama3); got a windowed config")
@@ -385,6 +413,10 @@ class ContinuousEngine:
         self._keys = np.zeros((self.slots, 2), np.uint32)
         self._req: list[EngineRequest | None] = [None] * self.slots
 
+        self.prefix_slots = int(prefix_slots)
+        self._prefix_pool: dict = {}   # key -> {"k", "v", "len"} (LRU)
+        self._prefix_lru: list = []
+
         self._queue: deque[EngineRequest] = deque()
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -392,7 +424,8 @@ class ContinuousEngine:
         self._dead: Exception | None = None
         self.stats = {"completed": 0, "chunks": 0, "admitted": 0,
                       "admit_batches": 0, "chunked_admissions": 0,
-                      "peak_active": 0}
+                      "peak_active": 0, "prefix_hits": 0,
+                      "prefix_stores": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tspo-continuous-engine")
         self._thread.start()
@@ -416,13 +449,16 @@ class ContinuousEngine:
     def submit(self, embeds, valid=None, *, max_new_tokens: int,
                rope_cos_sin=None, decode_pos_start=None,
                stream_cb=None, temperature: float = 0.0,
-               top_p: float = 1.0, seed: int | None = None) -> EngineRequest:
+               top_p: float = 1.0, seed: int | None = None,
+               prefix_key=None, prefix_len: int = 0) -> EngineRequest:
         """Queue one request.  ``embeds`` [1, S, D] (or [S, D]); ``valid``
         [S] bool (default all-valid); ``rope_cos_sin``/``decode_pos_start``
         thread the Qwen2.5-VL mrope prompt tables through the admission
         prefill.  ``temperature > 0`` samples THIS row (nucleus ``top_p``,
         per-request ``seed`` chain — bit-exact vs a solo sample_decode at
         the same seed) while co-resident rows keep their own params.
+        ``prefix_key``/``prefix_len`` enable prefix caching for the
+        prompt's first ``prefix_len`` embeds (class docstring).
         Returns immediately with an :class:`EngineRequest`."""
         e = jnp.asarray(embeds)
         if e.ndim == 2:
@@ -434,9 +470,27 @@ class ContinuousEngine:
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
         v = np.ones(S, bool) if valid is None else np.asarray(valid, bool)
+        if prefix_key is not None:
+            if self.prefix_slots <= 0:
+                raise ValueError("engine built with prefix_slots=0: drop "
+                                 "prefix_key or enable prefix caching")
+            if rope_cos_sin is not None or decode_pos_start is not None:
+                raise ValueError("prefix caching supports standard-rope "
+                                 "prompts only (mrope tables are per-row)")
+            if temperature and float(temperature) > 0:
+                raise ValueError("prefix caching is greedy-only (the hit "
+                                 "path's first token is the extension "
+                                 "prefill's greedy token)")
+            nv = int(v.sum())
+            if not (0 < int(prefix_len) < nv):
+                raise ValueError(f"prefix_len must be in (0, {nv}), got "
+                                 f"{prefix_len}")
+            if not bool(v[:nv].all()):
+                raise ValueError("prefix caching needs contiguous validity")
         req = EngineRequest(e, v, min(int(max_new_tokens), self.D),
                             rope_cos_sin, decode_pos_start, stream_cb,
-                            temperature=temperature, top_p=top_p, seed=seed)
+                            temperature=temperature, top_p=top_p, seed=seed,
+                            prefix_key=prefix_key, prefix_len=prefix_len)
         with self._lock:
             if self._dead is not None:
                 raise RuntimeError("engine is dead") from self._dead
@@ -514,6 +568,13 @@ class ContinuousEngine:
                 group, solo = [], None
                 while self._queue and len(group) < len(free):
                     head = self._queue[0]
+                    if head.prefix_key is not None:
+                        # prefix-cached requests admit solo: a hit's cache
+                        # import + suffix-only prefill, and a miss's
+                        # post-prefill store, are per-row operations
+                        if not group:
+                            solo = self._queue.popleft()
+                        break
                     if head.rope_cos_sin is None and \
                             head.pos0_override is None:
                         group.append(self._queue.popleft())
@@ -527,6 +588,17 @@ class ContinuousEngine:
             if not reqs:
                 return
             try:
+                pre = None
+                if len(reqs) == 1 and reqs[0].prefix_key is not None:
+                    pre = self._prefix_pool.get(reqs[0].prefix_key)
+                    if pre is not None and pre["len"] != reqs[0].prefix_len:
+                        pre = None      # geometry changed: miss + re-store
+                if pre is not None and \
+                        self._setup_pending(targets[0], reqs[0], prefix=pre):
+                    self.stats["prefix_hits"] += 1
+                    self._prefix_lru.remove(reqs[0].prefix_key)
+                    self._prefix_lru.append(reqs[0].prefix_key)
+                    return          # suffix prefills between decode chunks
                 if (len(reqs) == 1 and self.prefill_chunk > 0
                         and self.n_active > 0
                         and self._setup_pending(targets[0], reqs[0])):
@@ -540,12 +612,21 @@ class ContinuousEngine:
             self.stats["peak_active"] = max(self.stats["peak_active"],
                                             self.n_active)
 
-    def _setup_pending(self, b: int, req: EngineRequest) -> bool:
+    def _setup_pending(self, b: int, req: EngineRequest,
+                       prefix: dict | None = None) -> bool:
         """Stage a chunked admission for slot ``b``: the prompt prefills in
         ``prefill_chunk``-token pieces between decode chunks (_prefill_step)
         so active rows stall at most one piece.  Returns False when the
         request can't chunk (non-contiguous validity) — the caller admits
-        it unchunked instead."""
+        it unchunked instead.
+
+        With ``prefix`` (a pool entry, PREFIX HIT): the entry's KV imports
+        into the fresh row cache, ``cache.length`` starts at the prefix
+        length P, and pieces prefill only [P, nv) — the suffix.  Positions
+        continue from ``cache.length`` inside prefill_extend, so no new
+        compiled programs appear per P (the capacity Wb = Sb + W is
+        P-independent; imported pad garbage in [P, Pb) is masked by
+        start+valid attention and later by the row's prompt mask)."""
         if req.temperature > 0:
             # prefill_extend's last-chunk token is greedy; sampled requests
             # admit unchunked (prefill_mixed draws their first token)
@@ -555,8 +636,25 @@ class ContinuousEngine:
         if not bool(np.asarray(req.valid)[:nv].all()):
             return False            # non-prefix validity: unchunked path
         Sb = min(self.S_max, -(-S // self.bucket) * self.bucket)
-        W = min(self.prefill_chunk, Sb)
-        Wb = -(-Sb // W) * W        # row capacity: pad writes never clamp
+        if prefix is None:
+            W = min(self.prefill_chunk, Sb)
+            Wb = -(-Sb // W) * W    # row capacity: pad writes never clamp
+            cache, off0 = self._row_cache(1, Wb), 0
+        else:
+            P = prefix["len"]
+            W = min(self.prefill_chunk if self.prefill_chunk > 0 else 256,
+                    Sb)
+            # P-independent capacity covering BOTH overhangs: the last
+            # suffix piece's pad reach (<= nv + W) and the imported entry's
+            # 256-granule pad (Pb <= P + 255 < Sb + 256).  Clamped writes
+            # would silently corrupt prefix KV — same hazard as the
+            # conversation path's EXT_PAD note.
+            Wb = Sb + max(W, 256)
+            cache = self._row_cache(1, Wb)
+            with self._device_lock:
+                k2, v2 = _import_prefix(cache.k, cache.v,
+                                        prefix["k"], prefix["v"])
+            cache, off0 = KVCache(k2, v2, jnp.int32(P)), P
         emb = jnp.pad(req.embeds.astype(self.dtype),
                       ((0, 0), (0, Wb - S), (0, 0)))
         rope = req.rope_cos_sin
@@ -566,11 +664,37 @@ class ContinuousEngine:
                     jnp.pad(sin, ((0, Wb - S), (0, 0))))
         self._pending = {
             "req": req, "slot": b, "emb": emb, "rope": rope,
-            "valid_n": nv, "off": 0, "W": W, "Sb": Sb,
-            "cache": self._row_cache(1, Wb),
-            "tok": None,
+            "valid_n": nv, "off": off0, "W": W, "Sb": Sb,
+            "cache": cache, "tok": None, "prefix_hit": prefix is not None,
         }
         return True
+
+    def _store_prefix(self, req: EngineRequest, k, v):
+        """Store a completed miss-admission's first-``prefix_len`` KV under
+        its key (LRU, ``prefix_slots`` entries).  ``k``/``v`` are the row's
+        prefilled cache buffers ([L, 1, C, KV, hd], hole-free through the
+        prompt).  Stored padded to a 256 multiple so the import program
+        count stays bounded; the pad granule past P is masked everywhere
+        it could be read."""
+        if self.prefix_slots <= 0 or req.prefix_key is None:
+            return
+        P = req.prefix_len
+        Pb = -(-P // 256) * 256
+        C = int(k.shape[2])
+        n = min(Pb, C)
+        pk, pv = k[:, :1, :n], v[:, :1, :n]
+        if Pb > C:
+            pad = ((0, 0), (0, 0), (0, Pb - C), (0, 0), (0, 0))
+            pk, pv = jnp.pad(pk, pad), jnp.pad(pv, pad)
+        key = req.prefix_key
+        if key in self._prefix_pool:
+            self._prefix_lru.remove(key)
+        self._prefix_pool[key] = {"k": pk, "v": pv, "len": P}
+        self._prefix_lru.append(key)
+        while len(self._prefix_pool) > self.prefix_slots:
+            old = self._prefix_lru.pop(0)
+            del self._prefix_pool[old]
+        self.stats["prefix_stores"] += 1
 
     def _prefill_step(self):
         """One admission-prefill piece; finalizes the admission (row insert
@@ -611,6 +735,8 @@ class ContinuousEngine:
         self._topp[b] = 1.0
         self._keys[b] = 0
         self._req[b] = req
+        if not p["prefix_hit"]:     # a hit's values are already pooled
+            self._store_prefix(req, p["cache"].k, p["cache"].v)
         self._pending = None
         self.stats["admitted"] += 1
         self.stats["chunked_admissions"] += 1
@@ -663,6 +789,8 @@ class ContinuousEngine:
                 jnp.asarray(slots, jnp.int32))
             first = np.asarray(first_tok)
             p0 = np.asarray(pos0)
+        if k == 1:                  # prefix-cached requests admit solo
+            self._store_prefix(reqs[0], row.k, row.v)
         for i, (b, req) in enumerate(zip(slots, reqs)):
             self._tok[b] = int(first[i])
             self._pos0[b] = int(p0[i])

@@ -83,9 +83,11 @@ class ScoringService:
     # an identical frame selection (selection is question-conditioned, so
     # only questions that pick the same frames share a prefix — the frame
     # indices are part of the key, never a false share).  Counted in videos
-    # (~0.9 GB KV
-    # each at 7B/64-frame); takes precedence over the continuous engine
-    # for greedy video answers.
+    # (~0.9 GB KV each at 7B/64-frame).  With the continuous engine on,
+    # the pool lives INSIDE the engine (continuous.py prefix_slots — warm
+    # admissions skip the video prefill while other tenants keep
+    # decoding); engine off, a solo ConversationState pool serves the same
+    # role.
     prefix_cache: int = 0
 
     def __post_init__(self):
@@ -107,7 +109,8 @@ class ScoringService:
                 decode_slots=self.continuous_decode_slots,
                 prefill_chunk=self.continuous_prefill_chunk,
                 dtype=self.backbone.params["lm"]["embedding"].dtype,
-                device_lock=self._device_lock, mesh=self.mesh)
+                device_lock=self._device_lock, mesh=self.mesh,
+                prefix_slots=self.prefix_cache)
         self._batch_lock = threading.Lock()
         self._pending = []          # [(event, payload dict, result dict)]
         self._feat_cache = {}       # (path, mtime) -> img_feat float32 [T, P]
@@ -656,17 +659,23 @@ class ScoringService:
         return kw
 
     def _engine_submit(self, frames, question, max_new, stream_cb=None,
-                       sampling: dict | None = None):
+                       sampling: dict | None = None, prefix_key=None):
         """Submit one request to the continuous engine.  Returns the
         EngineRequest, or None when the request can't ride the engine
         (prompt too long, engine dead) — the caller then falls back to the
         solo decode path.  ``sampling`` ({temperature, top_p, seed}) rides
         the engine's per-row sampling (continuous.py) so sampled requests
-        batch with greedy traffic."""
+        batch with greedy traffic.  ``prefix_key`` opts this greedy
+        request into the engine's prefix cache (warm same-key admissions
+        skip the video prefill) when the backbone reported a shareable
+        ``prefix_len``."""
         kw = self._engine_prepare(frames, question, max_new)
         if kw is None:
             return None
         embeds = kw.pop("embeds")
+        sampled = bool(sampling and sampling.get("temperature", 0) > 0)
+        if prefix_key is not None and not sampled and kw.get("prefix_len"):
+            kw["prefix_key"] = prefix_key
         try:
             return self._engine.submit(embeds, stream_cb=stream_cb,
                                        **(sampling or {}), **kw)
@@ -744,9 +753,10 @@ class ScoringService:
         return out
 
     def _engine_answer(self, frames, question, max_new,
-                       sampling: dict | None = None) -> str | None:
+                       sampling: dict | None = None,
+                       prefix_key=None) -> str | None:
         req = self._engine_submit(frames, question, max_new,
-                                  sampling=sampling)
+                                  sampling=sampling, prefix_key=prefix_key)
         if req is None:
             return None
         try:
@@ -764,7 +774,8 @@ class ScoringService:
         return self.backbone.decode(toks)
 
     def _engine_answer_stream(self, frames, question, max_new,
-                              sampling: dict | None = None):
+                              sampling: dict | None = None,
+                              prefix_key=None):
         """Text-delta generator through the engine, or None on prompt
         overflow.  Chunk-boundary token pieces bridge through a queue into
         the shared prefix-detokenizer (same U+FFFD holdback as
@@ -773,7 +784,8 @@ class ScoringService:
         import queue as _queue
         q: _queue.Queue = _queue.Queue()
         req = self._engine_submit(frames, question, max_new,
-                                  stream_cb=q.put, sampling=sampling)
+                                  stream_cb=q.put, sampling=sampling,
+                                  prefix_key=prefix_key)
         if req is None:
             return None
         from ..models.qwen2 import stream_detokenize
@@ -873,16 +885,21 @@ class ScoringService:
                 and hasattr(self.backbone, "new_conversation_state")
                 and hasattr(self.backbone, "generate_multi_round"))
 
-    def _prefix_checkout(self, video_path: str, idx):
-        """Get-or-create the prefix entry for (video, mtime, selected
-        frames), LRU-capped at ``prefix_cache`` videos.  The frame indices
-        are part of the key: a different selection is a different video
-        splice, so its prefix KV cannot be shared."""
+    @staticmethod
+    def _prefix_cache_key(video_path: str, idx):
+        """(video, mtime, selected frames): the frame indices are part of
+        the key — a different selection is a different video splice, so
+        its prefix KV cannot be shared."""
         try:
             mtime = os.path.getmtime(video_path)
         except OSError:
             mtime = 0.0
-        key = (video_path, mtime, tuple(int(i) for i in idx))
+        return (video_path, mtime, tuple(int(i) for i in idx))
+
+    def _prefix_checkout(self, video_path: str, idx):
+        """Get-or-create the solo-path prefix entry, LRU-capped at
+        ``prefix_cache`` videos."""
+        key = self._prefix_cache_key(video_path, idx)
         with self._feat_lock:
             entry = self._prefix_states.get(key)
             hit = entry is not None
@@ -1095,13 +1112,19 @@ class ScoringService:
                                                  sample_num, method,
                                                  window_size)
         answer = None
-        if self._prefix_usable():
-            # latency discipline: warm same-video questions skip the video
-            # prefill entirely; takes precedence over the engine
+        if self._engine is not None:
+            # with --prefix-cache the engine runs its own prefix pool
+            # (warm same-key admissions skip the video prefill while other
+            # tenants keep decoding — throughput AND latency)
+            answer = self._engine_answer(
+                sel, question, max_new_tokens,
+                prefix_key=(self._prefix_cache_key(video_path, idx)
+                            if self.prefix_cache > 0 else None))
+        if answer is None and self._prefix_usable():
+            # engine off (or overflow/dead): the solo-path prefix cache
+            # still skips the warm video prefill
             answer = self._prefix_answer(video_path, sel, idx, question,
                                          max_new_tokens)
-        if answer is None and self._engine is not None:
-            answer = self._engine_answer(sel, question, max_new_tokens)
         if answer is None and self.batch_window_s > 0 and \
                 hasattr(self.backbone, "generate_batch_multi"):
             answer = self._answer_batched(sel, question, max_new_tokens)
@@ -1196,16 +1219,18 @@ class ScoringService:
                    "latency_s": round(time.perf_counter() - t0, 4)}
             return
         deltas = None
-        if self._prefix_usable() and hasattr(self.backbone,
-                                             "generate_multi_round_stream"):
-            # latency discipline: warm same-video questions stream off the
-            # shared prefix-KV (takes precedence over the engine, as in
-            # the non-stream path)
+        if self._engine is not None:
+            # engine prefix pool when --prefix-cache is on (non-stream
+            # precedence mirrored)
+            deltas = self._engine_answer_stream(
+                sel, question, max_new_tokens,
+                prefix_key=(self._prefix_cache_key(video_path, idx)
+                            if self.prefix_cache > 0 else None))
+        if deltas is None and self._prefix_usable() and \
+                hasattr(self.backbone, "generate_multi_round_stream"):
+            # engine off (or overflow/dead): solo-path prefix cache
             deltas = self._prefix_answer_stream(video_path, sel, idx,
                                                 question, max_new_tokens)
-        if deltas is None and self._engine is not None:
-            deltas = self._engine_answer_stream(sel, question,
-                                                max_new_tokens)
         if deltas is not None:
             for delta in deltas:          # paths lock device work internally
                 yield {"delta": delta}
