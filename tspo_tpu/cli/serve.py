@@ -62,8 +62,10 @@ def build_parser():
                         "analog): keep the system+video prompt KV for the "
                         "last N (video, frames) keys so independent warm "
                         "same-video questions prefill only their own text "
-                        "(~0.9 GB KV per video at 7B/64-frame; "
-                        "chip-measured 1.84 -> 0.66 s/question mechanics)")
+                        "(~0.9 GB KV per video at 7B/64-frame).  With "
+                        "--continuous the pool lives inside the engine: "
+                        "warm admissions skip the video prefill while "
+                        "other tenants keep decoding")
     p.add_argument("--max-sessions", type=int, default=4,
                    help="LRU cap on /v1/answer chat sessions (session_id "
                         "conversations; each holds one prefix-KV cache, "

@@ -682,10 +682,11 @@ class ContinuousEngine:
         Pb = -(-P // 256) * 256
         C = int(k.shape[2])
         n = min(Pb, C)
-        pk, pv = k[:, :1, :n], v[:, :1, :n]
-        if Pb > C:
-            pad = ((0, 0), (0, 0), (0, Pb - C), (0, 0), (0, 0))
-            pk, pv = jnp.pad(pk, pad), jnp.pad(pv, pad)
+        with self._device_lock:      # slice/pad are device work
+            pk, pv = k[:, :1, :n], v[:, :1, :n]
+            if Pb > C:
+                pad = ((0, 0), (0, 0), (0, Pb - C), (0, 0), (0, 0))
+                pk, pv = jnp.pad(pk, pad), jnp.pad(pv, pad)
         key = req.prefix_key
         if key in self._prefix_pool:
             self._prefix_lru.remove(key)
