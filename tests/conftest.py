@@ -18,8 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-try:  # persistent compile cache: repeated suite runs skip recompilation
-    _cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+try:  # persistent compile cache: repeated suite runs skip recompilation.
+    # OUTSIDE the repo and keyed by the host-CPU fingerprint: the repo
+    # travels between hosts across build rounds, and a CPU AOT executable
+    # compiled for another machine's vector extensions segfaults when
+    # loaded here (this killed two full-suite runs mid-flight before the
+    # key existed — cli/common.py::machine_cache_tag).
+    from tspo_tpu.cli.common import machine_cache_tag
+    _cache = os.path.join(os.path.expanduser("~"), ".cache",
+                          "tspo_tpu_xla_tests", machine_cache_tag())
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
