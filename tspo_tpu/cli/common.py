@@ -8,12 +8,33 @@ import os
 import numpy as np
 
 
+def machine_cache_tag() -> str:
+    """Host fingerprint for XLA cache paths.  CPU AOT executables are
+    machine-feature-specific: loading an artifact compiled on a host with
+    different vector extensions SIGILLs/segfaults at run time (XLA warns
+    'Machine type used for XLA:CPU compilation doesn't match...'), and
+    this repo's cache dirs travel between hosts across build rounds —
+    keying the path by the local CPU makes stale cross-host entries
+    unreachable instead of fatal."""
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    raw = platform.machine() + flags
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache — full-size tower compiles take
-    minutes on remote-compile backends; cached reruns skip them."""
+    minutes on remote-compile backends; cached reruns skip them.  The
+    directory is keyed by :func:`machine_cache_tag` so artifacts never
+    cross host CPU types."""
     import jax
     path = path or os.path.join(os.path.expanduser("~"), ".cache",
-                                "tspo_tpu_xla")
+                                "tspo_tpu_xla", machine_cache_tag())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -387,36 +387,67 @@ class Qwen25VLModel:
             jnp.asarray(sin), jnp.asarray(window_cells), v)
         return feats, grid                                   # [n_merged, out]
 
-    def build_prompt_ids(self, question: str, n_video_tokens: int):
+    def build_prompt_ids(self, question: str, n_video_tokens: int,
+                         post_text: str | None = None):
+        """Prompt ids around the video block; ``post_text`` overrides the
+        single-turn question rendering (the multi-round path passes the
+        fully rendered conversation remainder)."""
         c = self.cfg
         pre_text = QWEN25_SYSTEM + "<|im_start|>user\n"
-        post_text = (question + "<|im_end|>\n<|im_start|>assistant\n")
+        if post_text is None:
+            post_text = question + "<|im_end|>\n<|im_start|>assistant\n"
         pre_ids = list(self.encode(pre_text)) + [c.vision_start_token_id]
         vid_ids = [c.video_token_id] * n_video_tokens
         post_ids = [c.vision_end_token_id] + list(self.encode(post_text))
         return pre_ids, vid_ids, post_ids
 
-    def _prepare_generate(self, frames, question, max_new_tokens):
+    @staticmethod
+    def _render_rounds(turns) -> str:
+        """Render multi-turn history into the post-video text of the
+        Qwen2.5 chat template.  ``turns``: [(q, a), ..., (q_last, None)];
+        a single (q, None) renders byte-identically to generate()'s own
+        post text, so one-round conversations match generate exactly."""
+        turns = list(turns)
+        if not turns or turns[-1][1] is not None:
+            raise ValueError("turns must end with an unanswered (q, None)")
+        parts = []
+        for i, (q, a) in enumerate(turns):
+            if i > 0:
+                parts.append("<|im_start|>user\n")
+            parts.append(q + "<|im_end|>\n<|im_start|>assistant\n")
+            if a is not None:
+                parts.append(a + "<|im_end|>\n")
+            elif i != len(turns) - 1:
+                raise ValueError("only the last turn may be unanswered")
+        return "".join(parts)
+
+    def _prepare_generate(self, frames, question, max_new_tokens,
+                          raw_post: bool = False):
         """Shared front half of generate/generate_stream: prompt ids, video
         feature splice, m-rope tables, and the max_context headroom clamp.
-        Returns (emb [S, D], ids, rope_kwargs, clamped max_new)."""
+        Returns (emb [S, D], ids, rope_kwargs, clamped max_new).
+        ``raw_post``: ``question`` is already the fully rendered post-video
+        template text (the multi-round path) — don't append the
+        single-turn assistant header."""
         if self.encode is None or self.decode is None:
             raise ValueError("needs encode/decode tokenizer callables")
         c = self.cfg
         lm = self.params["lm"]
+        post = (question if raw_post
+                else question + "<|im_end|>\n<|im_start|>assistant\n")
         if frames is None or len(frames) == 0:
             # text-only path (LLM-judge LocalBackboneProvider): no vision
             # markers; with no video, mrope positions coincide on all three
             # axes so the decoder's standard 1-D rope is exact
             ids = np.asarray(list(self.encode(
-                QWEN25_SYSTEM + "<|im_start|>user\n" + question
-                + "<|im_end|>\n<|im_start|>assistant\n")))
+                QWEN25_SYSTEM + "<|im_start|>user\n" + post)))
             emb = embed_tokens(lm, jnp.asarray(ids))
             rope_kwargs = {}
         else:
             feats, grid = self.encode_video(frames)
             n_vid = feats.shape[0]
-            pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
+            pre_ids, vid_ids, post_ids = self.build_prompt_ids(
+                "", n_vid, post_text=post)
             ids = np.asarray(pre_ids + vid_ids + post_ids)
 
             emb = embed_tokens(lm, jnp.asarray(ids))
@@ -452,7 +483,7 @@ class Qwen25VLModel:
     def generate(self, frames: np.ndarray, question: str,
                  max_new_tokens: int | None = None,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: int | None = None) -> str:
+                 seed: int | None = None, raw_post: bool = False) -> str:
         """TSPO transfer path (demo/qwen25vl_tspo.py:53-95): frames are the
         TSPO-selected subset; greedy decode by default, ``temperature > 0``
         routes to nucleus sampling (same surface as llava_video.generate —
@@ -460,7 +491,7 @@ class Qwen25VLModel:
         c = self.cfg
         lm = self.params["lm"]
         emb, ids, rope_kwargs, max_new = self._prepare_generate(
-            frames, question, max_new_tokens)
+            frames, question, max_new_tokens, raw_post=raw_post)
         S = emb.shape[0]
         if temperature and temperature > 0:
             from .llava_video import _sampling_seed
@@ -512,7 +543,7 @@ class Qwen25VLModel:
     def generate_stream(self, frames: np.ndarray, question: str,
                         max_new_tokens: int | None = None, chunk: int = 8,
                         temperature: float = 0.0, top_p: float = 1.0,
-                        seed: int | None = None):
+                        seed: int | None = None, raw_post: bool = False):
         """Streaming generate (text deltas; join == generate()'s output) —
         same chunked-decode + prefix-detokenization contract as
         llava_video.generate_stream, with the m-rope prompt tables threaded
@@ -524,7 +555,7 @@ class Qwen25VLModel:
                             stream_detokenize)
         c = self.cfg
         emb, _, rope_kwargs, max_new = self._prepare_generate(
-            frames, question, max_new_tokens)
+            frames, question, max_new_tokens, raw_post=raw_post)
         S = emb.shape[0]
         n_chunks = -(-max_new // chunk)
         cache = KVCache.create(c.lm, 1, S + n_chunks * chunk, emb.dtype)
@@ -539,6 +570,44 @@ class Qwen25VLModel:
                 self.params["lm"], emb[None], jnp.ones((1, S), bool), cache,
                 c.lm, max_new, chunk=chunk, **rope_kwargs)
         yield from stream_detokenize(blocks, self.decode, c.lm.eos_token_id)
+
+    def generate_multi_round(self, frames, turns,
+                             max_new_tokens: int | None = None,
+                             temperature: float = 0.0, top_p: float = 1.0,
+                             seed: int | None = None, state=None) -> str:
+        """Multi-turn chat through the real Qwen2.5 chat template —
+        stateless full prefill per round.  The reference's own Qwen2.5-VL
+        adapters leave this ``NotImplementedError``
+        (lmms-eval/lmms_eval/models/simple/qwen2_5_vl_tspo.py:366-367).
+        ``turns``: [(q, a), ..., (q_last, None)]; the video splices into
+        the FIRST user turn only, and a one-round conversation is
+        byte-identical to :meth:`generate`."""
+        if state is not None:
+            raise ValueError("qwen2_5_vl multi-round is stateless: pass "
+                             "state=None (no prefix-KV conversation state "
+                             "for the m-rope prompt yet)")
+        return self.generate(frames, self._render_rounds(turns),
+                             max_new_tokens=max_new_tokens,
+                             temperature=temperature, top_p=top_p,
+                             seed=seed, raw_post=True)
+
+    def generate_multi_round_stream(self, frames, turns,
+                                    max_new_tokens: int | None = None,
+                                    chunk: int = 8,
+                                    temperature: float = 0.0,
+                                    top_p: float = 1.0,
+                                    seed: int | None = None, state=None):
+        """Streaming :meth:`generate_multi_round` (text deltas; join ==
+        the non-stream call token-for-token)."""
+        if state is not None:
+            raise ValueError("qwen2_5_vl multi-round is stateless: pass "
+                             "state=None (no prefix-KV conversation state "
+                             "for the m-rope prompt yet)")
+        yield from self.generate_stream(frames, self._render_rounds(turns),
+                                        max_new_tokens=max_new_tokens,
+                                        chunk=chunk, temperature=temperature,
+                                        top_p=top_p, seed=seed,
+                                        raw_post=True)
 
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str):
