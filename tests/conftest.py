@@ -32,3 +32,17 @@ try:  # persistent compile cache: repeated suite runs skip recompilation.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables_between_modules():
+    """Full-suite runs (900+ tests, one process) have segfaulted three
+    times deep inside XLA:CPU execution, each time past the ~1h mark with
+    hundreds of live compiled executables accumulated — isolated reruns of
+    the same tests always pass.  Dropping the in-memory executable caches
+    at every module boundary bounds that accumulation; re-traces load from
+    the persistent on-disk cache (fingerprinted per host CPU above), so
+    the cost is milliseconds per program, not recompiles."""
+    yield
+    jax.clear_caches()
