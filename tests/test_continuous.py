@@ -1082,3 +1082,43 @@ def test_service_engine_prefix_cache(tiny_video):
         assert svc._engine.stats["prefix_hits"] >= 1
     finally:
         svc._engine.shutdown()
+
+
+def test_qwen25vl_sessions_and_prefix_cache(tiny_video):
+    """The qwen2_5_vl backbone now supports conversation state: /v1/answer
+    chat sessions and the solo prefix cache both work on it — session
+    round 2 rides prefix-KV, and independent prefix-cached questions are
+    exact vs the stateless service."""
+    from tspo_tpu.models.qwen25vl import Qwen25VLConfig, Qwen25VLModel
+
+    def mk():
+        cfg = Qwen25VLConfig.tiny()
+        return Qwen25VLModel.random_init(
+            0, cfg, dtype=jnp.float32,
+            encode=lambda s: [ord(c) % cfg.lm.vocab_size for c in s],
+            decode=lambda toks: " ".join(str(t) for t in toks),
+            max_new_tokens=5)
+
+    svc_ref = _tiny_service(mk())
+    w1 = svc_ref.answer(video_path=tiny_video, question="What?",
+                        sample_num=4, max_new_tokens=4)["answer"]
+    w2 = svc_ref.answer(video_path=tiny_video, question="And then?",
+                        sample_num=4, max_new_tokens=4)["answer"]
+    # prefix cache
+    svc = _tiny_service(mk(), prefix_cache=2)
+    r1 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=4)
+    r2 = svc.answer(video_path=tiny_video, question="And then?",
+                    sample_num=4, max_new_tokens=4)
+    assert r1["answer"] == w1 and r2["answer"] == w2
+    # chat session: two rounds, second rides the conversation state
+    svc_s = _tiny_service(mk())
+    s1 = svc_s.answer(video_path=tiny_video, question="What?", sample_num=4,
+                      max_new_tokens=4, session_id="q")
+    s2 = svc_s.answer(video_path=tiny_video, question="And then?",
+                      sample_num=4, max_new_tokens=4, session_id="q")
+    assert s1["round"] == 1 and s2["round"] == 2
+    # exactness of stateful rounds vs stateless is pinned per-backbone in
+    # test_qwen25vl; here pin that the service accepts conversations on
+    # this backbone and produces non-empty answers
+    assert isinstance(s2["answer"], str) and s2["answer"]

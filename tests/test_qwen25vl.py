@@ -334,9 +334,10 @@ def test_multi_round_single_turn_equals_generate(jax_model, video_inputs):
                                         max_new_tokens=5, temperature=2.0,
                                         top_p=0.9, seed=11)
     assert gs == ws
-    with pytest.raises(ValueError, match="stateless"):
-        jax_model.generate_multi_round(video_inputs, [("What?", None)],
-                                       state=object())
+    with pytest.raises(ValueError, match="sampled"):
+        jax_model.generate_multi_round(
+            video_inputs, [("What?", None)], temperature=1.0,
+            state=jax_model.new_conversation_state())
 
 
 def test_multi_round_renders_history_and_streams(jax_model, video_inputs):
@@ -361,3 +362,65 @@ def test_multi_round_renders_history_and_streams(jax_model, video_inputs):
     assert stream == r2a
     with pytest.raises(ValueError, match="unanswered"):
         jax_model.generate_multi_round(video_inputs, [("Q1?", "A1.")])
+
+
+def test_multi_round_stateful_matches_stateless(jax_model, video_inputs):
+    """Prefix-KV conversation rounds (m-rope shift through extension
+    prefill + decode) are token-exact vs the stateless full-prefill path,
+    round by round; sampled rounds refuse the state."""
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    st = jax_model.new_conversation_state()
+    turns = []
+    for q in ["Q1?", "And then?", "Why is that?"]:
+        want = jax_model.generate_multi_round(
+            video_inputs, [*turns, (q, None)], max_new_tokens=4)
+        got = jax_model.generate_multi_round(
+            video_inputs, [*turns, (q, None)], max_new_tokens=4, state=st)
+        assert got == want, f"round {len(turns) + 1} diverged"
+        turns.append((q, want))
+    assert st.cache is not None and st.covered == len(st.ids)
+    with pytest.raises(ValueError, match="sampled"):
+        jax_model.generate_multi_round(video_inputs, [("q", None)],
+                                       temperature=1.0, state=st)
+
+
+def test_multi_round_stateful_stream_and_abandon(jax_model, video_inputs):
+    """Streaming stateful rounds join to the non-stream output; an
+    abandoned stream leaves the state checked-out/reset and the next
+    round still answers exactly."""
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    st = jax_model.new_conversation_state()
+    w1 = jax_model.generate_multi_round(video_inputs, [("Q1?", None)],
+                                        max_new_tokens=4)
+    s1 = "".join(jax_model.generate_multi_round_stream(
+        video_inputs, [("Q1?", None)], max_new_tokens=4, state=st))
+    assert s1 == w1
+    # abandon mid-stream: state must recover
+    g = jax_model.generate_multi_round_stream(
+        video_inputs, [("Q1?", w1), ("Q2?", None)], max_new_tokens=4,
+        state=st)
+    next(g)
+    g.close()
+    w2 = jax_model.generate_multi_round(
+        video_inputs, [("Q1?", w1), ("Q2?", None)], max_new_tokens=4)
+    g2 = jax_model.generate_multi_round(
+        video_inputs, [("Q1?", w1), ("Q2?", None)], max_new_tokens=4,
+        state=st)
+    assert g2 == w2
+
+
+def test_multi_round_independent_prefix_reuse(jax_model, video_inputs):
+    """The serve-layer prefix-cache pattern on qwen25vl: independent
+    single-turn questions against one state — divergence right after the
+    video block truncates the old question/answer, and each answer equals
+    the stateless generate()."""
+    jax_model.encode = lambda s: [ord(ch) % 500 for ch in s]
+    jax_model.decode = lambda toks: " ".join(map(str, toks))
+    st = jax_model.new_conversation_state()
+    for q in ["What?", "What color is it?", "How many objects?"]:
+        want = jax_model.generate(video_inputs, q, max_new_tokens=4)
+        got = jax_model.generate_multi_round(video_inputs, [(q, None)],
+                                             max_new_tokens=4, state=st)
+        assert got == want, f"question {q!r} diverged"

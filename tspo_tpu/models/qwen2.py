@@ -666,7 +666,8 @@ def prefill_extend(params, embeds, valid_len, cache: KVCache,
 
 def greedy_decode_continue(params, first_tok, cache: KVCache,
                            cfg: Qwen2Config, max_new_tokens: int,
-                           eos_token_id: int | None = None, chunk: int = 32):
+                           eos_token_id: int | None = None, chunk: int = 32,
+                           decode_pos_start=None):
     """Greedy decode continuing from a hole-free prefilled cache (every slot
     below cache.length real — the conversation-reuse invariant).  Reuses
     :func:`decode_chunk` with an all-ones width-1 prompt mask: validity
@@ -684,7 +685,11 @@ def greedy_decode_continue(params, first_tok, cache: KVCache,
             f"(L={L} + {n_chunks}x{chunk}), got {T}")
     tok = jnp.asarray(first_tok, jnp.int32).reshape(1)
     pv = jnp.ones((1, 1), bool)
-    pos0 = jnp.full((1,), L, jnp.int32)
+    # decode_pos_start: rope position of the first decoded token when it
+    # differs from the cache index (Qwen2.5-VL mrope: video tokens
+    # compress the position space) — None keeps the standard pos == index
+    pos0 = jnp.full((1,), L if decode_pos_start is None
+                    else int(decode_pos_start), jnp.int32)
     done = jnp.zeros((1,), bool)
     outs = []
     for c in range(n_chunks):
@@ -704,7 +709,8 @@ def greedy_decode_continue(params, first_tok, cache: KVCache,
 def greedy_decode_continue_stream(params, first_tok, cache: KVCache,
                                   cfg: Qwen2Config, max_new_tokens: int,
                                   eos_token_id: int | None = None,
-                                  chunk: int = 8, final: dict | None = None):
+                                  chunk: int = 8, final: dict | None = None,
+                                  decode_pos_start=None):
     """Generator variant of :func:`greedy_decode_continue`: yields np.int32
     [1, <=chunk] blocks of fresh tokens as they land (eos-padded past the
     answer like :func:`greedy_decode_stream`, so :func:`stream_detokenize`
@@ -727,7 +733,8 @@ def greedy_decode_continue_stream(params, first_tok, cache: KVCache,
             f"(L={L} + {n_chunks}x{chunk}), got {T}")
     tok = jnp.asarray(first_tok, jnp.int32).reshape(1)
     pv = jnp.ones((1, 1), bool)
-    pos0 = jnp.full((1,), L, jnp.int32)
+    pos0 = jnp.full((1,), L if decode_pos_start is None
+                    else int(decode_pos_start), jnp.int32)
     done = jnp.zeros((1,), bool)
     outs = []
     for c in range(n_chunks):

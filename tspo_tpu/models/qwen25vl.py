@@ -357,6 +357,29 @@ def rope_index_for_video(n_pre: int, grid_thw, n_post: int, merge: int,
 QWEN25_SYSTEM = "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
 
 
+class Qwen25VLConversationState:
+    """Prefix-KV conversation state for Qwen2.5-VL multi-round chat — the
+    m-rope analog of llava_video.ConversationState.  Holds the encoded
+    video (feats + grid, encoded once per conversation), the covered token
+    ids (1:1 with embed indices — the video placeholder ids are explicit
+    here), the KV cache, and the position ``meta`` (idx_post0, post_start)
+    mapping post-video cache indices to rope positions (linear:
+    pos(j) = post_start + j - idx_post0)."""
+
+    def __init__(self, headroom: int = 2048):
+        self.headroom = int(headroom)
+        self.video = None            # (feats [n_vid, D], grid_thw)
+        self.ids: list = []
+        self.covered = 0
+        self.cache = None
+        self.meta = None             # (idx_post0, post_start)
+
+    def reset(self):
+        """Drop the cache (capacity overflow / divergence in the prefix):
+        the next round re-prefills fully.  Video features stay."""
+        self.ids, self.covered, self.cache = [], 0, None
+
+
 @dataclass
 class Qwen25VLModel:
     """Host orchestrator for the Qwen2.5-VL backbone."""
@@ -571,21 +594,35 @@ class Qwen25VLModel:
                 c.lm, max_new, chunk=chunk, **rope_kwargs)
         yield from stream_detokenize(blocks, self.decode, c.lm.eos_token_id)
 
+    def new_conversation_state(self, headroom: int = 2048
+                               ) -> "Qwen25VLConversationState":
+        """Fresh per-conversation prefix-KV state for
+        :meth:`generate_multi_round` — the m-rope analog of
+        llava_video.ConversationState."""
+        return Qwen25VLConversationState(headroom)
+
     def generate_multi_round(self, frames, turns,
                              max_new_tokens: int | None = None,
                              temperature: float = 0.0, top_p: float = 1.0,
                              seed: int | None = None, state=None) -> str:
-        """Multi-turn chat through the real Qwen2.5 chat template —
-        stateless full prefill per round.  The reference's own Qwen2.5-VL
-        adapters leave this ``NotImplementedError``
+        """Multi-turn chat through the real Qwen2.5 chat template.  The
+        reference's own Qwen2.5-VL adapters leave this
+        ``NotImplementedError``
         (lmms-eval/lmms_eval/models/simple/qwen2_5_vl_tspo.py:366-367).
         ``turns``: [(q, a), ..., (q_last, None)]; the video splices into
         the FIRST user turn only, and a one-round conversation is
-        byte-identical to :meth:`generate`."""
+        byte-identical to :meth:`generate`.  With ``state`` the round
+        rides prefix-KV reuse: the video encodes once and follow-up
+        rounds prefill only the new turn, with the m-rope position shift
+        carried through extension prefill and decode (token-exact vs the
+        stateless path, tests/test_qwen25vl.py)."""
         if state is not None:
-            raise ValueError("qwen2_5_vl multi-round is stateless: pass "
-                             "state=None (no prefix-KV conversation state "
-                             "for the m-rope prompt yet)")
+            if temperature and temperature > 0:
+                raise ValueError("sampled conversation rounds don't ride "
+                                 "prefix-KV state: pass state=None (full "
+                                 "re-prefill) or temperature=0")
+            return self._multi_round_stateful(
+                frames, self._render_rounds(turns), max_new_tokens, state)
         return self.generate(frames, self._render_rounds(turns),
                              max_new_tokens=max_new_tokens,
                              temperature=temperature, top_p=top_p,
@@ -598,16 +635,175 @@ class Qwen25VLModel:
                                     top_p: float = 1.0,
                                     seed: int | None = None, state=None):
         """Streaming :meth:`generate_multi_round` (text deltas; join ==
-        the non-stream call token-for-token)."""
+        the non-stream call token-for-token).  With ``state`` the round
+        rides prefix-KV reuse and commits only once the stream is fully
+        consumed (abandoned streams leave the state checked-out/reset)."""
         if state is not None:
-            raise ValueError("qwen2_5_vl multi-round is stateless: pass "
-                             "state=None (no prefix-KV conversation state "
-                             "for the m-rope prompt yet)")
+            if temperature and temperature > 0:
+                raise ValueError("sampled conversation rounds don't ride "
+                                 "prefix-KV state: pass state=None (full "
+                                 "re-prefill) or temperature=0")
+            from .qwen2 import (greedy_decode_continue_stream,
+                                stream_detokenize)
+            post = self._render_rounds(turns)
+            ids, first_tok, cache, CH, max_new, dec_pos = \
+                self._multi_round_prefill(frames, post, max_new_tokens,
+                                          state, chunk=chunk)
+            final: dict = {}
+            blocks = greedy_decode_continue_stream(
+                self.params["lm"], first_tok, cache, self.cfg.lm, max_new,
+                chunk=CH, final=final, decode_pos_start=dec_pos)
+            yield from stream_detokenize(blocks, self.decode,
+                                         self.cfg.lm.eos_token_id)
+            for _ in blocks:      # drain so ``final`` fills (no device work)
+                pass
+            self._commit_conversation(state, ids, final["tokens"],
+                                      final["cache"])
+            return
         yield from self.generate_stream(frames, self._render_rounds(turns),
                                         max_new_tokens=max_new_tokens,
                                         chunk=chunk, temperature=temperature,
                                         top_p=top_p, seed=seed,
                                         raw_post=True)
+
+    def _multi_round_stateful(self, frames, post: str, max_new_tokens,
+                              state) -> str:
+        from .qwen2 import greedy_decode_continue
+        ids, first_tok, cache, CH, max_new, dec_pos = \
+            self._multi_round_prefill(frames, post, max_new_tokens, state)
+        toks, cache = greedy_decode_continue(
+            self.params["lm"], first_tok, cache, self.cfg.lm, max_new,
+            chunk=CH, decode_pos_start=dec_pos)
+        self._commit_conversation(state, ids, toks, cache)
+        return self.decode([int(t) for t in toks])
+
+    def _commit_conversation(self, state, ids, toks, cache) -> None:
+        state.cache = KVCache(cache.k, cache.v,
+                              jnp.int32(len(ids) + len(toks)))
+        state.ids = list(ids) + [int(t) for t in toks]
+        state.covered = len(ids) + len(toks)
+
+    def _multi_round_prefill(self, frames, post: str, max_new_tokens,
+                             state, chunk: int = 32):
+        """Prefix match + incremental prefill for the stateful multi-round
+        paths.  ids here map 1:1 to embed indices (the video placeholder
+        ids are explicit, unlike llava's single <image> sentinel), so the
+        common-token-prefix IS the common embed prefix.  Post-video rope
+        positions are linear — pos(j) = post_start + (j - idx_post0) —
+        so extension chunks and decode need only the stored
+        (idx_post0, post_start) meta to continue the m-rope sequence
+        exactly.  Divergence before the end of the video block (system
+        prompt change) falls back to a full prefill.  Returns
+        (ids, first_tok, cache, CH, max_new, decode_pos_start) with the
+        cache checked OUT of the state."""
+        from .qwen2 import decode_prefill, prefill_extend
+        if self.encode is None or self.decode is None:
+            raise ValueError("needs encode/decode tokenizer callables")
+        c_ = self.cfg
+        lm = self.params["lm"]
+        dtype = lm["embedding"].dtype
+        if state.video is None and frames is not None and len(frames):
+            state.video = self.encode_video(frames)
+        if state.video is not None:
+            feats, grid = state.video
+            n_vid = int(feats.shape[0])
+            pre_ids, vid_ids, post_ids = self.build_prompt_ids(
+                "", n_vid, post_text=post)
+            ids = pre_ids + vid_ids + post_ids
+            idx_post0 = len(pre_ids) + n_vid
+        else:
+            ids = list(self.encode(QWEN25_SYSTEM + "<|im_start|>user\n"
+                                   + post))
+            pre_ids, feats, grid, n_vid, idx_post0 = [], None, None, 0, 0
+        S = len(ids)
+        max_new = self.max_new_tokens if max_new_tokens is None \
+            else max_new_tokens
+        if max_new < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new}")
+        headroom = c_.max_context - S
+        if headroom < 1:
+            raise ValueError(
+                f"conversation is {S} tokens but max_context="
+                f"{c_.max_context}: no cache slot left to generate into")
+        max_new = min(max_new, headroom)
+        CH = chunk
+        if (-(-max_new // CH)) * CH > headroom:
+            CH = max_new
+        EXT_PAD = 256
+        n_dec = (-(-max_new // CH)) * CH
+        need = S + max(n_dec, EXT_PAD)
+        if state.cache is not None and need > state.cache.k.shape[2]:
+            state.reset()            # conversation outgrew the cache
+        c = 0
+        for a, b in zip(ids, state.ids):
+            if a != b:
+                break
+            c += 1
+        c = min(c, S - 1)            # always prefill >= 1 new token
+        if state.cache is None or c < idx_post0:
+            # full prefill (first use, capacity reset, or divergence
+            # inside the system/video prefix)
+            state.reset()
+            emb = embed_tokens(lm, jnp.asarray(ids))
+            rope, dec_pos = None, None
+            if state.video is not None:
+                emb = emb.at[len(pre_ids):len(pre_ids) + n_vid].set(
+                    feats.astype(emb.dtype))
+                pos3, decode_start = rope_index_for_video(
+                    len(pre_ids), grid, len(post_ids),
+                    c_.vision.spatial_merge_size,
+                    c_.vision.tokens_per_second, self.second_per_grid_t)
+                state.meta = (idx_post0, decode_start - len(post_ids))
+                dec_pos = decode_start
+            else:
+                state.meta = (0, 0)
+            cap = min(c_.max_context, need + state.headroom)
+            cache = KVCache.create(c_.lm, 1, cap, dtype)
+            Sb = min(cap, -(-S // 256) * 256)
+            embp = jnp.pad(emb[None].astype(dtype),
+                           ((0, 0), (0, Sb - S), (0, 0)))
+            valid = jnp.zeros((1, Sb), bool).at[:, :S].set(True)
+            if state.video is not None:
+                cos, sin = mrope_cos_sin(jnp.asarray(pos3), c_.lm.head_dim,
+                                         c_.lm.rope_theta, c_.mrope_section)
+                rope = (jnp.pad(cos, ((0, Sb - S), (0, 0))),
+                        jnp.pad(sin, ((0, Sb - S), (0, 0))))
+            first_tok, cache, _ = decode_prefill(
+                lm, embp, valid, cache, c_.lm, prompt_rope_cos_sin=rope,
+                decode_pos_start=dec_pos)
+        else:
+            idx_post0, post_start = state.meta
+            # check the cache OUT before any donating call (llava's
+            # exception-safety contract)
+            cache = KVCache(state.cache.k, state.cache.v, jnp.int32(c))
+            state.cache = None
+            state.ids, state.covered = [], 0
+            sfx = embed_tokens(lm, jnp.asarray(ids[c:]))[None].astype(dtype)
+            S_sfx = S - c
+            first_tok = None
+            off = 0
+            while off < S_sfx:
+                n = min(256, S_sfx - off)
+                nb = 64 if n <= 64 else 256     # two chunk programs only
+                piece = jnp.pad(sfx[:, off:off + n],
+                                ((0, 0), (0, nb - n), (0, 0)))
+                # the extension is post-video text: positions continue
+                # linearly on all three mrope axes, so the tables reduce
+                # to equal-axis rotations at the shifted positions
+                pos = (post_start + (c + off - idx_post0)
+                       + np.arange(nb))
+                pos3 = jnp.asarray(np.tile(pos, (3, 1)))
+                cos, sin = mrope_cos_sin(pos3, c_.lm.head_dim,
+                                         c_.lm.rope_theta, c_.mrope_section)
+                first_tok, cache = prefill_extend(
+                    lm, piece, jnp.int32(n), cache, c_.lm,
+                    rope_cos_sin=(cos, sin))
+                off += n
+                cache = KVCache(cache.k, cache.v, jnp.int32(c + off))
+        cache = KVCache(cache.k, cache.v, jnp.int32(S))
+        idx_post0, post_start = state.meta
+        dec_pos = post_start + (S - idx_post0)
+        return ids, first_tok, cache, CH, max_new, dec_pos
 
     def loglikelihood(self, frames: np.ndarray, question: str,
                       continuation: str):
