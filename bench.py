@@ -205,8 +205,12 @@ def measure_attribution(clip_params, sel_params, clip_cfg, sel_cfg, frames,
     out["unfused_sum_ms"] = round(
         out["preprocess_ms"] + out["text_tower_ms"] + out["vision_tower_ms"]
         + out["selector_topk_ms"], 1)
-    out["vision_matmul_ms"] = round(out["vision_tower_ms"]
-                                    - out["attention_only_ms"], 1)
+    # derived attribution, physically >= 0: on a contended CPU host the
+    # attention-only control can measure slower than the full tower by a
+    # few ms of scheduler noise — floor rather than report a negative
+    # matmul cost (raw stage numbers above stay unfloored)
+    out["vision_matmul_ms"] = round(max(0.0, out["vision_tower_ms"]
+                                        - out["attention_only_ms"]), 1)
     return {k: round(float(x), 1) for k, x in out.items()}
 
 

@@ -1122,3 +1122,34 @@ def test_qwen25vl_sessions_and_prefix_cache(tiny_video):
     # test_qwen25vl; here pin that the service accepts conversations on
     # this backbone and produces non-empty answers
     assert isinstance(s2["answer"], str) and s2["answer"]
+
+
+def test_qwen25vl_engine_prefix_cache_exact():
+    """Engine prefix caching on the mrope backbone: the stored video-block
+    KV (rotations baked in) transfers to a second question; both answers
+    equal solo generate()."""
+    from tspo_tpu.models.qwen25vl import Qwen25VLConfig, Qwen25VLModel
+    cfg = Qwen25VLConfig.tiny()
+    enc = lambda s: [ord(c) % cfg.lm.vocab_size for c in s]        # noqa: E731
+    dec = lambda toks: " ".join(str(t) for t in toks)              # noqa: E731
+    model = Qwen25VLModel.random_init(0, cfg, dtype=jnp.float32,
+                                      encode=enc, decode=dec)
+    frames = np.random.default_rng(3).integers(
+        0, 256, (4, 56, 56, 3), dtype=np.uint8)
+    eng = ContinuousEngine(model.params["lm"], cfg.lm, slots=1, chunk=3,
+                           max_prompt=256, decode_slots=16,
+                           prompt_bucket=64, dtype=jnp.float32,
+                           prefix_slots=1)
+    try:
+        for i, q in enumerate(["what?", "how many objects are there?"]):
+            want = model.generate(frames, q, max_new_tokens=6)
+            kw = model.prepare_engine_request(frames, q, max_new_tokens=6)
+            assert kw.get("prefix_len"), "mrope prefix_len missing"
+            h = eng.submit(kw.pop("embeds"), prefix_key="v", **kw)
+            got = dec([t for t in h.result(timeout=120)
+                       if t != cfg.lm.eos_token_id])
+            assert got == want, f"question {i} diverged"
+        assert eng.stats["prefix_stores"] == 1
+        assert eng.stats["prefix_hits"] == 1
+    finally:
+        eng.shutdown()

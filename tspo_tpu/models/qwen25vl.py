@@ -553,14 +553,26 @@ class Qwen25VLModel:
                                max_new_tokens: int | None = None) -> dict:
         """Submit-kwargs for the continuous batching engine
         (serve/continuous.py) — threads the m-rope prompt tables and the
-        decode-position delta through the engine's admission prefill."""
-        emb, _ids, rope_kwargs, max_new = self._prepare_generate(
+        decode-position delta through the engine's admission prefill.
+        ``prefix_len`` marks the question-independent shareable prefix
+        (system + vision_start + spliced video block) for the engine's
+        prefix cache; the (video, mtime, frames) key the serve layer uses
+        pins both the embeds prefix and the rope-table prefix, so stored
+        KV (with its mrope rotations baked in) transfers exactly."""
+        emb, ids, rope_kwargs, max_new = self._prepare_generate(
             frames, question, max_new_tokens)
         out = {"embeds": emb[None], "max_new_tokens": max_new}
         if "prompt_rope_cos_sin" in rope_kwargs:
             out["rope_cos_sin"] = rope_kwargs["prompt_rope_cos_sin"]
         if "decode_pos_start" in rope_kwargs:
             out["decode_pos_start"] = rope_kwargs["decode_pos_start"]
+        if frames is not None and len(frames):
+            vid = np.asarray(ids) == self.cfg.video_token_id
+            # video placeholder ids are one contiguous block: the prefix
+            # runs through its last token (system + vision_start + video)
+            plen = int(np.argmax(vid)) + int(vid.sum())
+            if 0 < plen < int(emb.shape[0]):
+                out["prefix_len"] = plen
         return out
 
     def generate_stream(self, frames: np.ndarray, question: str,

@@ -340,11 +340,14 @@ class ContinuousEngine:
         and prefills ONLY the suffix (the question text) in
         ``prefill_extend`` pieces between decode chunks — a warm admission
         skips the ~12k-token video prefill even while other tenants are
-        decoding.  Greedy, standard-rope, contiguous-validity prompts only
-        (loudly rejected otherwise); the caller owns key semantics: one key
-        MUST always denote one exact embeds prefix (the serve layer keys by
-        video + mtime + frame selection).  Token-exact vs an uncached
-        admission (pinned by tests/test_continuous.py).
+        decoding.  Greedy, contiguous-validity prompts only (loudly
+        rejected otherwise); mrope prompts work — the stored KV carries
+        its rotations, suffix pieces slice the request's own rope tables
+        at the resume offset, and pos0_override threads the decode delta.
+        The caller owns key semantics: one key MUST always denote one
+        exact embeds prefix AND rope-table prefix (the serve layer keys by
+        video + mtime + frame selection, which pins both).  Token-exact vs
+        an uncached admission (pinned by tests/test_continuous.py).
     """
 
     def __init__(self, lm_params, cfg: Qwen2Config, *, slots: int = 4,
@@ -474,9 +477,6 @@ class ContinuousEngine:
             if self.prefix_slots <= 0:
                 raise ValueError("engine built with prefix_slots=0: drop "
                                  "prefix_key or enable prefix caching")
-            if rope_cos_sin is not None or decode_pos_start is not None:
-                raise ValueError("prefix caching supports standard-rope "
-                                 "prompts only (mrope tables are per-row)")
             if temperature and float(temperature) > 0:
                 raise ValueError("prefix caching is greedy-only (the hit "
                                  "path's first token is the extension "
