@@ -1153,3 +1153,28 @@ def test_qwen25vl_engine_prefix_cache_exact():
         assert eng.stats["prefix_hits"] == 1
     finally:
         eng.shutdown()
+
+
+def test_tp_engine_prefix_cache_compose(params):
+    """Prefix pool + TP mesh compose: a warm hit on the sharded engine is
+    bit-exact vs solo unsharded decode."""
+    from tspo_tpu.parallel import create_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(data=4, model=2)
+    rng = np.random.default_rng(21)
+    pre = rng.integers(0, CFG.vocab_size - 1, size=12).tolist()
+    ids_a = pre + rng.integers(0, CFG.vocab_size - 1, size=5).tolist()
+    ids_b = pre + rng.integers(0, CFG.vocab_size - 1, size=8).tolist()
+    want_a, want_b = _solo(params, ids_a, 6), _solo(params, ids_b, 6)
+    eng = _engine(params, mesh=mesh, prefix_slots=1)
+    try:
+        ha = eng.submit(_embeds(params, ids_a), max_new_tokens=6,
+                        prefix_key="v", prefix_len=12)
+        assert ha.result(timeout=300) == want_a
+        hb = eng.submit(_embeds(params, ids_b), max_new_tokens=6,
+                        prefix_key="v", prefix_len=12)
+        assert hb.result(timeout=300) == want_b
+        assert eng.stats["prefix_hits"] == 1
+    finally:
+        eng.shutdown()
