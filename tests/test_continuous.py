@@ -1178,3 +1178,94 @@ def test_tp_engine_prefix_cache_compose(params):
         assert eng.stats["prefix_hits"] == 1
     finally:
         eng.shutdown()
+
+
+def test_shared_prompt_admission_exact(params):
+    """n tenants of the SAME embeds object admit off ONE B=1 prefill
+    (shared_admissions): greedy tenant == solo greedy, sampled tenants ==
+    their solo sample_decode chains, seeds distinct."""
+    rng = np.random.default_rng(30)
+    ids = rng.integers(0, CFG.vocab_size - 1, size=11).tolist()
+    emb = _embeds(params, ids)
+    want_g = _solo(params, ids, 8)
+    want_s5 = _solo_sampled(params, ids, 8, seed=5, temperature=2.0,
+                            top_p=0.9)
+    want_s6 = _solo_sampled(params, ids, 8, seed=6, temperature=2.0,
+                            top_p=0.9)
+    lock = threading.Lock()
+    eng = _engine(params, slots=4, device_lock=lock)
+    try:
+        with lock:
+            # decoy parks the worker inside its own admission at the
+            # device lock, so the shared run queues as one pass
+            decoy = eng.submit(_embeds(params, [1, 2, 3]),
+                               max_new_tokens=2)
+            time.sleep(0.2)
+            hg = eng.submit(emb, max_new_tokens=8)
+            h5 = eng.submit(emb, max_new_tokens=8, temperature=2.0,
+                            top_p=0.9, seed=5)
+            h6 = eng.submit(emb, max_new_tokens=8, temperature=2.0,
+                            top_p=0.9, seed=6)
+        decoy.result(timeout=120)
+        assert hg.result(timeout=120) == want_g
+        assert h5.result(timeout=120) == want_s5
+        assert h6.result(timeout=120) == want_s6
+        assert eng.stats["shared_admissions"] == 1
+        assert eng.stats["admit_batches"] == 2    # decoy + the shared run
+    finally:
+        eng.shutdown()
+
+
+def test_shared_run_splits_from_mixed_group(params):
+    """A queue mixing a shared run with a DIFFERENT prompt: the run admits
+    shared, the rest admits as a normal ragged group, all exact."""
+    rng = np.random.default_rng(31)
+    ids_a = rng.integers(0, CFG.vocab_size - 1, size=9).tolist()
+    ids_b = rng.integers(0, CFG.vocab_size - 1, size=14).tolist()
+    emb_a = _embeds(params, ids_a)
+    want_a = _solo(params, ids_a, 6)
+    want_a5 = _solo_sampled(params, ids_a, 6, seed=7, temperature=2.0,
+                            top_p=1.0)
+    want_b = _solo(params, ids_b, 6)
+    lock = threading.Lock()
+    eng = _engine(params, slots=4, device_lock=lock)
+    try:
+        with lock:
+            decoy = eng.submit(_embeds(params, [1, 2, 3]),
+                               max_new_tokens=2)
+            time.sleep(0.2)    # worker parks inside the decoy admission
+            ha = eng.submit(emb_a, max_new_tokens=6)
+            h5 = eng.submit(emb_a, max_new_tokens=6, temperature=2.0,
+                            seed=7)
+            hb = eng.submit(_embeds(params, ids_b), max_new_tokens=6)
+        decoy.result(timeout=120)
+        assert ha.result(timeout=120) == want_a
+        assert h5.result(timeout=120) == want_a5
+        assert hb.result(timeout=120) == want_b
+        assert eng.stats["shared_admissions"] == 1
+        assert eng.stats["admitted"] == 4
+    finally:
+        eng.shutdown()
+
+
+def test_service_n_choices_shared_prefill(tiny_video):
+    """/v1/answer n=3: all choices ride ONE shared prefill (the engine's
+    shared_admissions) and per-seed exactness still holds."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, continuous_slots=4, continuous_chunk=4,
+                        continuous_max_prompt=512,
+                        continuous_decode_slots=16)
+    try:
+        r = svc.answer(video_path=tiny_video, question="what?",
+                       sample_num=4, max_new_tokens=6, temperature=2.0,
+                       top_p=0.9, seed=40, n=3)
+        assert len(r["answers"]) == 3
+        assert svc._engine.stats["shared_admissions"] >= 1
+        sel, _, _ = svc._select_frames(tiny_video, "what?", 4, "topk", None)
+        for i, ans in enumerate(r["answers"]):
+            with svc._device_lock:
+                want = bb.generate(sel, "what?", max_new_tokens=6,
+                                   temperature=2.0, top_p=0.9, seed=40 + i)
+            assert ans == want, f"choice {i} diverged"
+    finally:
+        svc._engine.shutdown()

@@ -225,6 +225,38 @@ def prefill_mixed(params, prompt_embeds, prompt_valid, cache: KVCache,
     return first, cache, pos0, new_keys
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill_shared(params, prompt_embeds, prompt_valid, cache: KVCache,
+                   cfg: Qwen2Config):
+    """One B=1 prefill serving MANY tenants of the SAME prompt (the n>1
+    multi-choice admission): returns the greedy first token AND the
+    last-position logits so each tenant can draw its own sampled first
+    token from them (same key-split order as sample_prefill), plus the
+    row cache the caller broadcasts into every tenant's slot."""
+    B, S, _ = prompt_embeds.shape
+    T = cache.k.shape[2]
+    n_prompt = jnp.sum(prompt_valid.astype(jnp.int32), axis=1)
+    attn_valid = jnp.zeros((B, T), bool).at[:, :S].set(prompt_valid)
+    hidden, cache = qwen2_forward(params, prompt_embeds, cache,
+                                  jnp.arange(S), attn_valid, cfg)
+    last_h = hidden[jnp.arange(B), n_prompt - 1]
+    logits = lm_logits(params, last_h, cfg)                   # [1, V]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return greedy, logits, cache, n_prompt
+
+
+@jax.jit
+def _shared_first_tokens(logits, keys, temp, top_p, greedy):
+    """Per-tenant first tokens off ONE logits row: sampled tenants split
+    their own key and draw (bit-exact vs sample_prefill's draw), greedy
+    tenants take the argmax."""
+    n = keys.shape[0]
+    sampled, new_keys = _row_sample(
+        jnp.broadcast_to(logits, (n, logits.shape[-1])), keys, temp, top_p)
+    return jnp.where(temp > 0, sampled,
+                     jnp.broadcast_to(greedy, (n,))), new_keys
+
+
 @jax.jit
 def _import_prefix(k, v, pk, pv):
     """Write a stored prefix's KV ([L, 1, Pb, KV, hd], Pb = 256-padded
@@ -428,7 +460,7 @@ class ContinuousEngine:
         self.stats = {"completed": 0, "chunks": 0, "admitted": 0,
                       "admit_batches": 0, "chunked_admissions": 0,
                       "peak_active": 0, "prefix_hits": 0,
-                      "prefix_stores": 0}
+                      "prefix_stores": 0, "shared_admissions": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tspo-continuous-engine")
         self._thread.start()
@@ -491,14 +523,45 @@ class ContinuousEngine:
                             rope_cos_sin, decode_pos_start, stream_cb,
                             temperature=temperature, top_p=top_p, seed=seed,
                             prefix_key=prefix_key, prefix_len=prefix_len)
+        self._enqueue([req])
+        return req
+
+    def submit_group(self, embeds, kwargs_list) -> "list[EngineRequest]":
+        """Queue several requests of ONE prompt atomically (the n>1
+        multi-choice path): all of them land in the queue in one lock
+        acquisition, so an admission pass sees the whole run and serves it
+        off a single shared prefill (_admit_shared) instead of racing the
+        worker request-by-request.  ``kwargs_list``: per-choice submit
+        kwargs (sans embeds/valid)."""
+        e = jnp.asarray(embeds)
+        if e.ndim == 2:
+            e = e[None]
+        S = int(e.shape[1])
+        if S > self.S_max:
+            raise ValueError(f"prompt is {S} tokens but the engine's "
+                             f"max_prompt is {self.S_max}")
+        v = np.ones(S, bool)
+        reqs = []
+        for kw in kwargs_list:
+            mx = kw.get("max_new_tokens")
+            if mx is None or mx < 1:
+                raise ValueError("max_new_tokens must be >= 1")
+            reqs.append(EngineRequest(
+                e, v, min(int(mx), self.D), None, None,
+                kw.get("stream_cb"),
+                temperature=kw.get("temperature", 0.0),
+                top_p=kw.get("top_p", 1.0), seed=kw.get("seed")))
+        self._enqueue(reqs)
+        return reqs
+
+    def _enqueue(self, reqs) -> None:
         with self._lock:
             if self._dead is not None:
                 raise RuntimeError("engine is dead") from self._dead
             if self._stop:
                 raise RuntimeError("engine is shut down")
-            self._queue.append(req)
+            self._queue.extend(reqs)
         self._wake.set()
-        return req
 
     def shutdown(self, timeout: float = 10.0):
         self._stop = True
@@ -603,7 +666,19 @@ class ContinuousEngine:
                         and self.n_active > 0
                         and self._setup_pending(targets[0], reqs[0])):
                     return          # prefills piecewise between decode chunks
-                self._admit_group(targets[: len(reqs)], reqs)
+                # shared-prompt run: the n>1 multi-choice path submits the
+                # SAME embeds object n times — prefill once, broadcast the
+                # KV row, draw per-tenant first tokens (n x prefill -> 1)
+                k = 1
+                while k < len(reqs) and reqs[k].embeds is reqs[0].embeds \
+                        and np.array_equal(reqs[k].valid, reqs[0].valid):
+                    k += 1
+                if k >= 2:
+                    self._admit_shared(targets[:k], reqs[:k])
+                    if k < len(reqs):
+                        self._admit_group(targets[k:len(reqs)], reqs[k:])
+                else:
+                    self._admit_group(targets[: len(reqs)], reqs)
             except Exception as exc:  # noqa: BLE001 — bad request(s) only
                 for r in reqs:
                     r._finish(error=exc)
@@ -743,6 +818,50 @@ class ContinuousEngine:
         self.stats["chunked_admissions"] += 1
         self.stats["peak_active"] = max(self.stats["peak_active"],
                                         self.n_active)
+
+    def _admit_shared(self, slots: list[int], reqs: list[EngineRequest]):
+        """Admit ``reqs`` (identical prompts — the n>1 multi-choice path)
+        off ONE B=1 prefill: the row KV broadcasts into every slot and each
+        tenant draws its own first token from the shared last-position
+        logits (sampled tenants bit-exact vs their solo chains; greedy
+        tenants take the argmax).  Cost: one prefill + n tiny draws instead
+        of an n-row ragged prefill of the same tokens."""
+        r0 = reqs[0]
+        S = int(r0.embeds.shape[1])
+        Sb = min(self.S_max, -(-S // self.bucket) * self.bucket)
+        emb = jnp.pad(r0.embeds.astype(self.dtype),
+                      ((0, 0), (0, Sb - S), (0, 0)))
+        valid = np.zeros((1, Sb), bool)
+        valid[0, :S] = r0.valid
+        g_keys = np.stack([r.key for r in reqs])
+        g_temp = np.asarray([r.temperature for r in reqs], np.float32)
+        g_topp = np.asarray([r.top_p for r in reqs], np.float32)
+        self.stats["admit_batches"] += 1
+        self.stats["shared_admissions"] += 1
+        with self._device_lock:
+            row = self._row_cache(1, Sb)
+            greedy, logits, row, pos0 = prefill_shared(
+                self.params, emb, jnp.asarray(valid), row, self.cfg)
+            firsts, keys = _shared_first_tokens(
+                logits, jnp.asarray(g_keys), jnp.asarray(g_temp),
+                jnp.asarray(g_topp), greedy)
+            self._k, self._v = _insert_rows(
+                self._k, self._v, row.k, row.v,
+                jnp.asarray(slots, jnp.int32))     # [L,1,..] broadcasts
+            firsts = np.asarray(firsts)
+            keys = np.asarray(keys)
+            p0 = int(np.asarray(pos0)[0])
+        for i, (b, req) in enumerate(zip(slots, reqs)):
+            self._tok[b] = int(firsts[i])
+            self._pos0[b] = p0
+            self._own[b] = 0
+            self._done[b] = False
+            self._pv[b] = False
+            self._pv[b, :Sb] = valid[0]
+            self._temp[b] = g_temp[i]
+            self._topp[b] = g_topp[i]
+            self._keys[b] = keys[i]
+            self._req[b] = req
 
     def _admit_group(self, slots: list[int], reqs: list[EngineRequest]):
         """Prefill ``reqs`` as one ragged batch (right-padded to the group's

@@ -694,20 +694,16 @@ class ScoringService:
         if kw is None:
             return None
         embeds = kw.pop("embeds")
-        reqs = []
+        kw.pop("prefix_len", None)   # sampled choices don't prefix-cache
         try:
-            for sampling in sampling_list:
-                reqs.append(self._engine.submit(embeds, **sampling, **kw))
+            # atomic enqueue: the whole run lands in one admission pass and
+            # decodes off ONE shared prefill (continuous.py _admit_shared)
+            return self._engine.submit_group(
+                embeds, [{**kw, **sampling} for sampling in sampling_list])
         except RuntimeError:         # engine died between check and submit
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
-            for r in reqs:           # already-queued choices still finish
-                try:
-                    r.result(timeout=60)
-                except Exception:
-                    pass
             return None
-        return reqs
 
     @staticmethod
     def _choice_seeds(seed, n: int) -> list:
