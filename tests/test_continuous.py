@@ -1269,3 +1269,43 @@ def test_service_n_choices_shared_prefill(tiny_video):
             assert ans == want, f"choice {i} diverged"
     finally:
         svc._engine.shutdown()
+
+
+def test_group_token_cap_splits_ragged_groups(params):
+    """max_group_tokens: an oversize ragged group splits into sub-batches
+    (a B=4 group of ~12k prompts OOMs a 16 GB chip mid-prefill — measured,
+    bench_shared_admission) while identical-prompt runs stay exempt; all
+    outputs remain exact."""
+    rng = np.random.default_rng(40)
+    prompts = [rng.integers(0, CFG.vocab_size - 1, size=20).tolist()
+               for _ in range(4)]
+    wants = [_solo(params, ids, 5) for ids in prompts]
+    lock = threading.Lock()
+    # bucket = S_MAX = 32 padded tokens per row; cap 64 -> max 2 rows/group
+    eng = _engine(params, slots=4, device_lock=lock,
+                  max_group_tokens=2 * S_MAX)
+    try:
+        with lock:
+            decoy = eng.submit(_embeds(params, [1, 2, 3]),
+                               max_new_tokens=2)
+            time.sleep(0.2)
+            hs = [eng.submit(_embeds(params, ids), max_new_tokens=5)
+                  for ids in prompts]
+        decoy.result(timeout=120)
+        for h, want in zip(hs, wants):
+            assert h.result(timeout=120) == want
+        # 4 rows at cap 2/group: at least 3 admission batches (decoy + 2)
+        assert eng.stats["admit_batches"] >= 3
+        # identical-prompt runs are exempt from the cap
+        emb = _embeds(params, prompts[0])
+        want_s = [_solo_sampled(params, prompts[0], 5, seed=50 + i,
+                                temperature=2.0, top_p=1.0)
+                  for i in range(4)]
+        reqs = eng.submit_group(
+            emb, [{"max_new_tokens": 5, "temperature": 2.0,
+                   "seed": 50 + i} for i in range(4)])
+        for r, want in zip(reqs, want_s):
+            assert r.result(timeout=120) == want
+        assert eng.stats["shared_admissions"] == 1
+    finally:
+        eng.shutdown()

@@ -387,7 +387,8 @@ class ContinuousEngine:
                  decode_slots: int = 128, prompt_bucket: int = 256,
                  dtype=jnp.bfloat16, eos_token_id: int | None = None,
                  device_lock: threading.Lock | None = None,
-                 prefill_chunk: int = 0, mesh=None, prefix_slots: int = 0):
+                 prefill_chunk: int = 0, mesh=None, prefix_slots: int = 0,
+                 max_group_tokens: int = 32768):
         if cfg.sliding_window is not None:
             raise ValueError("ContinuousEngine supports sliding_window=None "
                              "configs (Qwen2/Llama3); got a windowed config")
@@ -448,6 +449,12 @@ class ContinuousEngine:
         self._keys = np.zeros((self.slots, 2), np.uint32)
         self._req: list[EngineRequest | None] = [None] * self.slots
 
+        # ragged-group prefill cap in PADDED tokens (rows x bucket): a
+        # B=4 group of ~12k-token prompts OOMs a 16 GB chip mid-prefill
+        # (measured — bench_shared_admission), so oversize groups split
+        # into sub-batches.  Identical-prompt runs are exempt: they
+        # prefill B=1 (_admit_shared) whatever their count.
+        self.max_group_tokens = int(max_group_tokens)
         self.prefix_slots = int(prefix_slots)
         self._prefix_pool: dict = {}   # key -> {"k", "v", "len"} (LRU)
         self._prefix_lru: list = []
@@ -628,7 +635,7 @@ class ContinuousEngine:
                 # B=k pass costs far less than k solo passes — the window
                 # micro-batcher's advantage, kept here).  Per-row mrope
                 # tables admit solo (their rope tables are per-row).
-                group, solo = [], None
+                group, solo, g_sb = [], None, 0
                 while self._queue and len(group) < len(free):
                     head = self._queue[0]
                     if head.prefix_key is not None:
@@ -640,6 +647,18 @@ class ContinuousEngine:
                         break
                     if head.rope_cos_sin is None and \
                             head.pos0_override is None:
+                        hb = min(self.S_max,
+                                 -(-int(head.embeds.shape[1])
+                                   // self.bucket) * self.bucket)
+                        shared_run = (
+                            group and head.embeds is group[0].embeds
+                            and all(r.embeds is group[0].embeds
+                                    for r in group))
+                        if group and not shared_run and \
+                                (len(group) + 1) * max(g_sb, hb) \
+                                > self.max_group_tokens:
+                            break       # ragged group would OOM: sub-batch
+                        g_sb = max(g_sb, hb)
                         group.append(self._queue.popleft())
                     elif not group:
                         solo = self._queue.popleft()
