@@ -1028,10 +1028,8 @@ def test_engine_prefix_len_mismatch_and_eviction(params):
         eng.submit(_embeds(params, ids), max_new_tokens=6,
                    prefix_key="b", prefix_len=10).result(timeout=120)
         assert list(eng._prefix_pool) == ["b"]
-        # invalid: sampled, mrope, bad len, disabled engine
-        with pytest.raises(ValueError, match="greedy-only"):
-            eng.submit(_embeds(params, ids), max_new_tokens=4,
-                       prefix_key="x", prefix_len=5, temperature=1.0)
+        # invalid: bad len, disabled engine (sampled + mrope prefix
+        # requests are SUPPORTED — see the sampled/mrope hit tests)
         with pytest.raises(ValueError, match="prefix_len"):
             eng.submit(_embeds(params, ids), max_new_tokens=4,
                        prefix_key="x", prefix_len=len(ids))
@@ -1309,3 +1307,68 @@ def test_group_token_cap_splits_ragged_groups(params):
         assert eng.stats["shared_admissions"] == 1
     finally:
         eng.shutdown()
+
+
+def test_engine_prefix_hit_sampled_exact(params):
+    """Sampled prefix-cache hits: a greedy miss stores the video-prefix
+    KV, then a SAMPLED request on the same key prefills only its suffix
+    and draws its first token with the solo chain's key-split order —
+    bit-exact vs solo sample_decode at the same seed, reruns reproduce."""
+    rng = np.random.default_rng(50)
+    pre = rng.integers(0, CFG.vocab_size - 1, size=14).tolist()
+    ids_g = pre + rng.integers(0, CFG.vocab_size - 1, size=5).tolist()
+    ids_s = pre + rng.integers(0, CFG.vocab_size - 1, size=8).tolist()
+    want_g = _solo(params, ids_g, 6)
+    want_s = _solo_sampled(params, ids_s, 8, seed=9, temperature=2.0,
+                           top_p=0.9)
+    eng = _engine(params, prefix_slots=1)
+    try:
+        hg = eng.submit(_embeds(params, ids_g), max_new_tokens=6,
+                        prefix_key="v", prefix_len=14)
+        assert hg.result(timeout=120) == want_g
+        for _ in range(2):         # hit + equal-seed rerun
+            hs = eng.submit(_embeds(params, ids_s), max_new_tokens=8,
+                            temperature=2.0, top_p=0.9, seed=9,
+                            prefix_key="v", prefix_len=14)
+            assert hs.result(timeout=120) == want_s
+        assert eng.stats["prefix_hits"] == 2
+        # sampled MISS also stores (prefill KV is sampling-independent)
+        eng2 = _engine(params, prefix_slots=1)
+        try:
+            h1 = eng2.submit(_embeds(params, ids_s), max_new_tokens=8,
+                             temperature=2.0, top_p=0.9, seed=9,
+                             prefix_key="v2", prefix_len=14)
+            assert h1.result(timeout=120) == want_s
+            assert eng2.stats["prefix_stores"] == 1
+            h2 = eng2.submit(_embeds(params, ids_g), max_new_tokens=6,
+                             prefix_key="v2", prefix_len=14)
+            assert h2.result(timeout=120) == want_g
+            assert eng2.stats["prefix_hits"] == 1
+        finally:
+            eng2.shutdown()
+    finally:
+        eng.shutdown()
+
+
+def test_service_sampled_prefix_hit(tiny_video):
+    """Warm video + sampled /v1/answer (n=1): the request rides the
+    engine's prefix pool (suffix prefill + sampled draw) and equals the
+    solo sampled generate at the same seed."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2, continuous_slots=2,
+                        continuous_chunk=4, continuous_max_prompt=512,
+                        continuous_decode_slots=16)
+    try:
+        svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                   max_new_tokens=5)                  # greedy miss + store
+        r = svc.answer(video_path=tiny_video, question="What?",
+                       sample_num=4, max_new_tokens=5, temperature=2.0,
+                       top_p=0.9, seed=3)
+        assert svc._engine.stats["prefix_hits"] >= 1
+        sel, _, _ = svc._select_frames(tiny_video, "What?", 4, "topk", None)
+        with svc._device_lock:
+            want = bb.generate(sel, "What?", max_new_tokens=5,
+                               temperature=2.0, top_p=0.9, seed=3)
+        assert r["answer"] == want
+    finally:
+        svc._engine.shutdown()

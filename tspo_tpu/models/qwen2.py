@@ -664,6 +664,33 @@ def prefill_extend(params, embeds, valid_len, cache: KVCache,
     return tok, cache
 
 
+def prefill_extend_sampled(params, embeds, valid_len, cache: KVCache,
+                           cfg: Qwen2Config, key, temperature, top_p,
+                           rope_cos_sin: tuple | None = None):
+    """:func:`prefill_extend` with a SAMPLED last token: identical forward
+    pass, but the token after the final real suffix position is drawn via
+    :func:`sample_token` with one key split first — the same key-split
+    order as :func:`sample_prefill`, so an extension-prefilled sampled
+    request (engine prefix-cache hit) reproduces its solo
+    :func:`sample_decode` chain exactly.  Returns (tok [B], cache, key)."""
+    B, S, _ = embeds.shape
+    T = cache.k.shape[2]
+    start = cache.length
+    attn_valid = jnp.arange(T)[None, :] < start + valid_len
+    tpu = jax.default_backend() == "tpu"
+    hidden, cache = qwen2_forward(params, embeds, cache,
+                                  start + jnp.arange(S), attn_valid, cfg,
+                                  rope_cos_sin=rope_cos_sin,
+                                  flash_threshold=512 if tpu else 10**9,
+                                  flash_q_offset=start if tpu else None)
+    last = hidden[jnp.arange(B), valid_len - 1]
+    key, sub = jax.random.split(key)
+    tok = sample_token(lm_logits(params, last, cfg), sub,
+                       jnp.asarray(temperature, jnp.float32),
+                       jnp.asarray(top_p, jnp.float32))
+    return tok, cache, key
+
+
 def greedy_decode_continue(params, first_tok, cache: KVCache,
                            cfg: Qwen2Config, max_new_tokens: int,
                            eos_token_id: int | None = None, chunk: int = 32,

@@ -64,7 +64,8 @@ import numpy as np
 from ..models.qwen2 import (KVCache, Qwen2Config, _apply_rope, _attention,
                             _linear, _rms_norm, _rope, decode_prefill,
                             embed_tokens, lm_logits, prefill_extend,
-                            qwen2_forward, sample_token)
+                            prefill_extend_sampled, qwen2_forward,
+                            sample_token)
 
 __all__ = ["ContinuousEngine", "EngineRequest"]
 
@@ -516,10 +517,6 @@ class ContinuousEngine:
             if self.prefix_slots <= 0:
                 raise ValueError("engine built with prefix_slots=0: drop "
                                  "prefix_key or enable prefix caching")
-            if temperature and float(temperature) > 0:
-                raise ValueError("prefix caching is greedy-only (the hit "
-                                 "path's first token is the extension "
-                                 "prefill's greedy token)")
             nv = int(v.sum())
             if not (0 < int(prefix_len) < nv):
                 raise ValueError(f"prefix_len must be in (0, {nv}), got "
@@ -721,9 +718,13 @@ class ContinuousEngine:
         compiled programs appear per P (the capacity Wb = Sb + W is
         P-independent; imported pad garbage in [P, Pb) is masked by
         start+valid attention and later by the row's prompt mask)."""
-        if req.temperature > 0:
-            # prefill_extend's last-chunk token is greedy; sampled requests
-            # admit unchunked (prefill_mixed draws their first token)
+        if req.temperature > 0 and prefix is None:
+            # plain chunked admission's last piece draws greedily; cold
+            # sampled requests admit unchunked (prefill_mixed draws their
+            # first token).  Prefix HITS take the pending path even when
+            # sampled: the final suffix piece draws via
+            # prefill_extend_sampled (same key-split order as the solo
+            # chain).
             return False
         S = int(req.embeds.shape[1])
         nv = int(np.asarray(req.valid).sum())
@@ -795,17 +796,28 @@ class ContinuousEngine:
         """One admission-prefill piece; finalizes the admission (row insert
         + host state) when the last real token has been prefilled."""
         p = self._pending
+        req = p["req"]
         W, off = p["W"], p["off"]
         chunk = jax.lax.slice_in_dim(p["emb"], off, off + W, axis=1)
         real = min(W, p["valid_n"] - off)
+        last_piece = off + W >= p["valid_n"]
         rope = p["rope"]
         if rope is not None:
             rope = (jax.lax.slice_in_dim(rope[0], off, off + W, axis=0),
                     jax.lax.slice_in_dim(rope[1], off, off + W, axis=0))
         with self._device_lock:
-            tok, cache = prefill_extend(self.params, chunk, jnp.int32(real),
-                                        p["cache"], self.cfg,
-                                        rope_cos_sin=rope)
+            if last_piece and req.temperature > 0:
+                # sampled prefix-cache hit: draw the first token with the
+                # solo chain's key-split order (prefill_extend_sampled)
+                tok, cache, new_key = prefill_extend_sampled(
+                    self.params, chunk, jnp.int32(real), p["cache"],
+                    self.cfg, jnp.asarray(req.key), req.temperature,
+                    req.top_p, rope_cos_sin=rope)
+                p["key"] = np.asarray(new_key, np.uint32)
+            else:
+                tok, cache = prefill_extend(self.params, chunk,
+                                            jnp.int32(real), p["cache"],
+                                            self.cfg, rope_cos_sin=rope)
         p["cache"] = cache
         p["tok"] = tok
         p["off"] = off + W
@@ -826,9 +838,11 @@ class ContinuousEngine:
         self._done[b] = False
         self._pv[b] = False
         self._pv[b, :p["valid_n"]] = True
-        self._temp[b] = 0.0         # chunked admissions are always greedy
-        self._topp[b] = 1.0
-        self._keys[b] = 0
+        # per-request sampling state: greedy chunked admissions zero out;
+        # a sampled prefix hit carries its advanced key chain forward
+        self._temp[b] = req.temperature
+        self._topp[b] = req.top_p
+        self._keys[b] = p.get("key", np.zeros(2, np.uint32))
         self._req[b] = req
         if not p["prefix_hit"]:     # a hit's values are already pooled
             self._store_prefix(req, p["cache"].k, p["cache"].v)

@@ -673,8 +673,7 @@ class ScoringService:
         if kw is None:
             return None
         embeds = kw.pop("embeds")
-        sampled = bool(sampling and sampling.get("temperature", 0) > 0)
-        if prefix_key is not None and not sampled and kw.get("prefix_len"):
+        if prefix_key is not None and kw.get("prefix_len"):
             kw["prefix_key"] = prefix_key
         try:
             return self._engine.submit(embeds, stream_cb=stream_cb,
@@ -714,14 +713,23 @@ class ScoringService:
                                                 for i in range(n)]
 
     def _sampled_answers_n(self, frames, question, max_new, temperature,
-                           top_p, seed, n: int) -> list[str]:
+                           top_p, seed, n: int, prefix_key=None
+                           ) -> list[str]:
         """n independent sampled completions of ONE prompt.  Engine on:
-        all n choices submit together (one vision encode, co-resident
-        decode rows — continuous.py per-row sampling).  Engine off or
+        n > 1 choices submit together off ONE shared prefill
+        (continuous.py _admit_shared); a single sampled choice rides the
+        engine's prefix cache when ``prefix_key`` is given (warm video:
+        suffix-only prefill + sampled first-token draw).  Engine off or
         prompt overflow: n solo sample_decode passes."""
         samplings = [{"temperature": float(temperature),
                       "top_p": float(top_p), "seed": s}
                      for s in self._choice_seeds(seed, n)]
+        if self._engine is not None and n == 1:
+            text = self._engine_answer(frames, question, max_new,
+                                       sampling=samplings[0],
+                                       prefix_key=prefix_key)
+            if text is not None:
+                return [text]
         if self._engine is not None:
             reqs = self._engine_submit_n(frames, question, max_new,
                                          samplings)
@@ -1082,7 +1090,9 @@ class ScoringService:
             # this codebase rejects
             answers = self._sampled_answers_n(
                 sel, question, max_new_tokens, temperature, top_p,
-                None if seed is None else int(seed), n)
+                None if seed is None else int(seed), n,
+                prefix_key=(self._prefix_cache_key(video_path, idx)
+                            if self.prefix_cache > 0 else None))
             with self._feat_lock:
                 self.stats["requests"] += 1
                 self.stats["frames_scored"] += n_frames
@@ -1194,9 +1204,11 @@ class ScoringService:
                         "seed": None if seed is None else int(seed)}
             # engine per-row sampling when on (batches with greedy
             # traffic); solo sampled generate_stream otherwise
-            deltas = (self._engine_answer_stream(sel, question,
-                                                 max_new_tokens,
-                                                 sampling=sampling)
+            deltas = (self._engine_answer_stream(
+                          sel, question, max_new_tokens, sampling=sampling,
+                          prefix_key=(self._prefix_cache_key(video_path,
+                                                             idx)
+                                      if self.prefix_cache > 0 else None))
                       if self._engine is not None else None)
             if deltas is None:
                 # engine off/overflow/dead: the solo path must stream
