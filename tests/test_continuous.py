@@ -1372,3 +1372,36 @@ def test_service_sampled_prefix_hit(tiny_video):
         assert r["answer"] == want
     finally:
         svc._engine.shutdown()
+
+
+def test_warm_n_choices_ride_prefix_hits(tiny_video):
+    """Warm video + n>1: the choices route as per-choice prefix HITS
+    (suffix-only prefills) instead of a shared full prefill, and per-seed
+    exactness still holds."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb, prefix_cache=2, continuous_slots=4,
+                        continuous_chunk=4, continuous_max_prompt=512,
+                        continuous_decode_slots=16)
+    try:
+        svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                   max_new_tokens=5)                  # greedy miss + store
+        r = svc.answer(video_path=tiny_video, question="What?",
+                       sample_num=4, max_new_tokens=5, temperature=2.0,
+                       top_p=0.9, seed=60, n=3)
+        assert len(r["answers"]) == 3
+        assert svc._engine.stats["prefix_hits"] >= 3
+        assert svc._engine.stats["shared_admissions"] == 0
+        sel, _, _ = svc._select_frames(tiny_video, "What?", 4, "topk", None)
+        for i, ans in enumerate(r["answers"]):
+            with svc._device_lock:
+                want = bb.generate(sel, "What?", max_new_tokens=5,
+                                   temperature=2.0, top_p=0.9, seed=60 + i)
+            assert ans == want, f"choice {i} diverged"
+        # cold video (different selection key): falls back to shared
+        r2 = svc.answer(video_path=tiny_video, question="What?",
+                        sample_num=2, max_new_tokens=5, temperature=2.0,
+                        top_p=0.9, seed=61, n=3)
+        assert len(r2["answers"]) == 3
+        assert svc._engine.stats["shared_admissions"] >= 1
+    finally:
+        svc._engine.shutdown()

@@ -683,20 +683,28 @@ class ScoringService:
                 self.stats["engine_fallback"] += 1
             return None
 
-    def _engine_submit_n(self, frames, question, max_new, sampling_list):
+    def _engine_submit_n(self, frames, question, max_new, sampling_list,
+                         prefix_key=None):
         """Submit ``len(sampling_list)`` sampled choices of ONE prompt to
         the engine — the vision encode / prompt splice runs once and every
-        choice reuses the same embeds (they co-reside in the batch and
-        decode together).  Returns a list of EngineRequests, or None when
-        the prompt can't ride the engine at all."""
+        choice reuses the same embeds.  Cold video: the whole run lands in
+        one atomic enqueue and decodes off ONE shared B=1 prefill
+        (continuous.py _admit_shared).  Warm video (``prefix_key`` in the
+        engine's prefix pool): each choice instead rides its own prefix
+        HIT — n suffix-only prefills beat even one shared full prefill.
+        Returns a list of EngineRequests, or None when the prompt can't
+        ride the engine at all."""
         kw = self._engine_prepare(frames, question, max_new)
         if kw is None:
             return None
         embeds = kw.pop("embeds")
-        kw.pop("prefix_len", None)   # sampled choices don't prefix-cache
+        plen = kw.pop("prefix_len", None)
         try:
-            # atomic enqueue: the whole run lands in one admission pass and
-            # decodes off ONE shared prefill (continuous.py _admit_shared)
+            if prefix_key is not None and plen and                     self._engine.has_prefix(prefix_key, plen):
+                return [self._engine.submit(embeds, prefix_key=prefix_key,
+                                            prefix_len=plen, **kw,
+                                            **sampling)
+                        for sampling in sampling_list]
             return self._engine.submit_group(
                 embeds, [{**kw, **sampling} for sampling in sampling_list])
         except RuntimeError:         # engine died between check and submit
@@ -732,7 +740,7 @@ class ScoringService:
                 return [text]
         if self._engine is not None:
             reqs = self._engine_submit_n(frames, question, max_new,
-                                         samplings)
+                                         samplings, prefix_key=prefix_key)
             if reqs is not None:
                 try:
                     toks = [r.result() for r in reqs]
