@@ -41,7 +41,7 @@ def main():
         params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
         S, max_new = 40, 6
         eng_kw = dict(slots=N, chunk=4, max_prompt=64, decode_slots=16,
-                      prompt_bucket=64, dtype=jnp.float32)
+                      prompt_bucket=64, dtype=jnp.float32, prefix_slots=1)
     else:
         # 32-frame geometry (~5.9k tokens): the largest where a 4-row
         # ragged group prefill fits one 16 GB chip next to the 4-slot
@@ -52,7 +52,7 @@ def main():
         params = init_qwen2_int8_on_device(cfg)
         S, max_new = 5900, 32
         eng_kw = dict(slots=N, chunk=8, max_prompt=6144, decode_slots=64,
-                      prompt_bucket=2048, dtype=jnp.bfloat16)
+                      prompt_bucket=2048, dtype=jnp.bfloat16, prefix_slots=1)
     rng = np.random.default_rng(0)
 
     def prompt(seed):
@@ -85,18 +85,40 @@ def main():
                 r.result(timeout=1800)
             return round(time.perf_counter() - t0, 3)
 
+        P = S - (8 if tiny else 150)    # video-block prefix, ~150-token Qs
+
+        def run_warm_prefix(emb, seed0):
+            """The warm-video n>1 route (server.py _engine_submit_n):
+            per-choice prefix HITS — n suffix-only prefills + draws."""
+            jax.block_until_ready(emb)
+            t0 = time.perf_counter()
+            reqs = [eng.submit(emb, max_new_tokens=max_new,
+                               temperature=0.8, top_p=0.95,
+                               seed=seed0 + i, prefix_key="warmvid",
+                               prefix_len=P)
+                    for i in range(N)]
+            for r in reqs:
+                r.result(timeout=1800)
+            return round(time.perf_counter() - t0, 3)
+
         run_shared(prompt(1), 100)          # warm both paths' programs
         run_distinct([10, 11, 12, 13])
+        run_warm_prefix(prompt(4), 400)     # first call = miss + store
+        run_warm_prefix(prompt(4), 410)     # warms the hit programs
         shared_s = min(run_shared(prompt(2), 200),
                        run_shared(prompt(3), 300))
         distinct_s = min(run_distinct([20, 21, 22, 23]),
                          run_distinct([30, 31, 32, 33]))
+        warm_s = min(run_warm_prefix(prompt(4), 420),
+                     run_warm_prefix(prompt(4), 430))
         print(json.dumps({
-            "geometry": {"prompt_tokens": S, "n": N, "max_new": max_new,
-                         "tiny": tiny},
+            "geometry": {"prompt_tokens": S, "prefix_len": P, "n": N,
+                         "max_new": max_new, "tiny": tiny},
             "shared_prompt_s": shared_s,
             "distinct_prompts_s": distinct_s,
-            "speedup": round(distinct_s / shared_s, 2),
+            "warm_prefix_hits_s": warm_s,
+            "speedup_shared": round(distinct_s / shared_s, 2),
+            "speedup_warm": round(distinct_s / warm_s, 2),
             "stats": dict(eng.stats),
         }), flush=True)
     finally:

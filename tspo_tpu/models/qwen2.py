@@ -664,6 +664,7 @@ def prefill_extend(params, embeds, valid_len, cache: KVCache,
     return tok, cache
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def prefill_extend_sampled(params, embeds, valid_len, cache: KVCache,
                            cfg: Qwen2Config, key, temperature, top_p,
                            rope_cos_sin: tuple | None = None):
