@@ -530,15 +530,6 @@ class ContinuousEngine:
         self._enqueue([req])
         return req
 
-    def has_prefix(self, key, prefix_len: int) -> bool:
-        """True when the pool holds ``key`` at this ``prefix_len`` — the
-        n>1 multi-choice router prefers per-choice prefix hits (suffix-only
-        prefills) over a shared full prefill when the video is warm.
-        Advisory only (eviction between check and admit just degrades to a
-        miss)."""
-        e = self._prefix_pool.get(key)
-        return e is not None and e["len"] == int(prefix_len)
-
     def submit_group(self, embeds, kwargs_list) -> "list[EngineRequest]":
         """Queue several requests of ONE prompt atomically (the n>1
         multi-choice path): all of them land in the queue in one lock

@@ -687,24 +687,22 @@ class ScoringService:
                          prefix_key=None):
         """Submit ``len(sampling_list)`` sampled choices of ONE prompt to
         the engine — the vision encode / prompt splice runs once and every
-        choice reuses the same embeds.  Cold video: the whole run lands in
-        one atomic enqueue and decodes off ONE shared B=1 prefill
-        (continuous.py _admit_shared).  Warm video (``prefix_key`` in the
-        engine's prefix pool): each choice instead rides its own prefix
-        HIT — n suffix-only prefills beat even one shared full prefill.
-        Returns a list of EngineRequests, or None when the prompt can't
-        ride the engine at all."""
+        choice reuses the same embeds: the whole run lands in one atomic
+        enqueue and decodes off ONE shared B=1 prefill (continuous.py
+        _admit_shared).  Measured NOT worth routing warm videos through
+        per-choice prefix hits instead: n serialized hit admissions cost
+        more than one shared prefill on this dispatch-latency-bound box
+        (3.36 vs 1.93 s at n=4/5.9k — bench_shared_admission round-5
+        note); single sampled requests DO ride prefix hits (their
+        alternative is a full prefill).  Returns a list of
+        EngineRequests, or None when the prompt can't ride the engine."""
         kw = self._engine_prepare(frames, question, max_new)
         if kw is None:
             return None
         embeds = kw.pop("embeds")
-        plen = kw.pop("prefix_len", None)
+        kw.pop("prefix_len", None)
+        del prefix_key               # see docstring: shared always wins
         try:
-            if prefix_key is not None and plen and                     self._engine.has_prefix(prefix_key, plen):
-                return [self._engine.submit(embeds, prefix_key=prefix_key,
-                                            prefix_len=plen, **kw,
-                                            **sampling)
-                        for sampling in sampling_list]
             return self._engine.submit_group(
                 embeds, [{**kw, **sampling} for sampling in sampling_list])
         except RuntimeError:         # engine died between check and submit
