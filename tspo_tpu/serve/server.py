@@ -683,8 +683,7 @@ class ScoringService:
                 self.stats["engine_fallback"] += 1
             return None
 
-    def _engine_submit_n(self, frames, question, max_new, sampling_list,
-                         prefix_key=None):
+    def _engine_submit_n(self, frames, question, max_new, sampling_list):
         """Submit ``len(sampling_list)`` sampled choices of ONE prompt to
         the engine — the vision encode / prompt splice runs once and every
         choice reuses the same embeds: the whole run lands in one atomic
@@ -701,7 +700,6 @@ class ScoringService:
             return None
         embeds = kw.pop("embeds")
         kw.pop("prefix_len", None)
-        del prefix_key               # see docstring: shared always wins
         try:
             return self._engine.submit_group(
                 embeds, [{**kw, **sampling} for sampling in sampling_list])
@@ -734,11 +732,14 @@ class ScoringService:
             text = self._engine_answer(frames, question, max_new,
                                        sampling=samplings[0],
                                        prefix_key=prefix_key)
-            if text is not None:
-                return [text]
+            # on overflow/dead the n-submit path would just re-prepare and
+            # overflow again — fall straight through to solo decode
+            return [text] if text is not None else [
+                self._solo_sampled_one(frames, question, max_new,
+                                       samplings[0])]
         if self._engine is not None:
             reqs = self._engine_submit_n(frames, question, max_new,
-                                         samplings, prefix_key=prefix_key)
+                                         samplings)
             if reqs is not None:
                 try:
                     toks = [r.result() for r in reqs]
@@ -753,14 +754,16 @@ class ScoringService:
                     with self._feat_lock:
                         self.stats["engine"] += len(toks)
                     return [self.backbone.decode(t) for t in toks]
-        out = []
-        for s in samplings:
-            kw = dict(s)
-            if max_new:
-                kw["max_new_tokens"] = max_new
-            with self._device_lock:
-                out.append(self.backbone.generate(frames, question, **kw))
-        return out
+        return [self._solo_sampled_one(frames, question, max_new, s)
+                for s in samplings]
+
+    def _solo_sampled_one(self, frames, question, max_new,
+                          sampling: dict) -> str:
+        kw = dict(sampling)
+        if max_new:
+            kw["max_new_tokens"] = max_new
+        with self._device_lock:
+            return self.backbone.generate(frames, question, **kw)
 
     def _engine_answer(self, frames, question, max_new,
                        sampling: dict | None = None,
