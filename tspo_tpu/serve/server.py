@@ -1117,7 +1117,7 @@ class ScoringService:
         if session_id is not None:
             if not hasattr(self.backbone, "new_conversation_state"):
                 raise ValueError("session_id needs a backbone with "
-                                 "conversation support (llava_video)")
+                                 "conversation support (llava_video / qwen2_5_vl)")
             return self._answer_session(
                 session_id=str(session_id), video_path=video_path,
                 question=question, sample_num=sample_num, method=method,
@@ -1192,7 +1192,7 @@ class ScoringService:
                     hasattr(self.backbone, "generate_multi_round_stream")):
                 # loud, not silently non-conversational (codebase rule)
                 raise ValueError("session_id needs a backbone with "
-                                 "conversation support (llava_video)")
+                                 "conversation support (llava_video / qwen2_5_vl)")
             yield from self._answer_session_stream(
                 session_id=str(session_id), video_path=video_path,
                 question=question, sample_num=sample_num, method=method,
