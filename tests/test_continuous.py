@@ -1404,3 +1404,73 @@ def test_warm_n_choices_use_shared_admission(tiny_video):
         assert svc._engine.stats["prefix_hits"] == hits0 + 1
     finally:
         svc._engine.shutdown()
+
+
+def test_chat_completion_logprobs(tiny_video):
+    """OpenAI logprobs on chat completions: per-token entries sum to the
+    model's own loglikelihood of the answer, top_logprobs rank and contain
+    the chosen token when it's the argmax, and the guards fire (streaming,
+    top_logprobs without logprobs, out-of-range k)."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    out = svc.chat_completion(
+        messages=[{"role": "user", "content": "hello there"}],
+        max_tokens=5, logprobs=True, top_logprobs=3)
+    ch = out["choices"][0]
+    text = ch["message"]["content"]
+    content = ch["logprobs"]["content"]
+    assert len(content) == len(bb.encode(text))
+    total = sum(e["logprob"] for e in content)
+    prompt = svc._chat_prompt([{"role": "user", "content": "hello there"}])
+    want_ll, want_greedy = bb.loglikelihood(None, prompt, text)
+    assert abs(total - want_ll) < 1e-3
+    for e in content:
+        tops = e["top_logprobs"]
+        assert len(tops) == 3
+        assert tops[0]["logprob"] >= tops[-1]["logprob"]
+        # greedy decode: every chosen token is the argmax -> rank-1 top
+        if want_greedy:
+            assert abs(tops[0]["logprob"] - e["logprob"]) < 1e-6
+    # sampled + seeded reproduces including logprobs
+    s1 = svc.chat_completion(messages=[{"role": "user", "content": "hi"}],
+                             max_tokens=4, temperature=2.0, seed=8,
+                             logprobs=True)
+    s2 = svc.chat_completion(messages=[{"role": "user", "content": "hi"}],
+                             max_tokens=4, temperature=2.0, seed=8,
+                             logprobs=True)
+    assert s1["choices"][0]["logprobs"] == s2["choices"][0]["logprobs"]
+    # guards
+    with pytest.raises(ValueError, match="requires logprobs"):
+        svc.chat_completion(messages=[{"role": "user", "content": "x"}],
+                            top_logprobs=2)
+    with pytest.raises(ValueError, match="0, 20"):
+        svc.chat_completion(messages=[{"role": "user", "content": "x"}],
+                            logprobs=True, top_logprobs=21)
+    with pytest.raises(ValueError, match="logprobs"):
+        list(svc.chat_completion_stream(
+            messages=[{"role": "user", "content": "x"}], logprobs=True))
+
+
+def test_chat_completion_logprobs_history_template(tiny_video):
+    """Chat HISTORY logprobs score against the conversation-template
+    render (the exact prompt that generated the answer): the total equals
+    loglikelihood over render_chat_prompt, and greedy answers are rank-1
+    at every position."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    msgs = [{"role": "user", "content": "first"},
+            {"role": "assistant", "content": "one"},
+            {"role": "user", "content": "second"}]
+    out = svc.chat_completion(messages=msgs, max_tokens=4, logprobs=True,
+                              top_logprobs=1)
+    ch = out["choices"][0]
+    text = ch["message"]["content"]
+    turns = svc._chat_turns(msgs)
+    want_ll, _ = bb.loglikelihood(
+        None, "", text, prompt=bb.render_chat_prompt(turns))
+    total = sum(e["logprob"] for e in ch["logprobs"]["content"])
+    assert abs(total - want_ll) < 1e-3
+    # (argmax-everywhere can't be asserted with the stub tokenizer: its
+    # decode/encode doesn't round-trip token ids; real BPE does)
+    assert all(e["top_logprobs"][0]["logprob"] >= e["logprob"] - 1e-6
+               for e in ch["logprobs"]["content"])

@@ -866,16 +866,22 @@ class LLaVAVideoModel:
         eos = self.cfg.lm.eos_token_id
         return [self.decode(row[row != eos].tolist()) for row in toks]
 
-    def loglikelihood(self, frames: np.ndarray, question: str,
-                      continuation: str, prompt: str | None = None):
-        """(logprob, is_greedy) of ``continuation`` given the video prompt —
-        the lmms-eval ``loglikelihood`` request type (api/model.py:20-82,
-        llava_vid_tspo.py:385-445)."""
+    def _continuation_log_softmax(self, frames, question: str,
+                                  continuation: str,
+                                  prompt: str | None = None):
+        """Teacher-forced single forward over prompt+continuation: returns
+        (cont_ids, log_softmax rows at the continuation positions
+        [n_cont, V]) — the shared core of :meth:`loglikelihood` and
+        :meth:`continuation_logprobs`."""
         from .qwen2 import lm_logits, qwen2_forward
         prompt = prompt if prompt is not None else self._prompt(question)
         prompt_ids = tokenize_with_image(prompt, self.encode, self.bos_token_id)
         cont_ids = list(self.encode(continuation))
-        video_tokens = self.encode_video(frames)
+        if frames is None or len(frames) == 0:
+            video_tokens = jnp.zeros((0, self.cfg.lm.hidden_size),
+                                     self.params["lm"]["embedding"].dtype)
+        else:
+            video_tokens = self.encode_video(frames)
         embeds = self.splice_embeddings(prompt_ids + cont_ids, video_tokens)
 
         S = embeds.shape[1]
@@ -886,11 +892,47 @@ class LLaVAVideoModel:
                                   self.cfg.lm)
         logits = lm_logits(self.params["lm"], hidden[0, -n_cont - 1:-1],
                            self.cfg.lm)                       # [n_cont, V]
-        lp = jax.nn.log_softmax(logits, axis=-1)
+        return cont_ids, jax.nn.log_softmax(logits, axis=-1)
+
+    def render_chat_prompt(self, turns) -> str:
+        """The exact prompt :meth:`generate_multi_round` renders for
+        ``turns`` — in the form :meth:`continuation_logprobs`'s ``prompt``
+        param expects (the full conversation-template prompt), so served
+        chat logprobs score against precisely what generated the answer."""
+        from .conversation import build_prompt_multi
+        return build_prompt_multi(turns, self.conv_template)
+
+    def loglikelihood(self, frames: np.ndarray, question: str,
+                      continuation: str, prompt: str | None = None):
+        """(logprob, is_greedy) of ``continuation`` given the video prompt —
+        the lmms-eval ``loglikelihood`` request type (api/model.py:20-82,
+        llava_vid_tspo.py:385-445)."""
+        cont_ids, lp = self._continuation_log_softmax(frames, question,
+                                                      continuation, prompt)
         targets = jnp.asarray(cont_ids)
-        token_lp = lp[jnp.arange(n_cont), targets]
-        greedy = jnp.argmax(logits, axis=-1) == targets
+        token_lp = lp[jnp.arange(len(cont_ids)), targets]
+        greedy = jnp.argmax(lp, axis=-1) == targets
         return float(token_lp.sum()), bool(jnp.all(greedy))
+
+    def continuation_logprobs(self, frames, question: str,
+                              continuation: str,
+                              prompt: str | None = None, top_k: int = 0):
+        """Per-token log-probabilities of ``continuation`` after the
+        prompt — the OpenAI ``logprobs`` payload for chat completions
+        (one teacher-forced forward).  Returns (cont_ids [n],
+        token_logprobs [n], top_ids [n, top_k], top_logprobs [n, top_k])
+        as host arrays; top_* are empty at ``top_k=0``."""
+        cont_ids, lp = self._continuation_log_softmax(frames, question,
+                                                      continuation, prompt)
+        n = len(cont_ids)
+        token_lp = np.asarray(lp[jnp.arange(n), jnp.asarray(cont_ids)],
+                              np.float64)
+        if top_k > 0:
+            top_lps, top_ids = jax.lax.top_k(lp, top_k)
+            return (cont_ids, token_lp, np.asarray(top_ids),
+                    np.asarray(top_lps, np.float64))
+        return (cont_ids, token_lp, np.zeros((n, 0), np.int32),
+                np.zeros((n, 0), np.float64))
 
     # -- checkpoint interop -------------------------------------------------
 

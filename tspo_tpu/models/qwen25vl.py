@@ -817,40 +817,84 @@ class Qwen25VLModel:
         dec_pos = post_start + (S - idx_post0)
         return ids, first_tok, cache, CH, max_new, dec_pos
 
-    def loglikelihood(self, frames: np.ndarray, question: str,
-                      continuation: str):
-        """(logprob, is_greedy) of ``continuation`` after the video prompt —
-        the lmms-eval loglikelihood request type for the qwen adapter."""
+    def _continuation_log_softmax(self, frames, question: str,
+                                  continuation: str,
+                                  prompt: str | None = None):
+        """Teacher-forced single forward over prompt+continuation: returns
+        (cont_ids, log_softmax rows at the continuation positions) — the
+        shared core of :meth:`loglikelihood` /
+        :meth:`continuation_logprobs`.  ``prompt`` overrides the rendered
+        post-video text verbatim (the chat-history logprobs path)."""
         from .qwen2 import lm_logits, qwen2_forward
         c = self.cfg
-        feats, grid = self.encode_video(frames)
-        n_vid = feats.shape[0]
-        pre_ids, vid_ids, post_ids = self.build_prompt_ids(question, n_vid)
-        cont_ids = list(self.encode(continuation))
-        ids = np.asarray(pre_ids + vid_ids + post_ids + cont_ids)
-
         lm = self.params["lm"]
-        emb = embed_tokens(lm, jnp.asarray(ids))
-        p = len(pre_ids)
-        emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
-        pos3, _ = rope_index_for_video(
-            len(pre_ids), grid, len(post_ids) + len(cont_ids),
-            c.vision.spatial_merge_size, c.vision.tokens_per_second,
-            self.second_per_grid_t)
-        cos, sin = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
+        post = (prompt if prompt is not None
+                else question + "<|im_end|>\n<|im_start|>assistant\n")
+        cont_ids = list(self.encode(continuation))
+        if frames is None or len(frames) == 0:
+            ids = np.asarray(list(self.encode(
+                QWEN25_SYSTEM + "<|im_start|>user\n" + post)) + cont_ids)
+            emb = embed_tokens(lm, jnp.asarray(ids))
+            rope = None
+        else:
+            feats, grid = self.encode_video(frames)
+            n_vid = int(feats.shape[0])
+            pre_ids, vid_ids, post_ids = self.build_prompt_ids(
+                "", n_vid, post_text=post)
+            ids = np.asarray(pre_ids + vid_ids + post_ids + cont_ids)
+            emb = embed_tokens(lm, jnp.asarray(ids))
+            p = len(pre_ids)
+            emb = emb.at[p:p + n_vid].set(feats.astype(emb.dtype))
+            pos3, _ = rope_index_for_video(
+                len(pre_ids), grid, len(post_ids) + len(cont_ids),
+                c.vision.spatial_merge_size, c.vision.tokens_per_second,
+                self.second_per_grid_t)
+            rope = mrope_cos_sin(jnp.asarray(pos3), c.lm.head_dim,
                                  c.lm.rope_theta, c.mrope_section)
         S = len(ids)
         cache = KVCache.create(c.lm, 1, S, emb.dtype)
         h, _ = qwen2_forward(lm, emb[None], cache, jnp.arange(S),
                              jnp.ones((1, S), bool), c.lm,
-                             rope_cos_sin=(cos, sin))
+                             rope_cos_sin=rope)
         n = len(cont_ids)
         logits = lm_logits(lm, h[0, -n - 1:-1], c.lm)
-        lp = jax.nn.log_softmax(logits, axis=-1)
+        return cont_ids, jax.nn.log_softmax(logits, axis=-1)
+
+    def render_chat_prompt(self, turns) -> str:
+        """The rendered conversation text :meth:`generate_multi_round`
+        uses for ``turns`` — in the form
+        :meth:`continuation_logprobs`'s ``prompt`` param expects (the
+        post-video template text)."""
+        return self._render_rounds(turns)
+
+    def loglikelihood(self, frames: np.ndarray, question: str,
+                      continuation: str):
+        """(logprob, is_greedy) of ``continuation`` after the video prompt —
+        the lmms-eval loglikelihood request type for the qwen adapter."""
+        cont_ids, lp = self._continuation_log_softmax(frames, question,
+                                                      continuation)
         targets = jnp.asarray(cont_ids)
-        token_lp = lp[jnp.arange(n), targets]
-        greedy = jnp.argmax(logits, axis=-1) == targets
+        token_lp = lp[jnp.arange(len(cont_ids)), targets]
+        greedy = jnp.argmax(lp, axis=-1) == targets
         return float(token_lp.sum()), bool(jnp.all(greedy))
+
+    def continuation_logprobs(self, frames, question: str,
+                              continuation: str,
+                              prompt: str | None = None, top_k: int = 0):
+        """Per-token log-probabilities of ``continuation`` — the OpenAI
+        ``logprobs`` payload (same contract as
+        llava_video.continuation_logprobs)."""
+        cont_ids, lp = self._continuation_log_softmax(frames, question,
+                                                      continuation, prompt)
+        n = len(cont_ids)
+        token_lp = np.asarray(lp[jnp.arange(n), jnp.asarray(cont_ids)],
+                              np.float64)
+        if top_k > 0:
+            top_lps, top_ids = jax.lax.top_k(lp, top_k)
+            return (cont_ids, token_lp, np.asarray(top_ids),
+                    np.asarray(top_lps, np.float64))
+        return (cont_ids, token_lp, np.zeros((n, 0), np.int32),
+                np.zeros((n, 0), np.float64))
 
     def quantize_lm(self) -> "Qwen25VLModel":
         """Weight-only int8 for the decoder (see qwen2.quantize_qwen2_params)."""

@@ -348,6 +348,8 @@ class ScoringService:
                         max_tokens: int | None = None,
                         temperature: float = 0.0, top_p: float = 1.0,
                         seed: int | None = None, n: int = 1,
+                        logprobs: bool = False,
+                        top_logprobs: int | None = None,
                         **_ignored) -> dict:
         """OpenAI-compatible chat completion on the loaded backbone's
         text-only generate path — the zero-egress replacement for the
@@ -356,7 +358,11 @@ class ScoringService:
         point API_TYPE=openai / OPENAI_API_URL at this server and judge
         with the local model.  ``n > 1`` returns n sampled choices (judge
         self-consistency / best-of-n); with the engine on, all n decode as
-        co-resident batch rows off ONE prefill-prompt assembly."""
+        co-resident batch rows off ONE prefill-prompt assembly.
+        ``logprobs`` (+ ``top_logprobs`` <= 20) attaches OpenAI-format
+        per-token log-probabilities, computed by rescoring each returned
+        choice through one teacher-forced forward against the EXACT prompt
+        that generated it (backbone.continuation_logprobs)."""
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         n = int(n)
@@ -365,10 +371,22 @@ class ScoringService:
         if n > 1 and not (temperature and float(temperature) > 0):
             raise ValueError("n > 1 needs temperature > 0 (greedy choices "
                              "would be identical)")
+        top_lp = 0
+        if top_logprobs is not None:
+            if not logprobs:
+                raise ValueError("top_logprobs requires logprobs=true")
+            top_lp = int(top_logprobs)
+            if not (0 <= top_lp <= 20):
+                raise ValueError("top_logprobs must be in [0, 20]")
+        if logprobs and not hasattr(self.backbone, "continuation_logprobs"):
+            # loud, never silently omitted (codebase rule)
+            raise ValueError(f"backbone {type(self.backbone).__name__} "
+                             "does not support logprobs "
+                             "(needs continuation_logprobs)")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
+        texts, lp_turns, lp_prompt = None, None, None
         if temperature and float(temperature) > 0:
-            # OpenAI sampling params -> the backbone's sample_decode path;
-            # sampled requests bypass the (greedy, batched) engine.
+            # OpenAI sampling params -> the backbone's sample_decode path
             seeds = self._choice_seeds(None if seed is None else int(seed),
                                        n)
             turns = self._chat_turns(messages)
@@ -376,42 +394,75 @@ class ScoringService:
                     "generate_multi_round"):
                 # history rides the REAL conversation template (stateless:
                 # sampled rounds do a full prefill, no prefix-KV)
-                texts = []
+                texts, lp_turns = [], turns
                 for s in seeds:
                     kw = {**kwargs, "temperature": float(temperature),
                           "top_p": float(top_p), "seed": s}
                     with self._device_lock:
                         texts.append(self.backbone.generate_multi_round(
                             None, turns, **kw))
-                return self._chat_completion_finish(
-                    texts if n > 1 else texts[0], model)
-            # fallback for backbones with sampled generate but no sampled
-            # multi_round: role-labeled flatten keeps the dialog structure
-            prompt = (self._render_turns(turns) if turns is not None
-                      else self._chat_prompt(messages))
-            if n > 1:
-                return self._chat_completion_finish(
-                    self._sampled_answers_n(None, prompt, max_tokens,
-                                            temperature, top_p,
-                                            None if seed is None
-                                            else int(seed), n), model)
-            kwargs.update(temperature=float(temperature),
-                          top_p=float(top_p),
-                          seed=None if seed is None else int(seed))
-            return self._chat_completion_finish(
-                self._generate_text_sampled(prompt, kwargs), model)
-        turns = self._chat_turns(messages)
-        if turns is not None and hasattr(self.backbone,
-                                         "generate_multi_round"):
-            # history with assistant turns: ride the conversation template
-            # (role structure reaches the model) instead of flattening the
-            # dialog into one user blob
-            with self._device_lock:
-                text = self.backbone.generate_multi_round(None, turns,
-                                                          **kwargs)
+            else:
+                # fallback for backbones with sampled generate but no
+                # sampled multi_round: role-labeled flatten keeps the
+                # dialog structure
+                lp_prompt = (self._render_turns(turns)
+                             if turns is not None
+                             else self._chat_prompt(messages))
+                if n > 1:
+                    texts = self._sampled_answers_n(
+                        None, lp_prompt, max_tokens, temperature, top_p,
+                        None if seed is None else int(seed), n)
+                else:
+                    kwargs.update(temperature=float(temperature),
+                                  top_p=float(top_p),
+                                  seed=None if seed is None else int(seed))
+                    texts = [self._generate_text_sampled(lp_prompt, kwargs)]
         else:
-            text = self._generate_text(self._chat_prompt(messages), kwargs)
-        return self._chat_completion_finish(text, model)
+            turns = self._chat_turns(messages)
+            if turns is not None and hasattr(self.backbone,
+                                             "generate_multi_round"):
+                # history with assistant turns: ride the conversation
+                # template (role structure reaches the model) instead of
+                # flattening the dialog into one user blob
+                lp_turns = turns
+                with self._device_lock:
+                    texts = [self.backbone.generate_multi_round(None, turns,
+                                                                **kwargs)]
+            else:
+                lp_prompt = self._chat_prompt(messages)
+                texts = [self._generate_text(lp_prompt, kwargs)]
+        lp_payloads = None
+        if logprobs:
+            lp_payloads = [self._chat_logprobs(lp_turns, lp_prompt, t,
+                                               top_lp) for t in texts]
+        return self._chat_completion_finish(
+            texts if n > 1 else texts[0], model, lp_payloads)
+
+    def _chat_logprobs(self, turns, prompt, text: str, top_k: int) -> dict:
+        """OpenAI logprobs payload for one choice: rescore the returned
+        text against the prompt that generated it — the conversation
+        template render when ``turns`` drove the generation
+        (backbone.render_chat_prompt), the flattened prompt otherwise."""
+        bb = self.backbone
+        with self._device_lock:
+            if turns is not None:
+                cont_ids, token_lp, top_ids, top_lps =                     bb.continuation_logprobs(
+                        None, "", text,
+                        prompt=bb.render_chat_prompt(turns), top_k=top_k)
+            else:
+                cont_ids, token_lp, top_ids, top_lps =                     bb.continuation_logprobs(None, prompt, text,
+                                             top_k=top_k)
+        content = []
+        for i, (tid, lp) in enumerate(zip(cont_ids, token_lp)):
+            entry = {"token": bb.decode([int(tid)]),
+                     "logprob": round(float(lp), 6)}
+            if top_k:
+                entry["top_logprobs"] = [
+                    {"token": bb.decode([int(t)]),
+                     "logprob": round(float(l), 6)}
+                    for t, l in zip(top_ids[i], top_lps[i])]
+            content.append(entry)
+        return {"content": content}
 
     def _generate_text_sampled(self, prompt: str, kwargs: dict) -> str:
         """Text generate with sampling kwargs: the engine's per-row
@@ -431,20 +482,26 @@ class ScoringService:
         with self._device_lock:
             return self.backbone.generate(None, prompt, **kwargs)
 
-    def _chat_completion_finish(self, text: str | list, model: str) -> dict:
+    def _chat_completion_finish(self, text: str | list, model: str,
+                                logprobs_list: list | None = None) -> dict:
         texts = text if isinstance(text, list) else [text]
         with self._feat_lock:
             self.stats["requests"] += 1
             rid = self.stats["requests"]
+        choices = []
+        for i, t in enumerate(texts):
+            c = {"index": i,
+                 "message": {"role": "assistant", "content": t},
+                 "finish_reason": "stop"}
+            if logprobs_list is not None:
+                c["logprobs"] = logprobs_list[i]
+            choices.append(c)
         return {
             "id": f"chatcmpl-{rid}",
             "object": "chat.completion",
             "created": int(time.time()),
             "model": model,
-            "choices": [{"index": i,
-                         "message": {"role": "assistant", "content": t},
-                         "finish_reason": "stop"}
-                        for i, t in enumerate(texts)],
+            "choices": choices,
             "usage": {"prompt_tokens": 0, "completion_tokens": 0,
                       "total_tokens": 0},
         }
@@ -455,7 +512,7 @@ class ScoringService:
                                temperature: float = 0.0,
                                top_p: float = 1.0,
                                seed: int | None = None,
-                               n: int = 1,
+                               n: int = 1, logprobs: bool = False,
                                **_ignored):
         """SSE variant of chat_completion ("stream": true): yields
         OpenAI-format chat.completion.chunk dicts, one per decoded text
@@ -469,6 +526,9 @@ class ScoringService:
             raise ValueError("streaming does not support n > 1 — drop "
                              "stream or n (non-streaming requests return "
                              "n choices)")
+        if logprobs:
+            raise ValueError("streaming does not support logprobs — drop "
+                             "stream or logprobs")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         sampled = bool(temperature and float(temperature) > 0)
         sampled_mr = False
