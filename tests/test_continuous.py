@@ -1474,3 +1474,31 @@ def test_chat_completion_logprobs_history_template(tiny_video):
     # decode/encode doesn't round-trip token ids; real BPE does)
     assert all(e["top_logprobs"][0]["logprob"] >= e["logprob"] - 1e-6
                for e in ch["logprobs"]["content"])
+
+
+def test_answer_logprobs(tiny_video):
+    """/v1/answer logprobs: the per-answer total equals the backbone's own
+    loglikelihood under the full vision prompt, n>1 returns one entry per
+    choice, and streaming/session guards fire."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    r = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                   max_new_tokens=5, logprobs=True)
+    assert len(r["logprobs"]) == 1
+    sel, _, _ = svc._select_frames(tiny_video, "What?", 4, "topk", None)
+    want_ll, _ = bb.loglikelihood(sel, "What?", r["answer"])
+    assert abs(r["logprobs"][0]["total"] - want_ll) < 1e-3
+    assert len(r["logprobs"][0]["tokens"]) == len(bb.encode(r["answer"]))
+    rs = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=5, temperature=2.0, seed=4, n=2,
+                    logprobs=True)
+    assert len(rs["logprobs"]) == 2
+    for ans, lp in zip(rs["answers"], rs["logprobs"]):
+        w, _ = bb.loglikelihood(sel, "What?", ans)
+        assert abs(lp["total"] - w) < 1e-3
+    with pytest.raises(ValueError, match="logprobs"):
+        list(svc.answer_stream(video_path=tiny_video, question="q",
+                               sample_num=4, logprobs=True))
+    with pytest.raises(ValueError, match="session"):
+        svc.answer(video_path=tiny_video, question="q", sample_num=4,
+                   session_id="s", logprobs=True)

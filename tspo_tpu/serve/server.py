@@ -1133,7 +1133,8 @@ class ScoringService:
                max_new_tokens: int | None = None,
                session_id: str | None = None,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int | None = None, n: int = 1) -> dict:
+               seed: int | None = None, n: int = 1,
+               logprobs: bool = False) -> dict:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
@@ -1143,6 +1144,14 @@ class ScoringService:
         if n > 1 and not (temperature and float(temperature) > 0):
             raise ValueError("n > 1 needs temperature > 0 (greedy choices "
                              "would be identical)")
+        if logprobs:
+            if session_id is not None:
+                raise ValueError("logprobs are not supported on chat "
+                                 "sessions — drop session_id or logprobs")
+            if not hasattr(self.backbone, "continuation_logprobs"):
+                raise ValueError(
+                    f"backbone {type(self.backbone).__name__} does not "
+                    "support logprobs (needs continuation_logprobs)")
         if temperature and float(temperature) > 0:
             if session_id is not None:
                 raise ValueError("sampling (temperature > 0) is not "
@@ -1173,6 +1182,12 @@ class ScoringService:
                 # self-consistency / best-of-n: all choices, same order as
                 # the derived per-choice seeds (seed+i)
                 resp["answers"] = answers
+            if logprobs:
+                # per-answer total logprob under the VISION prompt (one
+                # teacher-forced forward each): the confidence signal for
+                # weighted self-consistency voting
+                resp["logprobs"] = [self._answer_logprob(sel, question, a)
+                                    for a in answers]
             return resp
         if session_id is not None:
             if not hasattr(self.backbone, "new_conversation_state"):
@@ -1209,17 +1224,33 @@ class ScoringService:
         with self._feat_lock:
             self.stats["requests"] += 1
             self.stats["frames_scored"] += n_frames
-        return {"answer": answer,
+        resp = {"answer": answer,
                 "frame_indices": [int(i) for i in idx],
                 "num_candidates": int(n_frames),
                 "latency_s": round(time.perf_counter() - t0, 4)}
+        if logprobs:
+            resp["logprobs"] = [self._answer_logprob(sel, question, answer)]
+        return resp
+
+    def _answer_logprob(self, sel, question: str, text: str) -> dict:
+        """Total + per-token logprob of one answer under the full vision
+        prompt (one teacher-forced forward) — the confidence signal
+        /v1/answer exposes for weighted self-consistency voting."""
+        with self._device_lock:
+            cont_ids, token_lp, _, _ = self.backbone.continuation_logprobs(
+                sel, question, text)
+        return {"total": round(float(np.sum(token_lp)), 6),
+                "tokens": [{"token": self.backbone.decode([int(t)]),
+                            "logprob": round(float(lp), 6)}
+                           for t, lp in zip(cont_ids, token_lp)]}
 
     def answer_stream(self, *, video_path: str, question: str,
                       sample_num=None, method: str = "topk",
                       window_size=None, max_new_tokens: int | None = None,
                       session_id: str | None = None,
                       temperature: float = 0.0, top_p: float = 1.0,
-                      seed: int | None = None, n: int = 1, **_ignored):
+                      seed: int | None = None, n: int = 1,
+                      logprobs: bool = False, **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
@@ -1235,6 +1266,9 @@ class ScoringService:
             raise ValueError("streaming does not support n > 1 — drop "
                              "stream or n (non-streaming requests return "
                              "n choices)")
+        if logprobs:
+            raise ValueError("streaming does not support logprobs — drop "
+                             "stream or logprobs")
         sampled = bool(temperature and float(temperature) > 0)
         if sampled:
             if session_id is not None:
