@@ -1502,3 +1502,40 @@ def test_answer_logprobs(tiny_video):
     with pytest.raises(ValueError, match="session"):
         svc.answer(video_path=tiny_video, question="q", sample_num=4,
                    session_id="s", logprobs=True)
+
+
+def test_stop_sequences(tiny_video):
+    """OpenAI stop semantics: the answer truncates at the FIRST occurrence
+    of any stop sequence (sequence excluded), on /v1/answer and chat
+    completions; invalid stop lists and streaming/session combos are
+    rejected loudly."""
+    bb = _tiny_llava()
+    svc = _tiny_service(bb)
+    full = svc.answer(video_path=tiny_video, question="What?",
+                      sample_num=4, max_new_tokens=5)["answer"]
+    assert " " in full                       # stub decode joins with spaces
+    head = full.split(" ")[0]
+    r = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                   max_new_tokens=5, stop=" ")
+    assert r["answer"] == head
+    r2 = svc.answer(video_path=tiny_video, question="What?", sample_num=4,
+                    max_new_tokens=5, stop=["zzz", " " + full.split(" ")[1]])
+    assert r2["answer"] == head
+    out = svc.chat_completion(messages=[{"role": "user", "content": "hi"}],
+                              max_tokens=5, stop=" ")
+    assert " " not in out["choices"][0]["message"]["content"]
+    with pytest.raises(ValueError, match="at most 4"):
+        svc.answer(video_path=tiny_video, question="q", sample_num=4,
+                   stop=["a", "b", "c", "d", "e"])
+    with pytest.raises(ValueError, match="non-empty"):
+        svc.answer(video_path=tiny_video, question="q", sample_num=4,
+                   stop=[""])
+    with pytest.raises(ValueError, match="stop"):
+        list(svc.answer_stream(video_path=tiny_video, question="q",
+                               sample_num=4, stop=" "))
+    with pytest.raises(ValueError, match="stop"):
+        svc.answer(video_path=tiny_video, question="q", sample_num=4,
+                   session_id="s", stop=" ")
+    with pytest.raises(ValueError, match="stop"):
+        list(svc.chat_completion_stream(
+            messages=[{"role": "user", "content": "x"}], stop=" "))

@@ -350,7 +350,7 @@ class ScoringService:
                         seed: int | None = None, n: int = 1,
                         logprobs: bool = False,
                         top_logprobs: int | None = None,
-                        **_ignored) -> dict:
+                        stop=None, **_ignored) -> dict:
         """OpenAI-compatible chat completion on the loaded backbone's
         text-only generate path — the zero-egress replacement for the
         reference's sglang judge launcher
@@ -431,6 +431,7 @@ class ScoringService:
             else:
                 lp_prompt = self._chat_prompt(messages)
                 texts = [self._generate_text(lp_prompt, kwargs)]
+        texts = [self._apply_stop(t, stop) for t in texts]
         lp_payloads = None
         if logprobs:
             lp_payloads = [self._chat_logprobs(lp_turns, lp_prompt, t,
@@ -513,7 +514,7 @@ class ScoringService:
                                top_p: float = 1.0,
                                seed: int | None = None,
                                n: int = 1, logprobs: bool = False,
-                               **_ignored):
+                               stop=None, **_ignored):
         """SSE variant of chat_completion ("stream": true): yields
         OpenAI-format chat.completion.chunk dicts, one per decoded text
         delta, then a finish_reason chunk.  Backed by the backbone's
@@ -529,6 +530,9 @@ class ScoringService:
         if logprobs:
             raise ValueError("streaming does not support logprobs — drop "
                              "stream or logprobs")
+        if stop is not None:
+            raise ValueError("streaming does not support stop sequences — "
+                             "drop stream or stop")
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         sampled = bool(temperature and float(temperature) > 0)
         sampled_mr = False
@@ -767,6 +771,25 @@ class ScoringService:
             with self._feat_lock:
                 self.stats["engine_fallback"] += 1
             return None
+
+    @staticmethod
+    def _apply_stop(text: str, stop) -> str:
+        """OpenAI ``stop`` semantics: truncate at the FIRST occurrence of
+        any stop sequence (the sequence itself is not included).  ``stop``
+        is a string or a list of up to 4 strings."""
+        if stop is None:
+            return text
+        seqs = [stop] if isinstance(stop, str) else list(stop)
+        if len(seqs) > 4:
+            raise ValueError("stop accepts at most 4 sequences")
+        cut = len(text)
+        for s in seqs:
+            if not isinstance(s, str) or not s:
+                raise ValueError("stop sequences must be non-empty strings")
+            i = text.find(s)
+            if i >= 0:
+                cut = min(cut, i)
+        return text[:cut]
 
     @staticmethod
     def _choice_seeds(seed, n: int) -> list:
@@ -1134,7 +1157,7 @@ class ScoringService:
                session_id: str | None = None,
                temperature: float = 0.0, top_p: float = 1.0,
                seed: int | None = None, n: int = 1,
-               logprobs: bool = False) -> dict:
+               logprobs: bool = False, stop=None) -> dict:
         if self.backbone is None:
             raise ValueError("no backbone loaded")
         t0 = time.perf_counter()
@@ -1171,6 +1194,7 @@ class ScoringService:
                 None if seed is None else int(seed), n,
                 prefix_key=(self._prefix_cache_key(video_path, idx)
                             if self.prefix_cache > 0 else None))
+            answers = [self._apply_stop(a, stop) for a in answers]
             with self._feat_lock:
                 self.stats["requests"] += 1
                 self.stats["frames_scored"] += n_frames
@@ -1190,6 +1214,11 @@ class ScoringService:
                                     for a in answers]
             return resp
         if session_id is not None:
+            if stop is not None:
+                # a truncated answer would desync the committed turn
+                # history/prefix KV from what the client saw
+                raise ValueError("stop sequences are not supported on chat "
+                                 "sessions — drop session_id or stop")
             if not hasattr(self.backbone, "new_conversation_state"):
                 raise ValueError("session_id needs a backbone with "
                                  "conversation support (llava_video / qwen2_5_vl)")
@@ -1224,6 +1253,7 @@ class ScoringService:
         with self._feat_lock:
             self.stats["requests"] += 1
             self.stats["frames_scored"] += n_frames
+        answer = self._apply_stop(answer, stop)
         resp = {"answer": answer,
                 "frame_indices": [int(i) for i in idx],
                 "num_candidates": int(n_frames),
@@ -1250,7 +1280,7 @@ class ScoringService:
                       session_id: str | None = None,
                       temperature: float = 0.0, top_p: float = 1.0,
                       seed: int | None = None, n: int = 1,
-                      logprobs: bool = False, **_ignored):
+                      logprobs: bool = False, stop=None, **_ignored):
         """SSE variant of /v1/answer ("stream": true): a ``frames`` event
         with the selected indices as soon as phase-1 lands, then one
         ``delta`` event per decoded text piece (backbone generate_stream;
@@ -1269,6 +1299,9 @@ class ScoringService:
         if logprobs:
             raise ValueError("streaming does not support logprobs — drop "
                              "stream or logprobs")
+        if stop is not None:
+            raise ValueError("streaming does not support stop sequences — "
+                             "drop stream or stop")
         sampled = bool(temperature and float(temperature) > 0)
         if sampled:
             if session_id is not None:
