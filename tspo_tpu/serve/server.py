@@ -383,6 +383,7 @@ class ScoringService:
             raise ValueError(f"backbone {type(self.backbone).__name__} "
                              "does not support logprobs "
                              "(needs continuation_logprobs)")
+        self._apply_stop("", stop)       # validate BEFORE paying decode
         kwargs = {"max_new_tokens": max_tokens} if max_tokens else {}
         texts, lp_turns, lp_prompt = None, None, None
         if temperature and float(temperature) > 0:
@@ -1167,6 +1168,7 @@ class ScoringService:
         if n > 1 and not (temperature and float(temperature) > 0):
             raise ValueError("n > 1 needs temperature > 0 (greedy choices "
                              "would be identical)")
+        self._apply_stop("", stop)       # validate BEFORE paying decode
         if logprobs:
             if session_id is not None:
                 raise ValueError("logprobs are not supported on chat "
